@@ -1,0 +1,228 @@
+"""Exact scalar rANS stack coder (host path, bit-exact with the reference).
+
+State-update algebra (/root/reference/src/stream/stack.rs:1014-1100):
+
+- encode: if ``state >> (S - P) >= prob``: emit low word, ``state >>= W``;
+  then ``state = (state // prob) << P | (cum + state % prob)``.
+- decode: ``q = state & (2**P - 1)``; find the symbol whose interval contains
+  ``q``; ``state = (state >> P) * prob + (q - cum)``; refill one word if
+  ``state < 2**(S - W)`` and the bulk is nonempty.
+
+Framing (stack.rs:891-955, 249-462): compressed = bulk words followed by the
+state's words least-significant first with leading zero words dropped;
+``from_compressed`` reads words from the end until ``state >= 2**(S - W)``
+and rejects a trailing zero word; ``from_binary`` appends a virtual 1-bit
+seal.
+
+This scalar core is the spec and test oracle; the C++ native module
+(constriction_tpu.native) and the JAX interleaved kernels
+(constriction_tpu.ops.interleaved) implement the same algebra for speed.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.base import EntropyModel, ModelFamily
+from ..utils.bits import chunks_truncated_msb_first
+
+
+class AnsCoderCore:
+    """Generic rANS coder over (word_bits W, state_bits S); default preset
+    W=32, S=64 ("default"); "small" preset is W=16, S=32."""
+
+    def __init__(self, word_bits: int = 32, state_bits: int = 64):
+        assert state_bits >= 2 * word_bits
+        self.W = word_bits
+        self.S = state_bits
+        self.word_mask = (1 << word_bits) - 1
+        self.state = 0
+        self.bulk: List[int] = []
+
+    # -- constructors ---------------------------------------------------------
+
+    @classmethod
+    def from_compressed(
+        cls, compressed: Sequence[int], word_bits: int = 32, state_bits: int = 64
+    ) -> "AnsCoderCore":
+        self = cls(word_bits, state_bits)
+        bulk = list(int(w) for w in compressed)
+        if bulk:
+            if bulk[-1] == 0:
+                raise ValueError(
+                    "Invalid compressed data: ANS compressed data never ends in a zero word."
+                )
+            state = bulk.pop()
+            threshold = 1 << (self.S - self.W)
+            while state < threshold and bulk:
+                state = (state << self.W) | bulk.pop()
+            self.state = state
+        self.bulk = bulk
+        return self
+
+    @classmethod
+    def from_binary(
+        cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64
+    ) -> "AnsCoderCore":
+        self = cls(word_bits, state_bits)
+        bulk = list(int(w) for w in data)
+        state = 1
+        threshold = 1 << (self.S - self.W)
+        while state < threshold and bulk:
+            state = (state << self.W) | bulk.pop()
+        self.state = state
+        self.bulk = bulk
+        return self
+
+    @classmethod
+    def from_raw_parts(
+        cls, bulk: Sequence[int], state: int, word_bits: int = 32, state_bits: int = 64
+    ) -> "AnsCoderCore":
+        self = cls(word_bits, state_bits)
+        self.bulk = list(int(w) for w in bulk)
+        self.state = int(state)
+        return self
+
+    def clone(self) -> "AnsCoderCore":
+        out = AnsCoderCore(self.W, self.S)
+        out.state = self.state
+        out.bulk = list(self.bulk)
+        return out
+
+    # -- introspection ----------------------------------------------------------
+
+    def is_empty(self) -> bool:
+        # stack.rs:481-487: the state invariant makes checking `state == 0` enough.
+        return self.state == 0
+
+    def _state_chunks(self) -> List[int]:
+        return chunks_truncated_msb_first(self.state, self.W)
+
+    def num_words(self) -> int:
+        return len(self.bulk) + len(self._state_chunks())
+
+    def num_bits(self) -> int:
+        return self.W * self.num_words()
+
+    def num_valid_bits(self) -> int:
+        # stack.rs:625-630
+        return self.W * len(self.bulk) + max(self.state.bit_length(), 1) - 1
+
+    def clear(self) -> None:
+        self.state = 0
+        self.bulk = []
+
+    # -- compressed data access ---------------------------------------------------
+
+    def get_compressed(self) -> np.ndarray:
+        words = self.bulk + list(reversed(self._state_chunks()))
+        return np.array(words, dtype=_dtype_for(self.W))
+
+    def into_compressed(self) -> np.ndarray:
+        out = self.get_compressed()
+        self.bulk = []
+        self.state = 0
+        return out
+
+    def get_binary(self) -> np.ndarray:
+        """Unseal: requires the state's most significant word to be exactly 1;
+        returns bulk + the state's lower words (stack.rs CoderGuard SEALED)."""
+        chunks = self._state_chunks()
+        if not chunks or chunks[0] != 1:
+            raise ValueError(
+                "Cannot unseal compressed data because it doesn't fit into an "
+                "integer number of words. Did you create the encoder with "
+                "`seal=True` and restore its original state?"
+            )
+        words = self.bulk + list(reversed(chunks[1:]))
+        return np.array(words, dtype=_dtype_for(self.W))
+
+    def into_binary(self) -> np.ndarray:
+        """Rust `into_binary` (stack.rs:944-983): clears the leading 1 bit and
+        appends the truncated state's words; errors unless the number of valid
+        bits is a multiple of the word size."""
+        valid_bits = self.state.bit_length() - 1
+        if valid_bits < 0 or valid_bits % self.W != 0:
+            raise ValueError(
+                "compressed data (excluding the trailing 1 bit) does not fit "
+                "into an integer number of words"
+            )
+        truncated = self.state ^ (1 << valid_bits)
+        words = self.bulk + list(reversed(chunks_truncated_msb_first(truncated, self.W)))
+        return np.array(words, dtype=_dtype_for(self.W))
+
+    # -- random access ---------------------------------------------------------------
+
+    def pos(self) -> Tuple[int, int]:
+        return len(self.bulk), self.state
+
+    def seek(self, position: int, state: int) -> None:
+        if position > len(self.bulk):
+            raise ValueError("Tried to seek past end of stream.")
+        del self.bulk[position:]
+        self.state = int(state)
+
+    # -- coding -------------------------------------------------------------------------
+
+    def encode_symbol(self, symbol: int, model: EntropyModel) -> None:
+        cum, prob = model.ecp(int(symbol))
+        self._encode_cp(cum, prob, model.precision)
+
+    def _encode_cp(self, cum: int, prob: int, precision: int) -> None:
+        state = self.state
+        if (state >> (self.S - precision)) >= prob:
+            self.bulk.append(state & self.word_mask)
+            state >>= self.W
+        self.state = ((state // prob) << precision) | (cum + state % prob)
+
+    def decode_symbol(self, model: EntropyModel) -> int:
+        precision = model.precision
+        state = self.state
+        quantile = state & ((1 << precision) - 1)
+        symbol, cum, prob = model.qf(quantile)
+        state = (state >> precision) * prob + (quantile - cum)
+        if state < (1 << (self.S - self.W)) and self.bulk:
+            state = (state << self.W) | self.bulk.pop()
+        self.state = state
+        return symbol
+
+    # -- batched APIs ------------------------------------------------------------------------
+
+    def encode_iid_symbols_reverse(self, symbols: Sequence[int], model: EntropyModel) -> None:
+        symbols = np.asarray(symbols)
+        cums, probs = model.ecp_array(symbols)
+        self.encode_reverse_tables(cums, probs, model.precision)
+
+    def encode_reverse_tables(
+        self, cums: np.ndarray, probs: np.ndarray, precision: int
+    ) -> None:
+        """Encode per-symbol (cum, prob) tables, iterating in reverse order."""
+        cums_l = [int(c) for c in cums]
+        probs_l = [int(p) for p in probs]
+        for i in range(len(cums_l) - 1, -1, -1):
+            self._encode_cp(cums_l[i], probs_l[i], precision)
+
+    def encode_symbols_reverse(
+        self, symbols: Sequence[int], family: ModelFamily, precision: int = 24
+    ) -> None:
+        symbols = np.asarray(symbols)
+        cums, probs = family.ecp_all(symbols)
+        self.encode_reverse_tables(cums, probs, precision)
+
+    def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = np.empty(amt, dtype=np.int64)
+        for i in range(amt):
+            out[i] = self.decode_symbol(model)
+        return out
+
+    def decode_symbols(self, family: ModelFamily) -> np.ndarray:
+        out = np.empty(family.size, dtype=np.int64)
+        for i in range(family.size):
+            out[i] = self.decode_symbol(family.concrete(i))
+        return out
+
+
+def _dtype_for(word_bits: int):
+    return {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}[word_bits]

@@ -1,0 +1,228 @@
+"""Exact scalar chain coder (bits-back), bit-exact with the reference.
+
+The chain coder (/root/reference/src/stream/chain.rs) keeps two word streams:
+``compressed`` (read by the decoder, written by the encoder) and
+``remainders`` (written by the decoder, read by the encoder), plus two heads
+(chain.rs:230-258):
+
+- ``compressed`` head: a nonzero Word whose bits above the sentinel 1-bit are
+  leftover bits from previous reads (at most W-1 of them);
+- ``remainders`` head: a State with
+  ``2**(S - W - P) <= head < 2**(S - P)``.
+
+Decoding pulls exactly P bits per symbol from the compressed stream
+(chain.rs:1060-1101) and pushes leftover information into the remainders head
+(chain.rs:1112-1119); encoding is the exact inverse (chain.rs:1140-1206).
+Because each symbol consumes a fixed P bits, changing the entropy model of one
+symbol only affects that symbol ("symbol-local" decoding, chain.rs:1-84) --
+which also makes this the most TPU-parallel-friendly of the stream codes
+(static per-symbol bit offsets; see ops.interleaved).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.base import EntropyModel, ModelFamily
+from .ans import _dtype_for
+
+
+class OutOfCompressedData(ValueError):
+    pass
+
+
+class OutOfRemainders(ValueError):
+    pass
+
+
+class ChainCoderCore:
+    def __init__(self, word_bits: int = 32, state_bits: int = 64, precision: int = 24):
+        assert precision <= word_bits and state_bits >= word_bits + precision
+        self.W = word_bits
+        self.S = state_bits
+        self.P = precision
+        self.word_mask = (1 << word_bits) - 1
+        self.compressed: List[int] = []  # written by encoder, read (popped) by decoder
+        self.remainders: List[int] = []  # written by decoder, read (popped) by encoder
+        self.head_compressed = 1
+        self.head_remainders = 0
+
+    # -- constructors (chain.rs:269-303, 326-377, 430-470) ----------------------
+
+    @classmethod
+    def _init_heads(cls, self: "ChainCoderCore", source: List[int], push_one: bool) -> None:
+        threshold = 1 << (self.S - self.W - self.P)
+        if push_one:
+            rem = 1
+        else:
+            if not source or source[-1] == 0:
+                raise ValueError("Too little data provided, or data ends in zero word.")
+            rem = source.pop()
+        while rem < threshold:
+            if not source:
+                raise ValueError("Too little data provided.")
+            rem = (rem << self.W) | source.pop()
+        self.head_compressed = 1
+        self.head_remainders = rem
+
+    @classmethod
+    def from_binary(
+        cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
+    ) -> "ChainCoderCore":
+        self = cls(word_bits, state_bits, precision)
+        src = [int(w) for w in data]
+        cls._init_heads(self, src, push_one=True)
+        self.compressed = src
+        return self
+
+    @classmethod
+    def from_compressed(
+        cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
+    ) -> "ChainCoderCore":
+        self = cls(word_bits, state_bits, precision)
+        src = [int(w) for w in data]
+        cls._init_heads(self, src, push_one=False)
+        self.compressed = src
+        return self
+
+    @classmethod
+    def from_remainders(
+        cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
+    ) -> "ChainCoderCore":
+        self = cls(word_bits, state_bits, precision)
+        src = [int(w) for w in data]
+        if not src or src[-1] == 0:
+            raise ValueError("Too little data provided, or data ends in zero word.")
+        compressed_head = src.pop()
+        cls._init_heads(self, src, push_one=False)
+        self.head_compressed = compressed_head
+        self.remainders = src
+        return self
+
+    def clone(self) -> "ChainCoderCore":
+        out = ChainCoderCore(self.W, self.S, self.P)
+        out.compressed = list(self.compressed)
+        out.remainders = list(self.remainders)
+        out.head_compressed = self.head_compressed
+        out.head_remainders = self.head_remainders
+        return out
+
+    # -- exporters (chain.rs:406-546) ---------------------------------------------
+
+    def is_whole(self) -> bool:
+        return self.head_compressed == 1
+
+    def into_remainders(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(compressed_prefix, remainders_suffix); chain.rs:406-420."""
+        remainders = list(self.remainders)
+        rem = self.head_remainders
+        while rem != 0:
+            remainders.append(rem & self.word_mask)
+            rem >>= self.W
+        remainders.append(self.head_compressed)
+        dt = _dtype_for(self.W)
+        return np.array(self.compressed, dtype=dt), np.array(remainders, dtype=dt)
+
+    def into_compressed(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(remainders_prefix, compressed_suffix); chain.rs:487-516."""
+        if not self.is_whole():
+            raise ValueError("Fractional number of words in compressed or remainders data.")
+        compressed = list(self.compressed)
+        rem = self.head_remainders
+        while rem != 0:
+            compressed.append(rem & self.word_mask)
+            rem >>= self.W
+        dt = _dtype_for(self.W)
+        return np.array(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
+
+    def into_binary(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Like into_compressed but drops the virtual seal bit (chain.rs:516-546)."""
+        rem_sig = self.head_remainders.bit_length() - 1
+        if not self.is_whole() or rem_sig < 0 or rem_sig % self.W != 0:
+            raise ValueError("Fractional number of words in compressed or remainders data.")
+        compressed = list(self.compressed)
+        rem = self.head_remainders
+        while rem > 1:
+            compressed.append(rem & self.word_mask)
+            rem >>= self.W
+        dt = _dtype_for(self.W)
+        return np.array(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
+
+    # -- coding (chain.rs:1044-1206) --------------------------------------------------
+
+    def decode_symbol(self, model: EntropyModel) -> int:
+        W, P = self.W, self.P
+        if P == W or self.head_compressed < (1 << P):
+            if not self.compressed:
+                raise OutOfCompressedData("out of compressed data")
+            word = self.compressed.pop()
+            if P != W:
+                self.head_compressed = (
+                    (self.head_compressed << (W - P)) | (word >> P)
+                ) & self.word_mask
+        else:
+            word = self.head_compressed
+            self.head_compressed >>= P
+
+        quantile = word if P == W else word & ((1 << P) - 1)
+        symbol, cum, prob = model.qf(quantile)
+        remainder = quantile - cum
+        self.head_remainders = self.head_remainders * prob + remainder
+        if self.head_remainders >= 1 << (self.S - P):
+            self.remainders.append(self.head_remainders & self.word_mask)
+            self.head_remainders >>= W
+        return symbol
+
+    def encode_symbol(self, symbol: int, model: EntropyModel) -> None:
+        cum, prob = model.ecp(int(symbol))
+        self._encode_cp(cum, prob)
+
+    def _encode_cp(self, cum: int, prob: int) -> None:
+        W, P = self.W, self.P
+        if self.head_remainders < (prob << (self.S - W - P)):
+            if not self.remainders:
+                raise OutOfRemainders("out of remainders data")
+            self.head_remainders = (self.head_remainders << W) | self.remainders.pop()
+
+        remainder = self.head_remainders % prob
+        quantile = cum + remainder
+        self.head_remainders //= prob
+
+        if P != W and self.head_compressed < (1 << (W - P)):
+            self.head_compressed = (self.head_compressed << P) | quantile
+        else:
+            if P == W:
+                word = quantile
+            else:
+                word = ((self.head_compressed << P) | quantile) & self.word_mask
+                self.head_compressed >>= W - P
+            self.compressed.append(word)
+
+    # -- batched ----------------------------------------------------------------------
+
+    def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = np.empty(amt, dtype=np.int64)
+        for i in range(amt):
+            out[i] = self.decode_symbol(model)
+        return out
+
+    def decode_symbols(self, family: ModelFamily) -> np.ndarray:
+        out = np.empty(family.size, dtype=np.int64)
+        for i in range(family.size):
+            out[i] = self.decode_symbol(family.concrete(i))
+        return out
+
+    def encode_iid_symbols_reverse(self, symbols: Sequence[int], model: EntropyModel) -> None:
+        cums, probs = model.ecp_array(np.asarray(symbols))
+        self.encode_reverse_tables(cums, probs)
+
+    def encode_reverse_tables(self, cums: np.ndarray, probs: np.ndarray) -> None:
+        for i in range(len(cums) - 1, -1, -1):
+            self._encode_cp(int(cums[i]), int(probs[i]))
+
+    def encode_symbols_reverse(self, symbols: Sequence[int], family: ModelFamily) -> None:
+        symbols = np.asarray(symbols)
+        cums, probs = family.ecp_all(symbols)
+        self.encode_reverse_tables(cums, probs)

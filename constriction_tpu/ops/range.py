@@ -1,0 +1,258 @@
+"""Exact scalar range coder (queue / FIFO), bit-exact with the reference.
+
+State is ``(lower, range)`` with invariant ``range >= 2**(S - W)``
+(/root/reference/src/stream/queue.rs:60-71).  Carry handling is deferred, not
+propagated: the encoder may hold back words whose final value can still change,
+tracked as ``Inverted(num_inverted, first_word)`` (queue.rs:120-142); they are
+resolved when the interval stops straddling a word-boundary wrap
+(queue.rs:647-666) or at sealing time (queue.rs:458-523).
+
+Encode step (queue.rs:637-702): ``scale = range >> P``; ``range = scale *
+prob``; ``lower += scale * cum`` (wrapping); renormalize when
+``range < 2**(S - W)`` by shifting ``lower``/``range`` left one word and
+emitting or holding back the shifted-out word.
+
+Decode (queue.rs:968-1035): ``q = (point - lower) / scale`` (wrapping sub),
+``InvalidData`` if ``q >= 2**P``; same interval update; renorm shifts in the
+next word of ``point`` (zero once exhausted).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..models.base import EntropyModel, ModelFamily
+from .ans import _dtype_for
+
+
+class InvalidData(ValueError):
+    pass
+
+
+class RangeEncoderCore:
+    def __init__(self, word_bits: int = 32, state_bits: int = 64):
+        assert state_bits >= 2 * word_bits and state_bits % word_bits == 0
+        self.W = word_bits
+        self.S = state_bits
+        self.word_mask = (1 << word_bits) - 1
+        self.state_mask = (1 << state_bits) - 1
+        self.lower = 0
+        self.range = self.state_mask  # State::max_value()
+        # Inverted situation: (num_inverted, first_word) or None for Normal.
+        self.inverted: Optional[Tuple[int, int]] = None
+        self.bulk: List[int] = []
+
+    # -- introspection ----------------------------------------------------------
+
+    def is_empty(self) -> bool:
+        return self.range == self.state_mask and not self.bulk
+
+    def _seal_words(self) -> List[int]:
+        """Words appended by sealing (queue.rs:458-523)."""
+        if self.range == self.state_mask:
+            return []  # nothing encoded yet -> empty output
+        point = (self.lower + ((1 << (self.S - self.W)) - 1)) & self.state_mask
+        out: List[int] = []
+        if self.inverted is not None:
+            num_inverted, first_word = self.inverted
+            if point >= self.lower:  # no wrap
+                out.append(first_word)
+                out.extend([self.word_mask] * (num_inverted - 1))
+            else:  # wrapped: carry into the held-back words
+                out.append((first_word + 1) & self.word_mask)
+                out.extend([0] * (num_inverted - 1))
+        point_word = point >> (self.S - self.W)
+        out.append(point_word)
+        upper_word = ((self.lower + self.range) & self.state_mask) >> (self.S - self.W)
+        if upper_word == point_word:
+            out.append(0)
+        return out
+
+    def num_words(self) -> int:
+        return len(self.bulk) + len(self._seal_words())
+
+    def num_bits(self) -> int:
+        return self.W * self.num_words()
+
+    def clear(self) -> None:
+        self.lower = 0
+        self.range = self.state_mask
+        self.inverted = None
+        self.bulk = []
+
+    def clone(self) -> "RangeEncoderCore":
+        out = RangeEncoderCore(self.W, self.S)
+        out.lower, out.range, out.inverted = self.lower, self.range, self.inverted
+        out.bulk = list(self.bulk)
+        return out
+
+    def pos(self) -> Tuple[int, Tuple[int, int]]:
+        """(position, (lower, range)); position counts words incl. held-back
+        inverted words (queue.rs:182-196)."""
+        num_inverted = self.inverted[0] if self.inverted is not None else 0
+        return len(self.bulk) + num_inverted, (self.lower, self.range)
+
+    def get_compressed(self) -> np.ndarray:
+        return np.array(self.bulk + self._seal_words(), dtype=_dtype_for(self.W))
+
+    # -- coding -------------------------------------------------------------------
+
+    def encode_symbol(self, symbol: int, model: EntropyModel) -> None:
+        cum, prob = model.ecp(int(symbol))
+        self._encode_cp(cum, prob, model.precision)
+
+    def _encode_cp(self, cum: int, prob: int, precision: int) -> None:
+        scale = self.range >> precision
+        new_range = scale * prob
+        if new_range == 0:
+            raise ValueError("ImpossibleSymbol: probability underflow")
+        self.range = new_range
+        new_lower = (self.lower + scale * cum) & self.state_mask
+
+        if self.inverted is not None:
+            # Unlikely branch: check whether the interval stopped straddling
+            # the wrap point (queue.rs:647-666).
+            if (new_lower + self.range) & self.state_mask > new_lower:
+                num_inverted, first_word = self.inverted
+                if new_lower < self.lower:  # carry happened
+                    first = (first_word + 1) & self.word_mask
+                    consecutive = 0
+                else:
+                    first = first_word
+                    consecutive = self.word_mask
+                self.bulk.append(first)
+                self.bulk.extend([consecutive] * (num_inverted - 1))
+                self.inverted = None
+
+        self.lower = new_lower
+
+        if self.range < (1 << (self.S - self.W)):
+            self.range = (self.range << self.W) & self.state_mask
+            lower_word = self.lower >> (self.S - self.W)
+            self.lower = (self.lower << self.W) & self.state_mask
+            if self.inverted is not None:
+                self.inverted = (self.inverted[0] + 1, self.inverted[1])
+            elif (self.lower + self.range) & self.state_mask > self.lower:
+                self.bulk.append(lower_word)
+            else:
+                self.inverted = (1, lower_word)
+
+    def encode_iid_symbols(self, symbols: Sequence[int], model: EntropyModel) -> None:
+        cums, probs = model.ecp_array(np.asarray(symbols))
+        self.encode_tables(cums, probs, model.precision)
+
+    def encode_tables(self, cums: np.ndarray, probs: np.ndarray, precision: int) -> None:
+        for c, p in zip((int(c) for c in cums), (int(p) for p in probs)):
+            self._encode_cp(c, p, precision)
+
+    def encode_symbols(self, symbols: Sequence[int], family: ModelFamily, precision: int = 24) -> None:
+        symbols = np.asarray(symbols)
+        cums, probs = family.ecp_all(symbols)
+        self.encode_tables(cums, probs, precision)
+
+    def get_decoder(self) -> "RangeDecoderCore":
+        return RangeDecoderCore.from_compressed(self.get_compressed(), self.W, self.S)
+
+
+class RangeDecoderCore:
+    def __init__(self, word_bits: int = 32, state_bits: int = 64):
+        self.W = word_bits
+        self.S = state_bits
+        self.word_mask = (1 << word_bits) - 1
+        self.state_mask = (1 << state_bits) - 1
+        self.lower = 0
+        self.range = self.state_mask
+        self.point = 0
+        self.bulk: List[int] = []
+        self.cursor = 0  # read position into bulk
+
+    @classmethod
+    def from_compressed(
+        cls, compressed: Sequence[int], word_bits: int = 32, state_bits: int = 64
+    ) -> "RangeDecoderCore":
+        self = cls(word_bits, state_bits)
+        self.bulk = [int(w) for w in compressed]
+        self.point = self._read_point()
+        return self
+
+    def _read_word(self) -> Optional[int]:
+        if self.cursor < len(self.bulk):
+            w = self.bulk[self.cursor]
+            self.cursor += 1
+            return w
+        return None
+
+    def _read_point(self) -> int:
+        """queue.rs:847-868: load S/W words MSB-first; left-align if short."""
+        num_read = 0
+        point = 0
+        max_words = self.S // self.W
+        while num_read < max_words:
+            w = self._read_word()
+            if w is None:
+                break
+            point = ((point << self.W) | w) & self.state_mask
+            num_read += 1
+        if num_read < max_words and num_read != 0:
+            point = (point << (self.S - num_read * self.W)) & self.state_mask
+        return point
+
+    def maybe_exhausted(self) -> bool:
+        # queue.rs:868-898
+        max_difference = ((1 << (self.S - self.W)) << 1) - 1
+        exhausted = self.cursor >= len(self.bulk)
+        in_tail = ((self.point - self.lower) & self.state_mask) <= max_difference
+        return exhausted and (self.range == self.state_mask or in_tail)
+
+    def clone(self) -> "RangeDecoderCore":
+        out = RangeDecoderCore(self.W, self.S)
+        out.lower, out.range, out.point = self.lower, self.range, self.point
+        out.bulk = self.bulk
+        out.cursor = self.cursor
+        return out
+
+    def pos(self) -> Tuple[int, Tuple[int, int]]:
+        return self.cursor - self.S // self.W, (self.lower, self.range)
+
+    def seek(self, position: int, state: Tuple[int, int]) -> None:
+        lower, range_ = state
+        if position < 0 or position > len(self.bulk):
+            raise ValueError("seek out of range")
+        self.cursor = position
+        self.point = self._read_point()
+        self.lower = int(lower) & self.state_mask
+        self.range = int(range_) & self.state_mask
+
+    def decode_symbol(self, model: EntropyModel) -> int:
+        precision = model.precision
+        scale = self.range >> precision
+        quantile = ((self.point - self.lower) & self.state_mask) // scale
+        if quantile >= (1 << precision):
+            raise InvalidData(
+                "Tried to decode data that is inconsistent with the entropy model."
+            )
+        symbol, cum, prob = model.qf(quantile)
+        self.lower = (self.lower + scale * cum) & self.state_mask
+        self.range = scale * prob
+        if self.range < (1 << (self.S - self.W)):
+            self.lower = (self.lower << self.W) & self.state_mask
+            self.range = self.range << self.W
+            self.point = (self.point << self.W) & self.state_mask
+            w = self._read_word()
+            if w is not None:
+                self.point |= w
+        return symbol
+
+    def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = np.empty(amt, dtype=np.int64)
+        for i in range(amt):
+            out[i] = self.decode_symbol(model)
+        return out
+
+    def decode_symbols(self, family: ModelFamily) -> np.ndarray:
+        out = np.empty(family.size, dtype=np.int64)
+        for i in range(family.size):
+            out[i] = self.decode_symbol(family.concrete(i))
+        return out
