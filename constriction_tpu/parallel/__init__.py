@@ -1,0 +1,19 @@
+"""Multi-device parallelism: block sharding of interleaved coders over a mesh."""
+
+from .sharding import (
+    BLOCK_AXIS,
+    gather_blocks,
+    make_mesh,
+    prepare_blocks,
+    shard_decode_lookup,
+    shard_encode,
+)
+
+__all__ = [
+    "BLOCK_AXIS",
+    "gather_blocks",
+    "make_mesh",
+    "prepare_blocks",
+    "shard_decode_lookup",
+    "shard_encode",
+]

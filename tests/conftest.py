@@ -3,9 +3,16 @@ import os
 # Tests run on a virtual 8-device CPU mesh so that multi-chip sharding paths
 # compile and execute without TPU hardware (the driver separately dry-runs the
 # multi-chip path; bench.py runs on the real chip).
+#
+# Note: in this environment a site plugin pre-sets jax_platforms to
+# "axon,cpu", so the JAX_PLATFORMS env var alone is not enough -- we must
+# override the config before the backend initializes.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:  # pragma: no cover - backend already initialized
+    pass
