@@ -1,0 +1,635 @@
+// Native host codec for constriction_tpu.
+//
+// Exact C++ implementations of the hot host-side paths:
+//  - float -> fixed-point entropy-model table building (LeakyQuantizer
+//    formulas, /root/reference/src/stream/model/quantize.rs:525-568) for the
+//    Gaussian/Laplace/Cauchy/Binomial families, using the same f64 CDF
+//    formula shapes as the Rust `probability` crate (glibc libm is the same
+//    fdlibm lineage as the crate's `libm`);
+//  - scalar rANS / range / chain coder state machines (bit-exact with the
+//    reference: stack.rs:1014-1100, queue.rs:602-710/957-1040,
+//    chain.rs:1044-1206) over precomputed (cum, prob) tables and
+//    lookup/CDF/quantized decode models;
+//  - lane-interleaved rANS (ILANS) encode/decode, parallelized across lanes
+//    with OpenMP (each lane is an independent stream, so parallelism does
+//    not change the bitstream).
+//
+// Exposed via a plain C ABI for ctypes.  Build: python -m constriction_tpu.native.build
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <algorithm>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Special functions / CDFs (f64, matching the probability crate's formulas)
+// ---------------------------------------------------------------------------
+
+static const double SQRT_2 = 1.41421356237309504880168872420969808;
+
+static inline double gaussian_cdf(double x, double mean, double std_) {
+    return (1.0 + erf((x - mean) / (std_ * SQRT_2))) / 2.0;
+}
+
+static inline double laplace_cdf(double x, double mean, double b) {
+    if (x < mean) {
+        return 0.5 * exp((x - mean) / b);
+    }
+    return 1.0 - 0.5 * exp((mean - x) / b);
+}
+
+static inline double cauchy_cdf(double x, double loc, double scale) {
+    return 0.5 + atan((x - loc) / scale) / M_PI;
+}
+
+// Regularized incomplete beta, Algorithm AS 63 (same algorithm as the Rust
+// `special` crate's inc_beta, which backs the Binomial CDF).
+static double inc_beta(double x, double p, double q, double log_beta) {
+    const double ACU = 0.1e-14;
+    if (x <= 0.0) return 0.0;
+    if (x >= 1.0) return 1.0;
+
+    double psq = p + q;
+    bool flip = p < psq * x;
+    double xx, cx, pp, qq;
+    if (flip) {
+        xx = 1.0 - x; cx = x; pp = q; qq = p;
+    } else {
+        xx = x; cx = 1.0 - x; pp = p; qq = q;
+    }
+
+    double term = 1.0, ai = 1.0, alpha = 1.0;
+    int ns = (int)(qq + cx * psq);
+    double rx = xx / cx;
+    double temp = qq - ai;
+    if (ns == 0) rx = xx;
+
+    for (;;) {
+        term = term * temp * rx / (pp + ai);
+        alpha += term;
+        temp = fabs(term);
+        if (temp <= ACU && temp <= ACU * alpha) break;
+        ai += 1.0;
+        ns -= 1;
+        if (ns >= 0) {
+            temp = qq - ai;
+            if (ns == 0) rx = xx;
+        } else {
+            temp = psq;
+            psq += 1.0;
+        }
+    }
+
+    alpha = alpha * exp(pp * log(xx) + (qq - 1.0) * log(cx) - log_beta) / pp;
+    return flip ? 1.0 - alpha : alpha;
+}
+
+static inline double binomial_cdf(double x, double n, double p) {
+    if (x < 0.0) return 0.0;
+    double k = floor(x);
+    if (k >= n) return 1.0;
+    if (p <= 0.0) return 1.0;
+    if (p >= 1.0) return 0.0;
+    double a = n - k, b = k + 1.0;
+    double log_beta = lgamma(a) + lgamma(b) - lgamma(a + b);
+    return inc_beta(1.0 - p, a, b, log_beta);
+}
+
+// Rust `as`-cast semantics: truncate toward zero, saturate, NaN -> 0.
+static inline uint32_t trunc_u32(double x) {
+    if (!(x > 0.0)) return 0;  // NaN or <= 0
+    if (x >= 4294967295.0) return 0xFFFFFFFFu;
+    return (uint32_t)x;
+}
+
+// ---------------------------------------------------------------------------
+// LeakyQuantizer table building (vectorized over symbols, OpenMP parallel)
+// ---------------------------------------------------------------------------
+
+enum DistKind : int32_t { DIST_GAUSSIAN = 0, DIST_LAPLACE = 1, DIST_CAUCHY = 2 };
+
+static inline double dist_cdf(int32_t kind, double x, double a, double b) {
+    switch (kind) {
+        case DIST_GAUSSIAN: return gaussian_cdf(x, a, b);
+        case DIST_LAPLACE:  return laplace_cdf(x, a, b);
+        default:            return cauchy_cdf(x, a, b);
+    }
+}
+
+// Per-symbol (cum, prob) for a two-parameter quantized family.
+// Returns 0 on success, -1 if a symbol is out of support.
+int32_t ctpu_quantized_ecp(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const int32_t* symbols, const double* pa, const double* pb, int64_t n,
+    uint32_t* cums, uint32_t* probs)
+{
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    const uint32_t total = (uint32_t)(1ull << precision);
+    int32_t err = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        int32_t s = symbols[i];
+        if (s < min_sym || s > max_sym) { err = -1; continue; }
+        uint32_t slack = (uint32_t)(s - min_sym);
+        uint32_t left = (s == min_sym)
+            ? 0u
+            : trunc_u32(free_weight * dist_cdf(kind, (double)s - 0.5, pa[i], pb[i])) + slack;
+        uint32_t right = (s == max_sym)
+            ? total
+            : trunc_u32(free_weight * dist_cdf(kind, (double)s + 0.5, pa[i], pb[i])) + slack + 1;
+        cums[i] = left;
+        probs[i] = right - left;
+    }
+    return err;
+}
+
+int32_t ctpu_binomial_ecp(
+    int32_t precision,
+    const int32_t* symbols, const int32_t* ns, const double* ps, int64_t n,
+    uint32_t* cums, uint32_t* probs)
+{
+    const uint32_t total = (uint32_t)(1ull << precision);
+    int32_t err = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        int32_t s = symbols[i];
+        int32_t max_sym = ns[i];
+        if (s < 0 || s > max_sym || max_sym < 1) { err = -1; continue; }
+        double free_weight = (double)(((1ull << precision) - 1) - (uint64_t)max_sym);
+        uint32_t slack = (uint32_t)s;
+        uint32_t left = (s == 0)
+            ? 0u
+            : trunc_u32(free_weight * binomial_cdf((double)s - 0.5, (double)max_sym, ps[i])) + slack;
+        uint32_t right = (s == max_sym)
+            ? total
+            : trunc_u32(free_weight * binomial_cdf((double)s + 0.5, (double)max_sym, ps[i])) + slack + 1;
+        cums[i] = left;
+        probs[i] = right - left;
+    }
+    return err;
+}
+
+// ---------------------------------------------------------------------------
+// Decode-side quantile inversion for quantized families.
+//
+// Binary search on the monotone boundary b(s) = left-cumulative(s); finds the
+// unique s with b(s) <= q < b(s+1).  Identical result to the reference's
+// guess+search (quantize.rs:580-779).
+// ---------------------------------------------------------------------------
+
+struct QuantizedModel {
+    int32_t kind;
+    int32_t min_sym, max_sym, precision;
+    double a, b;
+    double free_weight;
+};
+
+static inline uint32_t qm_left(const QuantizedModel& m, int64_t s) {
+    if (s <= m.min_sym) return 0;
+    if (s > m.max_sym) return (uint32_t)(1ull << m.precision);
+    return trunc_u32(m.free_weight * dist_cdf(m.kind, (double)s - 0.5, m.a, m.b))
+         + (uint32_t)(s - m.min_sym);
+}
+
+static inline void qm_qf(const QuantizedModel& m, uint32_t q,
+                         int32_t* sym, uint32_t* cum, uint32_t* prob) {
+    int64_t lo = m.min_sym, hi = (int64_t)m.max_sym + 1;
+    // plain binary search over the support (CDF evals are the cost; support
+    // is at most 2^P so this is <= P evals, typically ~8-17)
+    while (hi - lo > 1) {
+        int64_t mid = lo + ((hi - lo) >> 1);
+        if (qm_left(m, mid) <= q) lo = mid; else hi = mid;
+    }
+    uint32_t left = qm_left(m, lo);
+    uint32_t right = (lo < m.max_sym) ? qm_left(m, lo + 1) : (uint32_t)(1ull << m.precision);
+    *sym = (int32_t)lo;
+    *cum = left;
+    *prob = right - left;
+}
+
+// ---------------------------------------------------------------------------
+// Scalar rANS (stack) coder -- bit-exact with stack.rs:1014-1100.
+// Generic over (word_bits W, state_bits S <= 64, precision P).
+// ---------------------------------------------------------------------------
+
+struct AnsState {
+    uint64_t state;
+    int64_t num_words;  // words in `words` buffer (bulk)
+};
+
+// Encode per-symbol tables in reverse order.  `words` must have capacity for
+// n + S/W words.  Returns new word count.
+int64_t ctpu_ans_encode_reverse(
+    uint64_t* state_io, uint32_t* words, int64_t num_words,
+    const uint32_t* cums, const uint32_t* probs, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t state = *state_io;
+    const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
+    const int32_t shift = state_bits - precision;
+    for (int64_t i = n - 1; i >= 0; i--) {
+        uint64_t prob = probs[i];
+        if ((state >> shift) >= prob) {
+            words[num_words++] = (uint32_t)(state & word_mask);
+            state >>= word_bits;
+        }
+        state = ((state / prob) << precision) | ((uint64_t)cums[i] + state % prob);
+    }
+    *state_io = state;
+    return num_words;
+}
+
+// Decode with an O(1) lookup model: lookup[q] -> symbol, cdf[] -> (cum,prob).
+int64_t ctpu_ans_decode_lookup(
+    uint64_t* state_io, const uint32_t* words, int64_t num_words,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t state = *state_io;
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t q = state & qmask;
+        uint32_t s = lookup[q];
+        uint64_t cum = cdf[s], prob = (uint64_t)cdf[s + 1] - cum;
+        state = (state >> precision) * prob + (q - cum);
+        if (state < lower && num_words > 0) {
+            state = (state << word_bits) | words[--num_words];
+        }
+        out[i] = (int32_t)s;
+    }
+    *state_io = state;
+    return num_words;
+}
+
+// Decode i.i.d. with a CDF table (binary search; for precision > lookup size).
+int64_t ctpu_ans_decode_cdf(
+    uint64_t* state_io, const uint32_t* words, int64_t num_words,
+    const uint32_t* cdf, int64_t alphabet,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t state = *state_io;
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    for (int64_t i = 0; i < n; i++) {
+        uint32_t q = (uint32_t)(state & qmask);
+        // upper_bound(cdf, q) - 1
+        int64_t lo = 0, hi = alphabet;
+        while (hi - lo > 1) {
+            int64_t mid = (lo + hi) >> 1;
+            if (cdf[mid] <= q) lo = mid; else hi = mid;
+        }
+        uint64_t cum = cdf[lo], prob = (uint64_t)cdf[lo + 1] - cum;
+        state = (state >> precision) * prob + (q - cum);
+        if (state < lower && num_words > 0) {
+            state = (state << word_bits) | words[--num_words];
+        }
+        out[i] = (int32_t)lo;
+    }
+    *state_io = state;
+    return num_words;
+}
+
+// Decode with a per-symbol-parameterized quantized family.
+int64_t ctpu_ans_decode_quantized(
+    uint64_t* state_io, const uint32_t* words, int64_t num_words,
+    int32_t kind, int32_t min_sym, int32_t max_sym,
+    const double* pa, const double* pb,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t state = *state_io;
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    for (int64_t i = 0; i < n; i++) {
+        QuantizedModel m{kind, min_sym, max_sym, precision, pa[i], pb[i], free_weight};
+        uint32_t q = (uint32_t)(state & qmask);
+        int32_t sym; uint32_t cum, prob;
+        qm_qf(m, q, &sym, &cum, &prob);
+        state = (state >> precision) * (uint64_t)prob + (q - cum);
+        if (state < lower && num_words > 0) {
+            state = (state << word_bits) | words[--num_words];
+        }
+        out[i] = sym;
+    }
+    *state_io = state;
+    return num_words;
+}
+
+// ---------------------------------------------------------------------------
+// Scalar range coder -- bit-exact with queue.rs:602-710 / 957-1040.
+// ---------------------------------------------------------------------------
+
+struct RangeEnc {
+    uint64_t lower, range;
+    uint64_t num_inverted;    // 0 => Normal situation
+    uint32_t first_inverted;
+};
+
+int64_t ctpu_range_encode(
+    RangeEnc* enc, uint32_t* words, int64_t num_words,
+    const uint32_t* cums, const uint32_t* probs, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t lower = enc->lower, range = enc->range;
+    uint64_t num_inverted = enc->num_inverted;
+    uint32_t first_inverted = enc->first_inverted;
+    const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
+    const int32_t top_shift = state_bits - word_bits;
+    const uint64_t state_mask = (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << top_shift;
+
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t scale = range >> precision;
+        range = scale * probs[i];
+        uint64_t new_lower = (lower + scale * cums[i]) & state_mask;
+
+        if (num_inverted != 0) {
+            if (((new_lower + range) & state_mask) > new_lower) {
+                uint32_t first, consecutive;
+                if (new_lower < lower) {
+                    first = (uint32_t)((first_inverted + 1) & word_mask);
+                    consecutive = 0;
+                } else {
+                    first = first_inverted;
+                    consecutive = (uint32_t)word_mask;
+                }
+                words[num_words++] = first;
+                for (uint64_t k = 1; k < num_inverted; k++) words[num_words++] = consecutive;
+                num_inverted = 0;
+            }
+        }
+        lower = new_lower;
+
+        if (range < lower_bound) {
+            range = (range << word_bits) & state_mask;
+            uint32_t lower_word = (uint32_t)(lower >> top_shift);
+            lower = (lower << word_bits) & state_mask;
+            if (num_inverted != 0) {
+                num_inverted += 1;
+            } else if (((lower + range) & state_mask) > lower) {
+                words[num_words++] = lower_word;
+            } else {
+                num_inverted = 1;
+                first_inverted = lower_word;
+            }
+        }
+    }
+    enc->lower = lower; enc->range = range;
+    enc->num_inverted = num_inverted; enc->first_inverted = first_inverted;
+    return num_words;
+}
+
+struct RangeDec {
+    uint64_t lower, range, point;
+    int64_t cursor;
+};
+
+int64_t ctpu_range_decode_lookup(
+    RangeDec* dec, const uint32_t* words, int64_t total_words,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t lower = dec->lower, range = dec->range, point = dec->point;
+    int64_t cursor = dec->cursor;
+    const uint64_t state_mask = (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << (state_bits - word_bits);
+    const uint64_t total = 1ull << precision;
+
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t scale = range >> precision;
+        uint64_t q = ((point - lower) & state_mask) / scale;
+        if (q >= total) { dec->cursor = -1; return i; }  // InvalidData
+        uint32_t s = lookup[q];
+        uint64_t cum = cdf[s], prob = (uint64_t)cdf[s + 1] - cum;
+        lower = (lower + scale * cum) & state_mask;
+        range = scale * prob;
+        if (range < lower_bound) {
+            lower = (lower << word_bits) & state_mask;
+            range = range << word_bits;
+            point = (point << word_bits) & state_mask;
+            if (cursor < total_words) point |= words[cursor++];
+        }
+        out[i] = (int32_t)s;
+    }
+    dec->lower = lower; dec->range = range; dec->point = point; dec->cursor = cursor;
+    return n;
+}
+
+int64_t ctpu_range_decode_quantized(
+    RangeDec* dec, const uint32_t* words, int64_t total_words,
+    int32_t kind, int32_t min_sym, int32_t max_sym,
+    const double* pa, const double* pb,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t lower = dec->lower, range = dec->range, point = dec->point;
+    int64_t cursor = dec->cursor;
+    const uint64_t state_mask = (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << (state_bits - word_bits);
+    const uint64_t total = 1ull << precision;
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t scale = range >> precision;
+        uint64_t q = ((point - lower) & state_mask) / scale;
+        if (q >= total) { dec->cursor = -1; return i; }
+        QuantizedModel m{kind, min_sym, max_sym, precision, pa[i], pb[i], free_weight};
+        int32_t sym; uint32_t cum, prob;
+        qm_qf(m, (uint32_t)q, &sym, &cum, &prob);
+        lower = (lower + scale * cum) & state_mask;
+        range = scale * (uint64_t)prob;
+        if (range < lower_bound) {
+            lower = (lower << word_bits) & state_mask;
+            range = range << word_bits;
+            point = (point << word_bits) & state_mask;
+            if (cursor < total_words) point |= words[cursor++];
+        }
+        out[i] = sym;
+    }
+    dec->lower = lower; dec->range = range; dec->point = point; dec->cursor = cursor;
+    return n;
+}
+
+// ---------------------------------------------------------------------------
+// Lane-interleaved rANS (ILANS): OpenMP-parallel across lanes.
+// Bit-identical to ops/interleaved.py's numpy encoder.
+// ---------------------------------------------------------------------------
+
+// cums/probs: [num_steps * L] row-major ([t][lane]); entries beyond
+// num_symbols are ignored.  words: [L * max_words]; counts: [L].
+void ctpu_ilans_encode(
+    const uint32_t* cums, const uint32_t* probs,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    uint32_t* words, int64_t max_words, int64_t* counts)
+{
+    const uint64_t word_mask = (1ull << word_bits) - 1;
+    const int32_t shift = state_bits - precision;
+#pragma omp parallel for schedule(static)
+    for (int32_t l = 0; l < L; l++) {
+        uint64_t state = 0;
+        uint32_t* w = words + (int64_t)l * max_words;
+        int64_t cnt = 0;
+        for (int64_t t = num_steps - 1; t >= 0; t--) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t prob = probs[idx];
+            if ((state >> shift) >= prob) {
+                w[cnt++] = (uint32_t)(state & word_mask);
+                state >>= word_bits;
+            }
+            state = ((state / prob) << precision) | ((uint64_t)cums[idx] + state % prob);
+        }
+        // flush state, least significant chunk first, leading zeros dropped
+        while (state != 0) {
+            w[cnt++] = (uint32_t)(state & word_mask);
+            state >>= word_bits;
+        }
+        counts[l] = cnt;
+    }
+}
+
+void ctpu_ilans_decode_lookup(
+    const uint32_t* words, int64_t max_words, const int64_t* counts,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+#pragma omp parallel for schedule(static)
+    for (int32_t l = 0; l < L; l++) {
+        const uint32_t* w = words + (int64_t)l * max_words;
+        int64_t cursor = counts[l];
+        uint64_t state = 0;
+        if (cursor > 0) state = w[--cursor];
+        while (state < lower && cursor > 0) {
+            state = (state << word_bits) | w[--cursor];
+        }
+        for (int64_t t = 0; t < num_steps; t++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) break;
+            uint64_t q = state & qmask;
+            uint32_t s = lookup[q];
+            uint64_t cum = cdf[s], prob = (uint64_t)cdf[s + 1] - cum;
+            state = (state >> precision) * prob + (q - cum);
+            if (state < lower && cursor > 0) {
+                state = (state << word_bits) | w[--cursor];
+            }
+            out[idx] = (int32_t)s;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Chain coder loops (bit-exact with chain.rs:1044-1206).
+// ---------------------------------------------------------------------------
+
+struct ChainState {
+    uint64_t head_compressed;   // Word-sized, nonzero
+    uint64_t head_remainders;   // State-sized
+    int64_t compressed_len;     // words in compressed buffer
+    int64_t remainders_len;     // words in remainders buffer
+};
+
+// Decode n symbols with a lookup model; compressed words are POPPED from the
+// end of `compressed`; decoded remainders words are APPENDED to `remainders`.
+// Returns number decoded (< n if out of compressed data).
+int64_t ctpu_chain_decode_lookup(
+    ChainState* st, uint32_t* compressed, uint32_t* remainders, int64_t rem_cap,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t* out, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t hc = st->head_compressed, hr = st->head_remainders;
+    int64_t clen = st->compressed_len, rlen = st->remainders_len;
+    const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t flush_bound = 1ull << (state_bits - precision);
+    (void)rem_cap;
+
+    for (int64_t i = 0; i < n; i++) {
+        uint64_t word;
+        if (precision == word_bits || hc < (1ull << precision)) {
+            if (clen == 0) { st->head_compressed = hc; st->head_remainders = hr;
+                             st->compressed_len = clen; st->remainders_len = rlen; return i; }
+            word = compressed[--clen];
+            if (precision != word_bits) {
+                hc = ((hc << (word_bits - precision)) | (word >> precision)) & word_mask;
+            }
+        } else {
+            word = hc;
+            hc >>= precision;
+        }
+        uint64_t q = (precision == word_bits) ? word : (word & qmask);
+        uint32_t s = lookup[q];
+        uint64_t cum = cdf[s], prob = (uint64_t)cdf[s + 1] - cum;
+        hr = hr * prob + (q - cum);
+        if (hr >= flush_bound) {
+            remainders[rlen++] = (uint32_t)(hr & word_mask);
+            hr >>= word_bits;
+        }
+        out[i] = (int32_t)s;
+    }
+    st->head_compressed = hc; st->head_remainders = hr;
+    st->compressed_len = clen; st->remainders_len = rlen;
+    return n;
+}
+
+// Encode n symbols (reverse order) given tables; remainders words POPPED from
+// end; compressed words APPENDED.  Returns number encoded (< n if out of
+// remainders).
+int64_t ctpu_chain_encode_reverse(
+    ChainState* st, uint32_t* compressed, int64_t comp_cap, uint32_t* remainders,
+    const uint32_t* cums, const uint32_t* probs, int64_t n,
+    int32_t word_bits, int32_t state_bits, int32_t precision)
+{
+    uint64_t hc = st->head_compressed, hr = st->head_remainders;
+    int64_t clen = st->compressed_len, rlen = st->remainders_len;
+    const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
+    (void)comp_cap;
+
+    for (int64_t i = n - 1; i >= 0; i--) {
+        uint64_t prob = probs[i];
+        if (hr < (prob << (state_bits - word_bits - precision))) {
+            if (rlen == 0) { st->head_compressed = hc; st->head_remainders = hr;
+                             st->compressed_len = clen; st->remainders_len = rlen; return n - 1 - i; }
+            hr = (hr << word_bits) | remainders[--rlen];
+        }
+        uint64_t remainder = hr % prob;
+        uint64_t quantile = cums[i] + remainder;
+        hr /= prob;
+        if (precision != word_bits && hc < (1ull << (word_bits - precision))) {
+            hc = (hc << precision) | quantile;
+        } else {
+            uint64_t word;
+            if (precision == word_bits) {
+                word = quantile;
+            } else {
+                word = ((hc << precision) | quantile) & word_mask;
+                hc >>= (word_bits - precision);
+            }
+            compressed[clen++] = (uint32_t)word;
+        }
+    }
+    st->head_compressed = hc; st->head_remainders = hr;
+    st->compressed_len = clen; st->remainders_len = rlen;
+    return n;
+}
+
+}  // extern "C"
