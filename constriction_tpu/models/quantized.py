@@ -245,7 +245,7 @@ class LeakilyQuantizedDistribution(EntropyModel):
         guess = self.inner.ppf((quantile + 0.5) / denom)
         if not math.isfinite(float(guess)):
             guess = (q.min + q.max) // 2
-        s = int(np.clip(math.floor(float(guess)), q.min, q.max))
+        s = min(max(math.floor(float(guess)), q.min), q.max)
 
         lo, hi = q.min, q.max + 1  # invariant: b(lo) <= quantile < b(hi+? )
         # Establish bracket around the guess by exponential search.
@@ -341,6 +341,21 @@ class QuantizedFamily(ModelFamily):
             raise ImpossibleSymbol(int(bad))
         if np.any(~(self.param_b > 0.0)):
             raise ValueError("Invalid model parameter: scale must be positive.")
+
+        from .. import native
+
+        if native.LIB is not None and len(symbols) >= 64:
+            cums = np.empty(len(symbols), dtype=np.uint32)
+            probs = np.empty(len(symbols), dtype=np.uint32)
+            err = native.LIB.ctpu_quantized_ecp(
+                native.DIST_KIND[self.kind], q.min, q.max, q.precision,
+                np.ascontiguousarray(symbols, dtype=np.int32),
+                np.ascontiguousarray(self.param_a),
+                np.ascontiguousarray(self.param_b),
+                len(symbols), cums, probs,
+            )
+            if err == 0:
+                return cums.astype(np.uint64), probs.astype(np.uint64)
         s = symbols.astype(np.float64)
         slack = (symbols.astype(np.int64) - q.min).astype(np.uint64)
         left = _trunc_to_uint(q.free_weight * self._cdf(s - 0.5, self.param_a, self.param_b)) + slack

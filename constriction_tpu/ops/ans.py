@@ -199,6 +199,29 @@ class AnsCoderCore:
         self, cums: np.ndarray, probs: np.ndarray, precision: int
     ) -> None:
         """Encode per-symbol (cum, prob) tables, iterating in reverse order."""
+        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+            from .. import native
+
+            if native.LIB is not None:
+                import ctypes
+
+                words = np.empty(len(self.bulk) + len(cums) + 8, dtype=np.uint32)
+                words[: len(self.bulk)] = self.bulk
+                state = ctypes.c_uint64(self.state)
+                n = native.LIB.ctpu_ans_encode_reverse(
+                    ctypes.byref(state),
+                    words,
+                    len(self.bulk),
+                    np.ascontiguousarray(cums, dtype=np.uint32),
+                    np.ascontiguousarray(probs, dtype=np.uint32),
+                    len(cums),
+                    self.W,
+                    self.S,
+                    precision,
+                )
+                self.bulk = words[:n].tolist()
+                self.state = state.value
+                return
         cums_l = [int(c) for c in cums]
         probs_l = [int(p) for p in probs]
         for i in range(len(cums_l) - 1, -1, -1):
@@ -212,16 +235,94 @@ class AnsCoderCore:
         self.encode_reverse_tables(cums, probs, precision)
 
     def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = self._native_decode_iid(amt, model)
+        if out is not None:
+            return out
         out = np.empty(amt, dtype=np.int64)
         for i in range(amt):
             out[i] = self.decode_symbol(model)
         return out
 
+    def _native_decode_iid(self, amt: int, model: EntropyModel) -> Optional[np.ndarray]:
+        """Dispatch i.i.d. decoding to the C++ codec where a table form of the
+        model is available."""
+        if amt < 64 or self.W > 32 or self.S > 64:
+            return None
+        from .. import native
+
+        if native.LIB is None:
+            return None
+        import ctypes
+
+        cdf = getattr(model, "cdf", None)
+        lookup = getattr(model, "lookup", None)
+        if lookup is None and hasattr(model, "inner"):
+            lookup = getattr(model.inner, "lookup", None)
+            if cdf is None:
+                cdf = getattr(model.inner, "cdf", None)
+        if cdf is None and hasattr(model, "_boundaries"):
+            cdf = model._boundaries()  # lazy categorical: exact fixed-point bounds
+        if not isinstance(cdf, np.ndarray) or not isinstance(
+            lookup, (np.ndarray, type(None))
+        ):
+            return None
+        cdf32 = np.ascontiguousarray(cdf, dtype=np.uint32)
+        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        out = np.empty(amt, dtype=np.int32)
+        state = ctypes.c_uint64(self.state)
+        if lookup is not None and model.precision <= 16:
+            lut = np.ascontiguousarray(lookup, dtype=np.uint32)
+            remaining = native.LIB.ctpu_ans_decode_lookup(
+                ctypes.byref(state), words, len(words), lut, cdf32,
+                out, amt, self.W, self.S, model.precision,
+            )
+        else:
+            remaining = native.LIB.ctpu_ans_decode_cdf(
+                ctypes.byref(state), words, len(words), cdf32, len(cdf32) - 1,
+                out, amt, self.W, self.S, model.precision,
+            )
+        self.bulk = words[:remaining].tolist()
+        self.state = state.value
+        symbols = getattr(model, "symbols", None)
+        if symbols is not None:  # non-contiguous alphabets
+            return np.asarray(symbols)[out].astype(np.int64)
+        return out.astype(np.int64)
+
     def decode_symbols(self, family: ModelFamily) -> np.ndarray:
+        out = self._native_decode_family(family)
+        if out is not None:
+            return out
         out = np.empty(family.size, dtype=np.int64)
         for i in range(family.size):
             out[i] = self.decode_symbol(family.concrete(i))
         return out
+
+    def _native_decode_family(self, family: ModelFamily) -> Optional[np.ndarray]:
+        from ..models.quantized import QuantizedFamily
+
+        if not isinstance(family, QuantizedFamily) or family.size < 64:
+            return None
+        if self.W > 32 or self.S > 64:
+            return None
+        from .. import native
+
+        if native.LIB is None:
+            return None
+        import ctypes
+
+        q = family.quantizer
+        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        out = np.empty(family.size, dtype=np.int32)
+        state = ctypes.c_uint64(self.state)
+        remaining = native.LIB.ctpu_ans_decode_quantized(
+            ctypes.byref(state), words, len(words),
+            native.DIST_KIND[family.kind], q.min, q.max,
+            np.ascontiguousarray(family.param_a), np.ascontiguousarray(family.param_b),
+            out, family.size, self.W, self.S, q.precision,
+        )
+        self.bulk = words[:remaining].tolist()
+        self.state = state.value
+        return out.astype(np.int64)
 
 
 def _dtype_for(word_bits: int):

@@ -144,6 +144,32 @@ class RangeEncoderCore:
         self.encode_tables(cums, probs, model.precision)
 
     def encode_tables(self, cums: np.ndarray, probs: np.ndarray, precision: int) -> None:
+        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+            from .. import native
+
+            if native.LIB is not None:
+                import ctypes
+
+                words = np.empty(len(self.bulk) + len(cums) + 8, dtype=np.uint32)
+                words[: len(self.bulk)] = self.bulk
+                st = native.RangeEncState(
+                    self.lower,
+                    self.range,
+                    0 if self.inverted is None else self.inverted[0],
+                    0 if self.inverted is None else self.inverted[1],
+                )
+                n = native.LIB.ctpu_range_encode(
+                    ctypes.byref(st), words, len(self.bulk),
+                    np.ascontiguousarray(cums, dtype=np.uint32),
+                    np.ascontiguousarray(probs, dtype=np.uint32),
+                    len(cums), self.W, self.S, precision,
+                )
+                self.bulk = words[:n].tolist()
+                self.lower, self.range = st.lower, st.range
+                self.inverted = (
+                    (st.num_inverted, st.first_inverted) if st.num_inverted else None
+                )
+                return
         for c, p in zip((int(c) for c in cums), (int(p) for p in probs)):
             self._encode_cp(c, p, precision)
 
@@ -246,13 +272,92 @@ class RangeDecoderCore:
         return symbol
 
     def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = self._native_decode_iid(amt, model)
+        if out is not None:
+            return out
         out = np.empty(amt, dtype=np.int64)
         for i in range(amt):
             out[i] = self.decode_symbol(model)
         return out
 
+    def _native_decode_iid(self, amt: int, model: EntropyModel) -> Optional[np.ndarray]:
+        if amt < 64 or self.W > 32 or self.S > 64 or model.precision > 16:
+            return None
+        from .. import native
+
+        if native.LIB is None:
+            return None
+        import ctypes
+
+        cdf = getattr(model, "cdf", None)
+        lookup = getattr(model, "lookup", None)
+        if lookup is None and hasattr(model, "inner"):
+            lookup = getattr(model.inner, "lookup", None)
+            if cdf is None:
+                cdf = getattr(model.inner, "cdf", None)
+        if not isinstance(cdf, np.ndarray) or not isinstance(lookup, np.ndarray):
+            return None
+        st = native.RangeDecState(self.lower, self.range, self.point, self.cursor)
+        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        out = np.empty(amt, dtype=np.int32)
+        n = native.LIB.ctpu_range_decode_lookup(
+            ctypes.byref(st), words, len(words),
+            np.ascontiguousarray(lookup, dtype=np.uint32),
+            np.ascontiguousarray(cdf, dtype=np.uint32),
+            out, amt, self.W, self.S, model.precision,
+        )
+        if st.cursor < 0:
+            # Replay the failing symbol through the Python path for the error.
+            self.cursor += 0
+            raise InvalidData(
+                "Tried to decode data that is inconsistent with the entropy model."
+            )
+        self.lower, self.range, self.point, self.cursor = (
+            st.lower, st.range, st.point, st.cursor,
+        )
+        symbols = getattr(model, "symbols", None)
+        if symbols is not None:
+            return np.asarray(symbols)[out].astype(np.int64)
+        return out.astype(np.int64)
+
     def decode_symbols(self, family: ModelFamily) -> np.ndarray:
+        out = self._native_decode_family(family)
+        if out is not None:
+            return out
         out = np.empty(family.size, dtype=np.int64)
         for i in range(family.size):
             out[i] = self.decode_symbol(family.concrete(i))
         return out
+
+    def _native_decode_family(self, family: ModelFamily) -> Optional[np.ndarray]:
+        from ..models.quantized import QuantizedFamily
+
+        if not isinstance(family, QuantizedFamily) or family.size < 64:
+            return None
+        if self.W > 32 or self.S > 64:
+            return None
+        from .. import native
+
+        if native.LIB is None:
+            return None
+        import ctypes
+
+        q = family.quantizer
+        st = native.RangeDecState(self.lower, self.range, self.point, self.cursor)
+        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        out = np.empty(family.size, dtype=np.int32)
+        n = native.LIB.ctpu_range_decode_quantized(
+            ctypes.byref(st), words, len(words),
+            native.DIST_KIND[family.kind], q.min, q.max,
+            np.ascontiguousarray(family.param_a),
+            np.ascontiguousarray(family.param_b),
+            out, family.size, self.W, self.S, q.precision,
+        )
+        if st.cursor < 0:
+            raise InvalidData(
+                "Tried to decode data that is inconsistent with the entropy model."
+            )
+        self.lower, self.range, self.point, self.cursor = (
+            st.lower, st.range, st.point, st.cursor,
+        )
+        return out.astype(np.int64)
