@@ -198,11 +198,80 @@ static inline uint32_t qm_left(const QuantizedModel& m, int64_t s) {
          + (uint32_t)(s - m.min_sym);
 }
 
+// Approximate inverse CDFs -- only decode-time initial guesses; they never
+// affect the bitstream (the boundary search below is exact).
+static inline double erfinv_approx(double y) {
+    // Giles (2010)-style rational approximation; adequate as a guess.
+    y = fmin(fmax(y, -1.0 + 1e-12), 1.0 - 1e-12);
+    double w = -log((1.0 - y) * (1.0 + y));
+    double p;
+    if (w < 5.0) {
+        w -= 2.5;
+        p = 2.81022636e-08;
+        p = 3.43273939e-07 + p * w;
+        p = -3.5233877e-06 + p * w;
+        p = -4.39150654e-06 + p * w;
+        p = 0.00021858087 + p * w;
+        p = -0.00125372503 + p * w;
+        p = -0.00417768164 + p * w;
+        p = 0.246640727 + p * w;
+        p = 1.50140941 + p * w;
+    } else {
+        w = sqrt(w) - 3.0;
+        p = -0.000200214257;
+        p = 0.000100950558 + p * w;
+        p = 0.00134934322 + p * w;
+        p = -0.00367342844 + p * w;
+        p = 0.00573950773 + p * w;
+        p = -0.0076224613 + p * w;
+        p = 0.00943887047 + p * w;
+        p = 1.00167406 + p * w;
+        p = 2.83297682 + p * w;
+    }
+    return p * y;
+}
+
+static inline double dist_ppf(int32_t kind, double xi, double a, double b) {
+    xi = fmin(fmax(xi, 1e-12), 1.0 - 1e-12);
+    switch (kind) {
+        case DIST_GAUSSIAN: return a + b * SQRT_2 * erfinv_approx(2.0 * xi - 1.0);
+        case DIST_LAPLACE:
+            return xi < 0.5 ? a + b * log(2.0 * xi) : a - b * log(2.0 - 2.0 * xi);
+        default: return a + b * tan(M_PI * (xi - 0.5));
+    }
+}
+
 static inline void qm_qf(const QuantizedModel& m, uint32_t q,
                          int32_t* sym, uint32_t* cum, uint32_t* prob) {
-    int64_t lo = m.min_sym, hi = (int64_t)m.max_sym + 1;
-    // plain binary search over the support (CDF evals are the cost; support
-    // is at most 2^P so this is <= P evals, typically ~8-17)
+    // Initial guess from the approximate PPF, then exponential bracketing and
+    // binary search on the exact fixed-point boundary function.
+    const double denom = (double)(1ull << m.precision);
+    double guess_f = dist_ppf(m.kind, ((double)q + 0.5) / denom, m.a, m.b);
+    int64_t guess;
+    if (guess_f <= (double)m.min_sym) guess = m.min_sym;
+    else if (guess_f >= (double)m.max_sym) guess = m.max_sym;
+    else guess = (int64_t)floor(guess_f);
+
+    int64_t lo, hi;
+    if (qm_left(m, guess) <= q) {
+        lo = guess;
+        int64_t step = 1;
+        for (;;) {
+            int64_t nxt = guess + step;
+            if (nxt > m.max_sym) { hi = (int64_t)m.max_sym + 1; break; }
+            if (qm_left(m, nxt) <= q) { lo = nxt; step <<= 1; }
+            else { hi = nxt; break; }
+        }
+    } else {
+        hi = guess;
+        int64_t step = 1;
+        for (;;) {
+            int64_t nxt = guess - step;
+            if (nxt <= m.min_sym) { lo = m.min_sym; break; }
+            if (qm_left(m, nxt) > q) { hi = nxt; step <<= 1; }
+            else { lo = nxt; break; }
+        }
+    }
     while (hi - lo > 1) {
         int64_t mid = lo + ((hi - lo) >> 1);
         if (qm_left(m, mid) <= q) lo = mid; else hi = mid;

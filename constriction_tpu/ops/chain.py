@@ -203,10 +203,56 @@ class ChainCoderCore:
     # -- batched ----------------------------------------------------------------------
 
     def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        out = self._native_decode_iid(amt, model)
+        if out is not None:
+            return out
         out = np.empty(amt, dtype=np.int64)
         for i in range(amt):
             out[i] = self.decode_symbol(model)
         return out
+
+    def _native_decode_iid(self, amt: int, model: EntropyModel):
+        if amt < 64 or self.W > 32 or self.S > 64 or model.precision != self.P:
+            return None
+        from .. import native
+
+        if native.LIB is None:
+            return None
+        import ctypes
+
+        cdf = getattr(model, "cdf", None)
+        lookup = getattr(model, "lookup", None)
+        if lookup is None and hasattr(model, "inner"):
+            lookup = getattr(model.inner, "lookup", None)
+            if cdf is None:
+                cdf = getattr(model.inner, "cdf", None)
+        if not isinstance(cdf, np.ndarray) or not isinstance(lookup, np.ndarray):
+            return None
+        if self.P > 16:
+            return None
+        comp = np.ascontiguousarray(self.compressed, dtype=np.uint32)
+        rem = np.empty(len(self.remainders) + amt + 8, dtype=np.uint32)
+        rem[: len(self.remainders)] = self.remainders
+        out = np.empty(amt, dtype=np.int32)
+        st = native.ChainState(
+            self.head_compressed, self.head_remainders, len(comp), len(self.remainders)
+        )
+        done = native.LIB.ctpu_chain_decode_lookup(
+            ctypes.byref(st), comp, rem, len(rem),
+            np.ascontiguousarray(lookup, dtype=np.uint32),
+            np.ascontiguousarray(cdf, dtype=np.uint32),
+            out, amt, self.W, self.S, self.P,
+        )
+        if done < amt:
+            raise OutOfCompressedData("out of compressed data")
+        self.compressed = comp[: st.compressed_len].tolist()
+        self.remainders = rem[: st.remainders_len].tolist()
+        self.head_compressed = st.head_compressed
+        self.head_remainders = st.head_remainders
+        symbols = getattr(model, "symbols", None)
+        if symbols is not None:
+            return np.asarray(symbols)[out].astype(np.int64)
+        return out.astype(np.int64)
 
     def decode_symbols(self, family: ModelFamily) -> np.ndarray:
         out = np.empty(family.size, dtype=np.int64)
@@ -219,6 +265,32 @@ class ChainCoderCore:
         self.encode_reverse_tables(cums, probs)
 
     def encode_reverse_tables(self, cums: np.ndarray, probs: np.ndarray) -> None:
+        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+            from .. import native
+
+            if native.LIB is not None:
+                import ctypes
+
+                comp = np.empty(len(self.compressed) + len(cums) + 8, dtype=np.uint32)
+                comp[: len(self.compressed)] = self.compressed
+                rem = np.ascontiguousarray(self.remainders, dtype=np.uint32)
+                st = native.ChainState(
+                    self.head_compressed, self.head_remainders,
+                    len(self.compressed), len(rem),
+                )
+                done = native.LIB.ctpu_chain_encode_reverse(
+                    ctypes.byref(st), comp, len(comp), rem,
+                    np.ascontiguousarray(cums, dtype=np.uint32),
+                    np.ascontiguousarray(probs, dtype=np.uint32),
+                    len(cums), self.W, self.S, self.P,
+                )
+                if done < len(cums):
+                    raise OutOfRemainders("out of remainders data")
+                self.compressed = comp[: st.compressed_len].tolist()
+                self.remainders = rem[: st.remainders_len].tolist()
+                self.head_compressed = st.head_compressed
+                self.head_remainders = st.head_remainders
+                return
         for i in range(len(cums) - 1, -1, -1):
             self._encode_cp(int(cums[i]), int(probs[i]))
 
