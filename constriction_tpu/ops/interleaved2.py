@@ -1,0 +1,222 @@
+"""ILANS v2: shared-stream interleaved rANS with a gather-free TPU decode.
+
+Motivation (measured on the target TPU): any per-element dynamic addressing
+(XLA gathers, per-lane cursors) runs on the scalar core at ~8 ns/element,
+while dense vector arithmetic is essentially free.  ILANS v1's per-lane
+streams therefore bottleneck on the refill gather.  ILANS v2 eliminates every
+gather from the decode loop:
+
+- All L lanes share ONE word stream laid out in exact decode-consumption
+  order (Giesen's single-stream interleaving, arXiv:1402.3392): at decode
+  step t, the lanes whose state dropped below 2**(S-W) read the next words
+  from the stream, in ascending lane order.  The decoder's only memory access
+  is a *contiguous* dynamic slice at a scalar offset.
+- The per-step distribution of that chunk to refilling lanes is a monotone
+  expansion: lane l needs chunk[rank_l] with rank = exclusive prefix sum of
+  the refill mask.  Monotone routes are realizable conflict-free on a
+  butterfly network (Nassimi & Sahni), so the expansion is log2(L) rounds of
+  static roll + select -- pure vector ops.
+- Lane states are *seeded* at exactly 2**(S-W) so the state invariant
+  ``state >= 2**(S-W)`` holds from the first step; the decode refill
+  condition ``state < 2**(S-W)`` then mirrors the encoder's emission schedule
+  one-to-one with no per-lane word counts.  Initial decoder states are stored
+  as a dense [L] u32 header (the only rate overhead vs. a single-lane coder,
+  ~4 bytes/lane).
+
+Per-lane coding algebra is exactly the reference's rANS
+(/root/reference/src/stream/stack.rs:1014-1100), so fidelity/precision
+behavior matches the "small" preset family.
+
+Container layout (u32 words):
+
+    [0] magic 0x494C4E32 ("ILN2")  [1] version=1
+    [2] word_bits | precision << 8 | state_bits << 16
+    [3] num_symbols lo   [4] num_symbols hi   [5] num_lanes L
+    [6] stream length (in W-bit words)
+    [7 .. 7+L)        initial decoder states (u32)
+    [7+L .. ]         stream, W-bit words packed into u32 (little-endian)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from .interleaved import LaneConfig
+
+MAGIC2 = 0x494C4E32
+
+
+def encode_shared(
+    cums: np.ndarray, probs: np.ndarray, cfg: LaneConfig
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host (numpy) ILANS2 encoder.
+
+    `cums`/`probs`: per-symbol fixed-point tables (length N).  Returns
+    ``(initial_states u32[L], stream u32[num_words])`` with stream entries
+    being W-bit words in decode-consumption order.
+    """
+    n = len(cums)
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-n // L) if n else 0
+    seed = np.uint64(1 << (S - W))
+
+    cums64 = np.zeros(T * L, dtype=np.uint64)
+    probs64 = np.ones(T * L, dtype=np.uint64)
+    cums64[:n] = cums
+    probs64[:n] = probs
+
+    states = np.full(L, seed, dtype=np.uint64)
+    chunks = []  # per-step emitted words; encoder walks t = T-1 .. 0
+    lanes = np.arange(L)
+    wmask = np.uint64(cfg.word_mask)
+
+    for t in range(T - 1, -1, -1):
+        idx = t * L + lanes
+        active = idx < n
+        cp = cums64[idx]
+        pp = probs64[idx]
+        renorm = active & ((states >> np.uint64(S - P)) >= pp)
+        chunks.append((states[renorm] & wmask).astype(np.uint32))
+        states = np.where(renorm, states >> np.uint64(W), states)
+        new_states = ((states // pp) << np.uint64(P)) | (cp + states % pp)
+        states = np.where(active, new_states, states)
+
+    stream = (
+        np.concatenate(chunks[::-1]) if chunks else np.zeros(0, dtype=np.uint32)
+    )
+    return states.astype(np.uint32), stream
+
+
+def decode_shared_cdf(
+    init_states: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+) -> np.ndarray:
+    """Host (numpy) ILANS2 decoder with a CDF-table model.
+
+    This is the exact oracle for the JAX kernel (same schedule, searchsorted
+    instead of compare-sum -- identical results).
+    """
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    lower = np.uint64(1 << (S - W))
+
+    states = init_states.astype(np.uint64)
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    base = 0
+    out = np.empty(T * L, dtype=np.int32)
+    lanes = np.arange(L)
+
+    for t in range(T):
+        idx = t * L + lanes
+        active = idx < num_symbols
+        q = states & np.uint64((1 << P) - 1)
+        sym = np.searchsorted(cdf64, q, side="right") - 1
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        new_states = (states >> np.uint64(P)) * prob + (q - cum)
+        states = np.where(active, new_states, states)
+        m = states < lower
+        k = int(m.sum())
+        if k:
+            words = stream[base : base + k].astype(np.uint64)
+            states[m] = (states[m] << np.uint64(W)) | words
+            base += k
+        out[idx] = sym
+
+    return out[:num_symbols]
+
+
+# ---------------------------------------------------------------------------
+# Container
+# ---------------------------------------------------------------------------
+
+
+def pack_container2(
+    init_states: np.ndarray, stream: np.ndarray, num_symbols: int, cfg: LaneConfig
+) -> np.ndarray:
+    L = cfg.num_lanes
+    W = cfg.word_bits
+    header = np.array(
+        [
+            MAGIC2,
+            1,
+            cfg.word_bits | (cfg.precision << 8) | (cfg.state_bits << 16),
+            num_symbols & 0xFFFFFFFF,
+            (num_symbols >> 32) & 0xFFFFFFFF,
+            L,
+            len(stream),
+        ],
+        dtype=np.uint32,
+    )
+    if W == 32:
+        payload = stream.astype(np.uint32)
+    elif W == 16:
+        flat = stream
+        if len(flat) % 2:
+            flat = np.concatenate([flat, np.zeros(1, np.uint32)])
+        payload = (flat[0::2] | (flat[1::2] << 16)).astype(np.uint32)
+    elif W == 8:
+        flat = stream
+        pad = (-len(flat)) % 4
+        if pad:
+            flat = np.concatenate([flat, np.zeros(pad, np.uint32)])
+        payload = (
+            flat[0::4] | (flat[1::4] << 8) | (flat[2::4] << 16) | (flat[3::4] << 24)
+        ).astype(np.uint32)
+    else:
+        raise ValueError(f"unsupported word size {W}")
+    return np.concatenate([header, init_states.astype(np.uint32), payload])
+
+
+def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, LaneConfig]:
+    data = np.asarray(data, dtype=np.uint32)
+    if int(data[0]) != MAGIC2 or int(data[1]) != 1:
+        raise ValueError("not an ILANS2 container")
+    flags = int(data[2])
+    word_bits = flags & 0xFF
+    precision = (flags >> 8) & 0xFF
+    state_bits = (flags >> 16) & 0xFF
+    num_symbols = int(data[3]) | (int(data[4]) << 32)
+    L = int(data[5])
+    stream_len = int(data[6])
+    cfg = LaneConfig(L, word_bits, state_bits, precision)
+    init_states = data[7 : 7 + L]
+    payload = data[7 + L :]
+    if word_bits == 32:
+        stream = payload
+    elif word_bits == 16:
+        stream = np.empty(len(payload) * 2, dtype=np.uint32)
+        stream[0::2] = payload & 0xFFFF
+        stream[1::2] = payload >> 16
+    elif word_bits == 8:
+        stream = np.empty(len(payload) * 4, dtype=np.uint32)
+        stream[0::4] = payload & 0xFF
+        stream[1::4] = (payload >> 8) & 0xFF
+        stream[2::4] = (payload >> 16) & 0xFF
+        stream[3::4] = payload >> 24
+    else:
+        raise ValueError(f"unsupported word size {word_bits}")
+    return init_states, stream[:stream_len], num_symbols, cfg
+
+
+def encode_iid_categorical2(
+    symbols: np.ndarray, cdf: np.ndarray, cfg: LaneConfig
+) -> np.ndarray:
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    symbols = np.asarray(symbols, dtype=np.int64)
+    cums = cdf64[symbols]
+    probs = cdf64[symbols + 1] - cums
+    states, stream = encode_shared(cums, probs, cfg)
+    return pack_container2(states, stream, len(symbols), cfg)
+
+
+def decode_iid_categorical2(data: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+    init_states, stream, n, cfg = unpack_container2(data)
+    return decode_shared_cdf(init_states, stream, n, cdf, cfg)

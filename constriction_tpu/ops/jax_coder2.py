@@ -1,0 +1,284 @@
+"""JAX gather-free decoder/encoder for ILANS v2 (shared-stream interleaved rANS).
+
+Everything in the hot loop is dense vector arithmetic:
+
+- model inversion by compare-sum over the CDF (no table gather);
+- refill words come from ONE contiguous `lax.dynamic_slice` per step at a
+  scalar offset, distributed to lanes by a monotone butterfly expansion
+  (log2(L) static rolls + selects);
+- the encoder is the exact mirror: butterfly compaction + one contiguous
+  `lax.dynamic_update_slice` per step.
+
+See ops/interleaved2.py for the format definition and the numpy oracle.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interleaved import LaneConfig
+
+
+def _log2(x: int) -> int:
+    n = 0
+    while (1 << n) < x:
+        n += 1
+    return n
+
+
+def _compare_sum_qf(q: jax.Array, cdf: np.ndarray):
+    """Branch-free quantile inversion: returns (sym, cum, prob) u32 vectors.
+
+    ``cdf`` must be a host numpy array (its values are baked into the program
+    as scalar constants, which XLA hoists into registers).
+    """
+    K = len(cdf) - 1
+    sym = jnp.zeros_like(q)
+    cum = jnp.zeros_like(q)
+    right = jnp.zeros_like(q)
+    ge_prev = jnp.ones_like(q)  # [cdf[0] <= q] is always true
+    for j in range(1, K + 1):
+        delta = np.uint32(cdf[j] - cdf[j - 1])
+        right = right + delta * ge_prev
+        if j < K:
+            ge = (q >= np.uint32(cdf[j])).astype(jnp.uint32)
+            cum = cum + delta * ge
+            sym = sym + ge
+            ge_prev = ge
+    return sym, cum, right - cum
+
+
+def _expand_monotone(chunk: jax.Array, d: jax.Array, log_l: int) -> jax.Array:
+    """Monotone butterfly expansion: out[l] = chunk[l - d[l]] for the lanes
+    that matter (d = lane - rank, non-decreasing); MSB -> LSB, conflict-free
+    for monotone routes."""
+    ex = chunk
+    for b in range(log_l - 1, -1, -1):
+        ex = jnp.where((d >> b) & 1, jnp.roll(ex, 1 << b), ex)
+    return ex
+
+
+def _compact_monotone(vals: jax.Array, d: jax.Array, log_l: int) -> jax.Array:
+    """Monotone butterfly compaction (inverse of expansion): moves vals[l]
+    down by d[l] positions; LSB -> MSB, carrying displacements along."""
+    ex = vals
+    dd = d
+    for b in range(log_l):
+        shift = 1 << b
+        ex2 = jnp.roll(ex, -shift)
+        dd2 = jnp.roll(dd, -shift)
+        take = ((dd2 >> b) & 1).astype(bool)
+        ex = jnp.where(take, ex2, ex)
+        dd = jnp.where(take, dd2, dd)
+    return ex
+
+
+def decode_shared_compare_sum(
+    init_states: jax.Array,
+    stream: jax.Array,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_steps: int,
+    num_symbols: int,
+    out_dtype=jnp.int32,
+) -> jax.Array:
+    """Gather-free i.i.d. decode; returns [num_steps * L] symbols."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    log_l = _log2(L)
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+    lanes = jnp.arange(L, dtype=jnp.uint32)
+    lanes_i = jnp.arange(L, dtype=jnp.int32)
+
+    # Pad so the per-step L-wide slice never reads out of bounds.
+    stream_padded = jnp.concatenate(
+        [jnp.asarray(stream, dtype=jnp.uint32), jnp.zeros(L, dtype=jnp.uint32)]
+    )
+    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+
+    def step(carry, t):
+        states, base = carry
+        q = states & qmask
+        sym, cum, prob = _compare_sum_qf(q, cdf)
+        new_states = (states >> P) * prob + (q - cum)
+        if tail_start < L:
+            active = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
+            new_states = jnp.where(lanes < active, new_states, states)
+        states = new_states
+        m = states < lower
+        m32 = m.astype(jnp.uint32)
+        ranks = jnp.cumsum(m32) - m32
+        k = ranks[-1] + m32[-1]
+        chunk = jax.lax.dynamic_slice(stream_padded, (base,), (L,))
+        d = lanes - ranks
+        ex = _expand_monotone(chunk, d, log_l)
+        states = jnp.where(m, (states << W) | ex, states)
+        return (states, base + k.astype(jnp.int32)), sym.astype(out_dtype)
+
+    (states, base), syms = jax.lax.scan(
+        step,
+        (jnp.asarray(init_states, dtype=jnp.uint32), jnp.int32(0)),
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    return syms.reshape(-1)
+
+
+def decode_shared_rows(
+    init_states: jax.Array,
+    stream: jax.Array,
+    rows: jax.Array,  # [T, L, K+1] u32: a per-symbol CDF row for every slot
+    cfg: LaneConfig,
+    num_steps: int,
+    num_symbols: int,
+    out_dtype=jnp.int32,
+) -> jax.Array:
+    """Gather-free decode with a *different* categorical model per symbol
+    (rank-2 parameterization).  The per-step CDF rows stream in as scan xs;
+    inversion is a compare-sum over the row columns (no gathers).
+
+    Inactive tail slots must carry a row that decodes quantile ranges safely
+    (e.g. full mass on symbol 0)."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    log_l = _log2(L)
+    K = rows.shape[-1] - 1
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+    lanes = jnp.arange(L, dtype=jnp.uint32)
+    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+
+    stream_padded = jnp.concatenate(
+        [jnp.asarray(stream, dtype=jnp.uint32), jnp.zeros(L, dtype=jnp.uint32)]
+    )
+
+    def step(carry, xs):
+        states, base = carry
+        t, row = xs  # row: [L, K+1]
+        q = states & qmask
+        sym = jnp.zeros_like(q)
+        cum = jnp.zeros_like(q)
+        right = jnp.zeros_like(q)
+        ge_prev = jnp.ones_like(q)
+        for j in range(1, K + 1):
+            delta = row[:, j] - row[:, j - 1]
+            right = right + delta * ge_prev
+            if j < K:
+                ge = (q >= row[:, j]).astype(jnp.uint32)
+                cum = cum + delta * ge
+                sym = sym + ge
+                ge_prev = ge
+        prob = right - cum
+        new_states = (states >> P) * prob + (q - cum)
+        if tail_start < L:
+            active = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
+            new_states = jnp.where(lanes < active, new_states, states)
+        states = new_states
+        m = states < lower
+        m32 = m.astype(jnp.uint32)
+        ranks = jnp.cumsum(m32) - m32
+        k = ranks[-1] + m32[-1]
+        chunk = jax.lax.dynamic_slice(stream_padded, (base,), (L,))
+        ex = _expand_monotone(chunk, lanes - ranks, log_l)
+        states = jnp.where(m, (states << W) | ex, states)
+        return (states, base + k.astype(jnp.int32)), sym.astype(out_dtype)
+
+    ts = jnp.arange(num_steps, dtype=jnp.int32)
+    (_, _), syms = jax.lax.scan(
+        step,
+        (jnp.asarray(init_states, dtype=jnp.uint32), jnp.int32(0)),
+        (ts, rows),
+    )
+    return syms.reshape(-1)
+
+
+def encode_shared_tables(
+    cums: jax.Array,  # [T, L] u32
+    probs: jax.Array,  # [T, L] u32
+    cfg: LaneConfig,
+    num_steps: int,
+    num_symbols: int,
+    max_stream: int,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Gather-free encoder from per-symbol tables.
+
+    Returns ``(init_states u32[L], stream u32[max_stream], stream_len i32)``;
+    the stream is right-aligned in the buffer: valid words occupy
+    ``stream[max_stream - stream_len:]``.
+
+    ``max_stream`` must be at least ``num_steps * L + L`` (worst case one
+    word per lane per step, plus one L-window of slack for the aligned
+    stores).
+    """
+    L = cums.shape[1]
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    log_l = _log2(L)
+    seed = np.uint32(1 << (S - W))
+    wmask = np.uint32(cfg.word_mask)
+    lanes = jnp.arange(L, dtype=jnp.uint32)
+    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+
+    def step(carry, xs):
+        states, end, stream = carry
+        t, cp, pp = xs
+        if tail_start < L:
+            active_cnt = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
+            active = lanes < active_cnt
+        else:
+            active = jnp.ones(L, dtype=bool)
+        renorm = active & ((states >> (S - P)) >= pp)
+        r32 = renorm.astype(jnp.uint32)
+        ranks = jnp.cumsum(r32) - r32
+        k = (ranks[-1] + r32[-1]).astype(jnp.int32)
+        vals = jnp.where(renorm, states & wmask, jnp.uint32(0))
+        d = lanes - ranks  # full monotone displacement (carried by the network)
+        compacted = _compact_monotone(vals, d, log_l)
+        # Write compacted[0..k) to stream[end-k, end): load the L-window
+        # [end-L, end), right-align the chunk inside it, store it back.
+        win_lo = end - L
+        window = jax.lax.dynamic_slice(stream, (win_lo,), (L,))
+        shifted = jnp.roll(compacted, L - k)
+        keep_new = jnp.arange(L, dtype=jnp.int32) >= (L - k)
+        window = jnp.where(keep_new, shifted, window)
+        stream = jax.lax.dynamic_update_slice(stream, window, (win_lo,))
+        states = jnp.where(renorm, states >> W, states)
+        new_states = ((states // pp) << P) | (cp + states % pp)
+        states = jnp.where(active, new_states, states)
+        return (states, end - k, stream), None
+
+    ts = jnp.arange(num_steps, dtype=jnp.int32)
+    init = (
+        jnp.full(L, seed, dtype=jnp.uint32),
+        jnp.int32(max_stream),
+        jnp.zeros(max_stream, dtype=jnp.uint32),
+    )
+    (states, end, stream), _ = jax.lax.scan(step, init, (ts, cums, probs), reverse=True)
+    stream_len = jnp.int32(max_stream) - end
+    return states, stream, stream_len
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_steps", "num_symbols", "cdf_tuple"))
+def _decode_jit(init_states, stream, cdf_tuple, cfg, num_steps, num_symbols):
+    cdf = np.asarray(cdf_tuple, dtype=np.uint64)
+    return decode_shared_compare_sum(
+        init_states, stream, cdf, cfg, num_steps, num_symbols
+    )
+
+
+def jax_decode_iid2(init_states, stream, cdf, cfg: LaneConfig, num_symbols: int):
+    """Convenience jitted entry (bakes the CDF into the program)."""
+    T = -(-num_symbols // cfg.num_lanes) if num_symbols else 0
+    cdf_tuple = tuple(int(x) for x in np.asarray(cdf))
+    return _decode_jit(
+        jnp.asarray(init_states, dtype=jnp.uint32),
+        jnp.asarray(stream, dtype=jnp.uint32),
+        cdf_tuple,
+        cfg,
+        T,
+        num_symbols,
+    )

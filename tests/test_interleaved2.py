@@ -1,0 +1,125 @@
+"""Tests for ILANS v2 (shared-stream interleaved rANS, gather-free decode)."""
+
+import numpy as np
+import pytest
+
+from constriction_tpu.models.categorical import ContiguousCategoricalEntropyModel
+from constriction_tpu.ops import interleaved2 as il2
+from constriction_tpu.ops.interleaved import LaneConfig
+
+
+def _make(seed=1234, alphabet=100, precision=12):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.ones(alphabet))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    return rng, probs, model
+
+
+@pytest.mark.parametrize("num_lanes", [1, 2, 64, 256])
+@pytest.mark.parametrize("n", [0, 1, 63, 64, 10007])
+def test_host_roundtrip2(num_lanes, n):
+    rng, probs, model = _make()
+    symbols = rng.choice(100, size=n, p=probs)
+    cfg = LaneConfig(num_lanes=num_lanes, word_bits=16, state_bits=32, precision=12)
+    data = il2.encode_iid_categorical2(symbols, model.cdf, cfg)
+    out = il2.decode_iid_categorical2(data, model.cdf)
+    assert np.array_equal(out, symbols)
+
+
+def test_overhead_is_small():
+    rng, probs, model = _make()
+    n = 200000
+    symbols = rng.choice(100, size=n, p=probs)
+    cfg = LaneConfig(num_lanes=1024, word_bits=16, state_bits=32, precision=12)
+    data = il2.encode_iid_categorical2(symbols, model.cdf, cfg)
+    cdf = model.cdf.astype(np.float64)
+    info_bits = -np.sum(np.log2(np.diff(cdf)[symbols] / (1 << 12)))
+    total_bits = len(data) * 32
+    # overhead = header + L*4B states; payload itself is near-optimal
+    assert total_bits < info_bits * 1.02 + 1024 * 32 + 7 * 32 + 64
+
+
+def test_jax_decode_matches_host():
+    from constriction_tpu.ops import jax_coder2 as jc2
+
+    rng, probs, model = _make()
+    symbols = rng.choice(100, size=10007, p=probs)
+    cfg = LaneConfig(num_lanes=64, word_bits=16, state_bits=32, precision=12)
+    data = il2.encode_iid_categorical2(symbols, model.cdf, cfg)
+    init_states, stream, n, _ = il2.unpack_container2(data)
+    out = np.asarray(jc2.jax_decode_iid2(init_states, stream, model.cdf, cfg, n))[:n]
+    assert np.array_equal(out, symbols)
+
+
+def test_jax_encode_matches_host():
+    import jax
+    import jax.numpy as jnp
+
+    from constriction_tpu.ops import jax_coder2 as jc2
+
+    rng, probs, model = _make(seed=5)
+    cdf64 = model.cdf.astype(np.uint64)
+    N = 4099
+    symbols = rng.choice(100, size=N, p=probs)
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+    T = -(-N // 128)
+
+    cums = np.zeros(T * 128, np.uint32)
+    cums[:N] = cdf64[symbols]
+    prb = np.ones(T * 128, np.uint32)
+    prb[:N] = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.uint32)
+    max_stream = T * 128 + 128
+
+    st_j, stream_j, len_j = jax.jit(
+        lambda c, p: jc2.encode_shared_tables(c, p, cfg, T, N, max_stream)
+    )(jnp.asarray(cums.reshape(T, 128)), jnp.asarray(prb.reshape(T, 128)))
+    st_h, stream_h = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    len_j = int(len_j)
+    assert np.array_equal(np.asarray(st_j), st_h)
+    assert len_j == len(stream_h)
+    assert np.array_equal(np.asarray(stream_j)[max_stream - len_j :], stream_h)
+
+
+def test_per_symbol_rows_roundtrip():
+    """Rank-2 categorical (a different PMF per symbol), gather-free decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from constriction_tpu.ops import jax_coder2 as jc2
+
+    rng = np.random.RandomState(3)
+    K = 8
+    N = 2050
+    cfg = LaneConfig(num_lanes=64, word_bits=16, state_bits=32, precision=12)
+    T = -(-N // 64)
+
+    # per-symbol CDF rows (exact fixed point)
+    pmfs = rng.dirichlet(np.ones(K), size=N)
+    weights = np.maximum((pmfs * ((1 << 12) - K)).astype(np.int64), 0) + 1
+    weights[:, -1] += (1 << 12) - weights.sum(axis=1)
+    rows = np.zeros((N, K + 1), dtype=np.uint32)
+    rows[:, 1:] = np.cumsum(weights, axis=1)
+    symbols = np.array([rng.choice(K, p=p) for p in pmfs])
+
+    cums = rows[np.arange(N), symbols].astype(np.uint64)
+    probs = (rows[np.arange(N), symbols + 1] - rows[np.arange(N), symbols]).astype(np.uint64)
+
+    states, stream = il2.encode_shared(cums, probs, cfg)
+
+    rows_padded = np.zeros((T * 64, K + 1), dtype=np.uint32)
+    rows_padded[:N] = rows
+    rows_padded[N:, 1:] = 1 << 12  # prob 2^12 on symbol 0 for inactive slots
+    out = np.asarray(
+        jax.jit(
+            lambda s, w, r: jc2.decode_shared_rows(s, w, r, cfg, T, N)
+        )(
+            jnp.asarray(states, dtype=jnp.uint32),
+            jnp.asarray(stream, dtype=jnp.uint32),
+            jnp.asarray(rows_padded.reshape(T, 64, K + 1)),
+        )
+    )[:N]
+    assert np.array_equal(out, symbols)
