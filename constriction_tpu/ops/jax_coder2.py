@@ -94,20 +94,25 @@ def decode_shared_compare_sum(
     lower = np.uint32(1 << (S - W))
     qmask = np.uint32((1 << P) - 1)
     lanes = jnp.arange(L, dtype=jnp.uint32)
-    lanes_i = jnp.arange(L, dtype=jnp.int32)
 
     # Pad so the per-step L-wide slice never reads out of bounds.
     stream_padded = jnp.concatenate(
         [jnp.asarray(stream, dtype=jnp.uint32), jnp.zeros(L, dtype=jnp.uint32)]
     )
-    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+    static_n = isinstance(num_symbols, int)
+    tail_start = num_symbols - (num_steps - 1) * L if (static_n and num_steps) else 0
 
     def step(carry, t):
         states, base = carry
         q = states & qmask
         sym, cum, prob = _compare_sum_qf(q, cdf)
         new_states = (states >> P) * prob + (q - cum)
-        if tail_start < L:
+        if not static_n:
+            active = jnp.clip(
+                jnp.asarray(num_symbols, jnp.int32) - t * L, 0, L
+            ).astype(jnp.uint32)
+            new_states = jnp.where(lanes < active, new_states, states)
+        elif tail_start < L:
             active = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
             new_states = jnp.where(lanes < active, new_states, states)
         states = new_states
@@ -221,12 +226,18 @@ def encode_shared_tables(
     seed = np.uint32(1 << (S - W))
     wmask = np.uint32(cfg.word_mask)
     lanes = jnp.arange(L, dtype=jnp.uint32)
-    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+    static_n = isinstance(num_symbols, int)
+    tail_start = num_symbols - (num_steps - 1) * L if (static_n and num_steps) else 0
 
     def step(carry, xs):
         states, end, stream = carry
         t, cp, pp = xs
-        if tail_start < L:
+        if not static_n:
+            active_cnt = jnp.clip(
+                jnp.asarray(num_symbols, jnp.int32) - t * L, 0, L
+            ).astype(jnp.uint32)
+            active = lanes < active_cnt
+        elif tail_start < L:
             active_cnt = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
             active = lanes < active_cnt
         else:

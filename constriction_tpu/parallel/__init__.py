@@ -5,8 +5,10 @@ from .sharding import (
     gather_blocks,
     make_mesh,
     prepare_blocks,
+    shard_decode2,
     shard_decode_lookup,
     shard_encode,
+    shard_encode2,
 )
 
 __all__ = [
@@ -14,6 +16,8 @@ __all__ = [
     "gather_blocks",
     "make_mesh",
     "prepare_blocks",
+    "shard_decode2",
     "shard_decode_lookup",
     "shard_encode",
+    "shard_encode2",
 ]

@@ -117,6 +117,73 @@ def gather_blocks(mesh: Mesh, words: jax.Array, counts: jax.Array):
 
 
 # ---------------------------------------------------------------------------
+# ILANS v2 (shared-stream, gather-free) block sharding
+# ---------------------------------------------------------------------------
+
+
+def shard_encode2(
+    mesh: Mesh,
+    cums: jax.Array,  # [D, T, L] u32
+    probs: jax.Array,  # [D, T, L] u32
+    block_lens: jax.Array,  # i32[D]
+    cfg: LaneConfig,
+    num_steps: int,
+    max_stream: int,
+):
+    """Encode D independent ILANS2 blocks in parallel.
+
+    Returns (init_states [D, L], streams [D, max_stream] right-aligned,
+    stream_lens [D]), sharded along the block axis.
+    """
+    from ..ops import jax_coder2 as jc2
+
+    def per_block(cums_b, probs_b, len_b):
+        st, stream, slen = jc2.encode_shared_tables(
+            cums_b[0], probs_b[0], cfg, num_steps, len_b[0], max_stream
+        )
+        return st[None], stream[None], slen[None]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return fn(cums, probs, block_lens.reshape(-1, 1))
+
+
+def shard_decode2(
+    mesh: Mesh,
+    init_states: jax.Array,  # [D, L]
+    streams: jax.Array,  # [D, stream_cap] left-aligned per block
+    block_lens: jax.Array,  # i32[D]
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_steps: int,
+):
+    """Decode D ILANS2 blocks in parallel with a shared (baked-in) CDF."""
+    from ..ops import jax_coder2 as jc2
+
+    cdf = np.asarray(cdf, dtype=np.uint64)
+
+    def per_block(st_b, stream_b, len_b):
+        syms = jc2.decode_shared_compare_sum(
+            st_b[0], stream_b[0], cdf, cfg, num_steps, len_b[0, 0]
+        )
+        return syms[None]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    return fn(init_states, streams, block_lens.reshape(-1, 1))
+
+
+# ---------------------------------------------------------------------------
 # Host-level convenience: end-to-end sharded iid encode/decode
 # ---------------------------------------------------------------------------
 
