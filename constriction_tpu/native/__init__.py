@@ -127,6 +127,23 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p, c.c_int64, i64p, c.c_int64, c.c_int32, c.c_int32,
         u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,
     ]
+    lib.ctpu_ilans2_encode.restype = c.c_int64
+    lib.ctpu_ilans2_encode.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32,
+        u32p, u32p, c.c_int64,
+    ]
+    lib.ctpu_ilans2_decode_lookup.restype = None
+    lib.ctpu_ilans2_decode_lookup.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,
+    ]
+    lib.ctpu_ilans2_decode_quantized.restype = None
+    lib.ctpu_ilans2_decode_quantized.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32, f64p, f64p,
+        c.c_int32, c.c_int32, c.c_int32, i32p,
+    ]
     lib.ctpu_chain_decode_lookup.restype = c.c_int64
     lib.ctpu_chain_decode_lookup.argtypes = [
         c.POINTER(ChainState), u32p, u32p, c.c_int64,

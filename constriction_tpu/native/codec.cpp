@@ -606,6 +606,121 @@ void ctpu_ilans_decode_lookup(
 }
 
 // ---------------------------------------------------------------------------
+// ILANS v2: shared-stream interleaved rANS (see ops/interleaved2.py).
+// States are seeded at 2^(S-W); the stream is written in decode-consumption
+// order (per step, refilling lanes ascending).
+// ---------------------------------------------------------------------------
+
+// Returns the stream length; the stream occupies buf[cap - len .. cap).
+// `states` receives the initial decoder states.
+int64_t ctpu_ilans2_encode(
+    const uint32_t* cums, const uint32_t* probs,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    uint32_t* states, uint32_t* buf, int64_t cap)
+{
+    const uint64_t word_mask = (1ull << word_bits) - 1;
+    const int32_t shift = state_bits - precision;
+    const uint64_t seed = 1ull << (state_bits - word_bits);
+
+    uint64_t* st = new uint64_t[L];
+    uint32_t* chunk = new uint32_t[L];
+    for (int32_t l = 0; l < L; l++) st[l] = seed;
+
+    int64_t end = cap;
+    for (int64_t t = num_steps - 1; t >= 0; t--) {
+        int32_t k = 0;
+        for (int32_t l = 0; l < L; l++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t prob = probs[idx];
+            uint64_t s = st[l];
+            if ((s >> shift) >= prob) {
+                chunk[k++] = (uint32_t)(s & word_mask);
+                s >>= word_bits;
+            }
+            st[l] = ((s / prob) << precision) | ((uint64_t)cums[idx] + s % prob);
+        }
+        end -= k;
+        for (int32_t j = 0; j < k; j++) buf[end + j] = chunk[j];
+    }
+    for (int32_t l = 0; l < L; l++) states[l] = (uint32_t)st[l];
+    int64_t len = cap - end;
+    delete[] st;
+    delete[] chunk;
+    return len;
+}
+
+void ctpu_ilans2_decode_lookup(
+    const uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    uint64_t* st = new uint64_t[L];
+    for (int32_t l = 0; l < L; l++) st[l] = init_states[l];
+    int64_t base = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        for (int32_t l = 0; l < L; l++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t s = st[l];
+            uint64_t q = s & qmask;
+            uint32_t sym = lookup[q];
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            s = (s >> precision) * prob + (q - cum);
+            if (s < lower && base < stream_len) {
+                s = (s << word_bits) | stream[base++];
+            }
+            st[l] = s;
+            out[idx] = (int32_t)sym;
+        }
+    }
+    delete[] st;
+}
+
+// Shared-stream decode with a per-symbol-parameterized quantized family.
+void ctpu_ilans2_decode_quantized(
+    const uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    int32_t kind, int32_t min_sym, int32_t max_sym,
+    const double* pa, const double* pb,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    uint64_t* st = new uint64_t[L];
+    for (int32_t l = 0; l < L; l++) st[l] = init_states[l];
+    int64_t base = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        for (int32_t l = 0; l < L; l++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t s = st[l];
+            uint64_t q = s & qmask;
+            QuantizedModel m{kind, min_sym, max_sym, precision, pa[idx], pb[idx], free_weight};
+            int32_t sym; uint32_t cum, prob;
+            qm_qf(m, (uint32_t)q, &sym, &cum, &prob);
+            s = (s >> precision) * (uint64_t)prob + (q - cum);
+            if (s < lower && base < stream_len) {
+                s = (s << word_bits) | stream[base++];
+            }
+            st[l] = s;
+            out[idx] = sym;
+        }
+    }
+    delete[] st;
+}
+
+// ---------------------------------------------------------------------------
 // Chain coder loops (bit-exact with chain.rs:1044-1206).
 // ---------------------------------------------------------------------------
 

@@ -63,6 +63,19 @@ def encode_shared(
     T = -(-n // L) if n else 0
     seed = np.uint64(1 << (S - W))
 
+    from .. import native
+
+    if native.LIB is not None and n >= 256 and S <= 64:
+        cap = T * L + 8
+        buf = np.empty(cap, dtype=np.uint32)
+        states_out = np.empty(L, dtype=np.uint32)
+        slen = native.LIB.ctpu_ilans2_encode(
+            np.ascontiguousarray(cums, dtype=np.uint32),
+            np.ascontiguousarray(probs, dtype=np.uint32),
+            n, L, T, W, S, P, states_out, buf, cap,
+        )
+        return states_out, buf[cap - slen :].copy()
+
     cums64 = np.zeros(T * L, dtype=np.uint64)
     probs64 = np.ones(T * L, dtype=np.uint64)
     cums64[:n] = cums
