@@ -144,6 +144,16 @@ def _load() -> Optional[ctypes.CDLL]:
         c.c_int32, c.c_int32, c.c_int32, f64p, f64p,
         c.c_int32, c.c_int32, c.c_int32, i32p,
     ]
+    lib.ctpu_ilans2_range_encode.restype = c.c_int64
+    lib.ctpu_ilans2_range_encode.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32, u32p, u32p,
+    ]
+    lib.ctpu_ilans2_range_decode_lookup.restype = None
+    lib.ctpu_ilans2_range_decode_lookup.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,
+    ]
     lib.ctpu_chain_decode_lookup.restype = c.c_int64
     lib.ctpu_chain_decode_lookup.argtypes = [
         c.POINTER(ChainState), u32p, u32p, c.c_int64,

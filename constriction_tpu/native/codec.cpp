@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
 
 #if defined(_OPENMP)
 #include <omp.h>
@@ -718,6 +719,172 @@ void ctpu_ilans2_decode_quantized(
         }
     }
     delete[] st;
+}
+
+// ---------------------------------------------------------------------------
+// ILANS2-R: shared-stream interleaved RANGE coding.
+//
+// Per-lane range coders (queue.rs algebra) with one shared word stream in
+// decode-consumption order.  The decoder's refill condition
+// (range < 2^(S-W)) mirrors the encoder's renormalization schedule exactly
+// (range evolves identically on both sides), so slots can be assigned by
+// (step, lane).  Carry resolution (the Inverted situation) only changes WHEN
+// word values become known, not the schedule; the encoder resolves carries
+// into its per-lane word list and then fills slots.  Initial decoder points
+// (S bits per lane) are stored in a header; unfilled tail slots are zeros,
+// matching the reference decoder's read-past-EOF behavior (queue.rs:1030).
+// ---------------------------------------------------------------------------
+
+// Returns stream length (= total renorm events).  `points` gets the per-lane
+// initial decoder points.  `stream` must have capacity >= num_steps * L.
+int64_t ctpu_ilans2_range_encode(
+    const uint32_t* cums, const uint32_t* probs,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    uint32_t* points, uint32_t* stream)
+{
+    const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
+    const int32_t top_shift = state_bits - word_bits;
+    const uint64_t state_mask = (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << top_shift;
+    const int32_t point_words = state_bits / word_bits;
+
+    // Per-lane encode, collecting each lane's resolved word list and the
+    // step index of every renorm event.
+    struct Lane {
+        std::vector<uint32_t> words;
+        std::vector<int64_t> renorm_steps;
+    };
+    std::vector<Lane> lanes((size_t)L);
+    std::vector<int64_t> events_per_step((size_t)num_steps, 0);
+
+    for (int32_t l = 0; l < L; l++) {
+        uint64_t lower = 0, range = state_mask;
+        uint64_t num_inverted = 0;
+        uint32_t first_inverted = 0;
+        Lane& ln = lanes[l];
+        for (int64_t t = 0; t < num_steps; t++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t scale = range >> precision;
+            range = scale * probs[idx];
+            uint64_t new_lower = (lower + scale * cums[idx]) & state_mask;
+            if (num_inverted != 0 && ((new_lower + range) & state_mask) > new_lower) {
+                uint32_t first, consecutive;
+                if (new_lower < lower) {
+                    first = (uint32_t)((first_inverted + 1) & word_mask);
+                    consecutive = 0;
+                } else {
+                    first = first_inverted;
+                    consecutive = (uint32_t)word_mask;
+                }
+                ln.words.push_back(first);
+                for (uint64_t j = 1; j < num_inverted; j++) ln.words.push_back(consecutive);
+                num_inverted = 0;
+            }
+            lower = new_lower;
+            if (range < lower_bound) {
+                range = (range << word_bits) & state_mask;
+                uint32_t lower_word = (uint32_t)(lower >> top_shift);
+                lower = (lower << word_bits) & state_mask;
+                if (num_inverted != 0) {
+                    num_inverted += 1;
+                } else if (((lower + range) & state_mask) > lower) {
+                    ln.words.push_back(lower_word);
+                } else {
+                    num_inverted = 1;
+                    first_inverted = lower_word;
+                }
+                ln.renorm_steps.push_back(t);
+                events_per_step[t]++;
+            }
+        }
+        // Seal (queue.rs:458-523): resolves any pending Inverted run and
+        // appends the point word (+ zero if ambiguous).
+        if (range != state_mask) {
+            uint64_t point = (lower + (lower_bound - 1)) & state_mask;
+            if (num_inverted != 0) {
+                uint32_t first, consecutive;
+                if (point >= lower) {
+                    first = first_inverted;
+                    consecutive = (uint32_t)word_mask;
+                } else {
+                    first = (uint32_t)((first_inverted + 1) & word_mask);
+                    consecutive = 0;
+                }
+                ln.words.push_back(first);
+                for (uint64_t j = 1; j < num_inverted; j++) ln.words.push_back(consecutive);
+            }
+            uint32_t point_word = (uint32_t)(point >> top_shift);
+            ln.words.push_back(point_word);
+            uint64_t upper_word = ((lower + range) & state_mask) >> top_shift;
+            if ((uint32_t)upper_word == point_word) ln.words.push_back(0);
+        }
+    }
+
+    // Initial decoder points: the first S/W words of each lane's list,
+    // left-aligned with zero fill (queue.rs:847-868 read_point).
+    for (int32_t l = 0; l < L; l++) {
+        uint64_t point = 0;
+        int32_t nread = 0;
+        for (; nread < point_words && nread < (int32_t)lanes[l].words.size(); nread++) {
+            point = (point << word_bits) | lanes[l].words[nread];
+        }
+        if (nread < point_words && nread != 0) {
+            point <<= (state_bits - nread * word_bits);
+        }
+        points[l] = (uint32_t)point;
+    }
+
+    // Slot assembly: the r-th renorm of lane l consumes the lane's word at
+    // index point_words + r (zeros past the end of the lane's word list).
+    std::vector<int64_t> step_base((size_t)num_steps + 1, 0);
+    for (int64_t t = 0; t < num_steps; t++) step_base[t + 1] = step_base[t] + events_per_step[t];
+    std::vector<int64_t> cursor = step_base;  // per-step fill cursor
+    for (int32_t l = 0; l < L; l++) {
+        Lane& ln = lanes[l];
+        for (size_t r = 0; r < ln.renorm_steps.size(); r++) {
+            int64_t t = ln.renorm_steps[r];
+            size_t widx = (size_t)point_words + r;
+            uint32_t w = widx < ln.words.size() ? ln.words[widx] : 0;
+            stream[cursor[t]++] = w;
+        }
+    }
+    return step_base[num_steps];
+}
+
+void ctpu_ilans2_range_decode_lookup(
+    const uint32_t* points, const uint32_t* stream, int64_t stream_len,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    const uint64_t state_mask = (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << (state_bits - word_bits);
+    std::vector<uint64_t> lows((size_t)L, 0), rngs((size_t)L, state_mask), pts((size_t)L);
+    for (int32_t l = 0; l < L; l++) pts[l] = points[l];
+    int64_t base = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        for (int32_t l = 0; l < L; l++) {
+            int64_t idx = t * L + l;
+            if (idx >= num_symbols) continue;
+            uint64_t scale = rngs[l] >> precision;
+            uint64_t q = ((pts[l] - lows[l]) & state_mask) / scale;
+            uint32_t sym = lookup[q];
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            lows[l] = (lows[l] + scale * cum) & state_mask;
+            rngs[l] = scale * prob;
+            if (rngs[l] < lower_bound) {
+                lows[l] = (lows[l] << word_bits) & state_mask;
+                rngs[l] = rngs[l] << word_bits;
+                pts[l] = (pts[l] << word_bits) & state_mask;
+                if (base < stream_len) pts[l] |= stream[base++];
+            }
+            out[idx] = (int32_t)sym;
+        }
+    }
 }
 
 // ---------------------------------------------------------------------------

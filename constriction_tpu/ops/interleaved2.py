@@ -147,6 +147,96 @@ def decode_shared_cdf(
 
 
 # ---------------------------------------------------------------------------
+# ILANS2-R: shared-stream interleaved RANGE coding (host paths via C++)
+# ---------------------------------------------------------------------------
+
+
+def encode_shared_range(
+    cums: np.ndarray, probs: np.ndarray, cfg: LaneConfig
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode per-symbol tables with per-lane range coders sharing one word
+    stream in decode-consumption order (C++; see codec.cpp ILANS2-R).
+
+    Returns ``(points u32[L], stream u32[num_words])``.
+    """
+    from .. import native
+
+    if native.LIB is None:
+        raise RuntimeError("native codec required for range shared-stream encode")
+    n = len(cums)
+    L = cfg.num_lanes
+    T = -(-n // L) if n else 0
+    points = np.zeros(L, dtype=np.uint32)
+    buf = np.zeros(max(T * L, 1), dtype=np.uint32)
+    slen = native.LIB.ctpu_ilans2_range_encode(
+        np.ascontiguousarray(cums, dtype=np.uint32),
+        np.ascontiguousarray(probs, dtype=np.uint32),
+        n, L, T, cfg.word_bits, cfg.state_bits, cfg.precision,
+        points, buf,
+    )
+    return points, buf[:slen].copy()
+
+
+def decode_shared_range_cdf(
+    points: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+) -> np.ndarray:
+    """Numpy oracle for the shared-stream range decoder (vectorized across
+    lanes per step; mirrors the JAX kernel exactly)."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    mask = np.uint64((1 << S) - 1)
+    lower_bound = np.uint64(1 << (S - W))
+
+    lows = np.zeros(L, dtype=np.uint64)
+    rngs = np.full(L, mask, dtype=np.uint64)
+    pts = points.astype(np.uint64)
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    base = 0
+    out = np.empty(T * L, dtype=np.int32)
+    lanes = np.arange(L)
+
+    for t in range(T):
+        idx = t * L + lanes
+        active = idx < num_symbols
+        scale = rngs >> np.uint64(P)
+        q = ((pts - lows) & mask) // scale
+        sym = np.searchsorted(cdf64, q, side="right") - 1
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        new_lows = (lows + scale * cum) & mask
+        new_rngs = scale * prob
+        lows = np.where(active, new_lows, lows)
+        rngs = np.where(active, new_rngs, rngs)
+        m = active & (rngs < lower_bound)
+        k = int(m.sum())
+        lows = np.where(m, (lows << np.uint64(W)) & mask, lows)
+        rngs = np.where(m, rngs << np.uint64(W), rngs)
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base : base + k]
+            words[: len(avail)] = avail
+            pts_m = ((pts[m] << np.uint64(W)) & mask) | words
+            pts[m] = pts_m
+            base += k
+        out[idx] = sym
+
+    return out[:num_symbols]
+
+
+def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig):
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    symbols = np.asarray(symbols, dtype=np.int64)
+    cums = cdf64[symbols]
+    probs = cdf64[symbols + 1] - cums
+    return encode_shared_range(cums, probs, cfg)
+
+
+# ---------------------------------------------------------------------------
 # Container
 # ---------------------------------------------------------------------------
 

@@ -215,6 +215,139 @@ def decode_shared_rows(
     return syms.reshape(-1)
 
 
+def decode_shared_range(
+    points: jax.Array,  # u32[L] initial decoder points
+    stream: jax.Array,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_steps: int,
+    num_symbols: int,
+    out_dtype=jnp.int32,
+) -> jax.Array:
+    """Gather-free i.i.d. decode for the shared-stream RANGE format
+    (ILANS2-R; see ops/interleaved2.py and codec.cpp).  Same machinery as the
+    rANS decoder -- contiguous slice + monotone butterfly -- with the range
+    coder's interval arithmetic (one u32 division per symbol)."""
+    assert cfg.state_bits == 32, "JAX range decoder runs at S=32 (native u32)"
+    L = points.shape[0]
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    log_l = _log2(L)
+    lower_bound = np.uint32(1 << (S - W))
+    lanes = jnp.arange(L, dtype=jnp.uint32)
+
+    narrow = W <= 16 and L <= (1 << 16)
+    st_dtype = jnp.uint16 if narrow else jnp.uint32
+    lanes_n = jnp.arange(L, dtype=st_dtype)
+    stream_padded = jnp.concatenate(
+        [jnp.asarray(stream).astype(st_dtype), jnp.zeros(L, dtype=st_dtype)]
+    )
+    tail_start = num_symbols - (num_steps - 1) * L if num_steps else 0
+
+    def step(carry, t):
+        lows, rngs, pts, base = carry
+        scale = rngs >> P
+        q = (pts - lows) // scale
+        sym, cum, prob = _compare_sum_qf(q, cdf)
+        new_lows = lows + scale * cum
+        new_rngs = scale * prob
+        if tail_start < L:
+            active = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
+            amask = lanes < active
+            new_lows = jnp.where(amask, new_lows, lows)
+            new_rngs = jnp.where(amask, new_rngs, rngs)
+        lows, rngs = new_lows, new_rngs
+        m = rngs < lower_bound
+        m32 = m.astype(jnp.uint32)
+        ranks = jnp.cumsum(m32) - m32
+        k = ranks[-1] + m32[-1]
+        chunk = jax.lax.dynamic_slice(stream_padded, (base,), (L,))
+        ex = _expand_monotone(chunk, lanes_n - ranks.astype(st_dtype), log_l)
+        lows = jnp.where(m, lows << W, lows)
+        rngs = jnp.where(m, rngs << W, rngs)
+        pts = jnp.where(m, (pts << W) | ex.astype(jnp.uint32), pts)
+        return (lows, rngs, pts, base + k.astype(jnp.int32)), sym.astype(out_dtype)
+
+    init = (
+        jnp.zeros(L, dtype=jnp.uint32),
+        jnp.full(L, 0xFFFFFFFF, dtype=jnp.uint32),
+        jnp.asarray(points, dtype=jnp.uint32),
+        jnp.int32(0),
+    )
+    (_, _, _, _), syms = jax.lax.scan(step, init, jnp.arange(num_steps, dtype=jnp.int32))
+    return syms.reshape(-1)
+
+
+def decode_shared_batched(
+    init_states: jax.Array,  # [B, L] u32
+    streams: jax.Array,  # [B, cap] (left-aligned per block)
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_steps: int,
+    block_len: int,
+    out_dtype=jnp.int32,
+) -> jax.Array:
+    """Gather-free decode of B independent ILANS2 blocks in one scan.
+
+    The per-step work of a single block underutilizes the VPU (the scan is
+    latency-bound); batching B blocks multiplies the independent work per
+    step.  All blocks must have `block_len` symbols (pad the message).
+    Returns [B, num_steps * L].
+    """
+    B, L = init_states.shape
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    log_l = _log2(L)
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+    lanes = jnp.arange(L, dtype=jnp.uint32)[None, :]
+
+    narrow = W <= 16 and L <= (1 << 16)
+    st_dtype = jnp.uint16 if narrow else jnp.uint32
+    lanes_n = jnp.arange(L, dtype=st_dtype)[None, :]
+
+    streams_padded = jnp.concatenate(
+        [jnp.asarray(streams).astype(st_dtype), jnp.zeros((B, L), dtype=st_dtype)],
+        axis=1,
+    )
+    tail_start = block_len - (num_steps - 1) * L if num_steps else 0
+
+    def step(carry, t):
+        states, bases = carry  # [B, L], i32[B]
+        q = states & qmask
+        sym, cum, prob = _compare_sum_qf(q, cdf)
+        new_states = (states >> P) * prob + (q - cum)
+        if tail_start < L:
+            active = jnp.where(t < num_steps - 1, jnp.uint32(L), jnp.uint32(tail_start))
+            new_states = jnp.where(lanes < active, new_states, states)
+        states = new_states
+        m = states < lower
+        m32 = m.astype(jnp.uint32)
+        ranks = jnp.cumsum(m32, axis=1) - m32
+        k = ranks[:, -1] + m32[:, -1]
+        chunk = jnp.stack(
+            [
+                jax.lax.dynamic_slice(streams_padded[b], (bases[b],), (L,))
+                for b in range(B)
+            ]
+        )
+        d = lanes_n - ranks.astype(st_dtype)
+        ex = chunk
+        for b in range(log_l - 1, -1, -1):
+            ex = jnp.where((d >> b) & 1, jnp.roll(ex, 1 << b, axis=1), ex)
+        states = jnp.where(m, (states << W) | ex.astype(jnp.uint32), states)
+        return (states, bases + k.astype(jnp.int32)), sym.astype(out_dtype)
+
+    (_, _), syms = jax.lax.scan(
+        step,
+        (
+            jnp.asarray(init_states, dtype=jnp.uint32),
+            jnp.zeros(B, dtype=jnp.int32),
+        ),
+        jnp.arange(num_steps, dtype=jnp.int32),
+    )
+    # syms: [T, B, L] -> [B, T * L]
+    return jnp.swapaxes(syms, 0, 1).reshape(B, -1)
+
+
 def encode_shared_tables(
     cums: jax.Array,  # [T, L] u32
     probs: jax.Array,  # [T, L] u32
