@@ -4,8 +4,11 @@ Workload mirrors the reference's published benchmark setup (README.md:173-182
 / benches/lookup.rs): i.i.d. symbols from a ~100-symbol categorical model at
 the "small" preset (precision 12), decoded TPU-first with the ILANS v2
 shared-stream format (constriction_tpu.ops.interleaved2): 2^15 interleaved
-rANS lanes in lockstep on the VPU, zero gathers in the hot loop (compare-sum
-model inversion + butterfly refill distribution).
+rANS lanes in lockstep, decoded by the Pallas kernel
+(constriction_tpu.ops.pallas_coder): packed compare-sum model inversion
+(3 vector ops per CDF boundary for sym+cum+prob together), monotone
+butterfly refill distribution via pltpu.roll, lane states resident in VMEM,
+double-buffered stream-window DMA from HBM.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
@@ -34,16 +37,14 @@ def main() -> None:
         ContiguousCategoricalEntropyModel,
     )
     from constriction_tpu.ops import interleaved2 as il2
-    from constriction_tpu.ops import jax_coder2 as jc2
+    from constriction_tpu.ops import pallas_coder as pc
     from constriction_tpu.ops.interleaved import LaneConfig
 
     backend = jax.default_backend()
     if backend == "tpu":
         num_lanes, total = 1 << 15, 1 << 24  # 16.7M symbols, 32768 lanes
-        reps = 20
     else:
-        num_lanes, total = 1 << 12, 1 << 20
-        reps = 5
+        num_lanes, total = 1 << 10, 1 << 18
 
     rng = np.random.RandomState(1234)
     alphabet = 100
@@ -59,21 +60,12 @@ def main() -> None:
     init_states, stream = il2.encode_shared(
         cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
     )
-
     T = -(-total // num_lanes)
-    cdf_np = np.asarray(cdf, dtype=np.uint64)
+    R = num_lanes // 128
 
-    states_d = jax.device_put(jnp.asarray(init_states, dtype=jnp.uint32))
-    stream_d = jax.device_put(jnp.asarray(stream, dtype=jnp.uint32))
-
-    decode = jax.jit(
-        lambda s, w: jc2.decode_shared_compare_sum(s, w, cdf_np, cfg, T, total)
-    )
-
-    # Warm up / compile, verify correctness once.
-    out = decode(states_d, stream_d)
-    ok = np.array_equal(np.asarray(out)[:total], symbols)
-    if not ok:
+    # Correctness gate: full decode must round-trip bit-exactly.
+    out = np.asarray(pc.decode_shared_pallas(init_states, stream, cdf, cfg, total))
+    if not np.array_equal(out, symbols):
         print(
             json.dumps(
                 {
@@ -87,6 +79,20 @@ def main() -> None:
         )
         sys.exit(1)
 
+    fn = pc._build_decoder(
+        tuple(int(x) for x in cdf), cfg, T, total - (T - 1) * num_lanes,
+        num_lanes, jax.default_backend() != "tpu",
+    )
+    stream_j = jnp.asarray(stream, dtype=jnp.uint32)
+    rows = -(-int(stream_j.shape[0]) // 128) + (R + 2)
+    pad = rows * 128 - int(stream_j.shape[0])
+    stream2d = jax.device_put(
+        jnp.concatenate([stream_j, jnp.zeros(pad, dtype=jnp.uint32)]).reshape(rows, 128)
+    )
+    states2d = jax.device_put(
+        jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, 128)
+    )
+
     # Robust timing: chain n_inner decodes inside ONE jit with a data
     # dependency the compiler cannot elide, and difference two chain lengths;
     # dispatch/readback round trips (the dev tunnel adds a noisy ~30 ms)
@@ -95,9 +101,9 @@ def main() -> None:
         def run(s, w):
             def body(i, carry):
                 s0, chk = carry
-                syms = jc2.decode_shared_compare_sum(s0, w, cdf_np, cfg, T, total)
-                dep = (syms[-1].astype(jnp.uint32) >> 31) & 1  # 0 in practice
-                return s0 ^ dep, chk + syms[0].astype(jnp.uint32)
+                syms, _fstates = fn(s0, w)
+                dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1  # 0 in practice
+                return s0 ^ dep, chk + syms[0, 0, 0].astype(jnp.uint32)
 
             _, chk = jax.lax.fori_loop(0, n_inner, body, (s, jnp.uint32(0)))
             return chk
@@ -106,17 +112,17 @@ def main() -> None:
 
     n_long = 9 if backend == "tpu" else 3
     f1 = make_chained(1)
-    fn = make_chained(n_long)
-    _ = np.asarray(f1(states_d, stream_d))
-    _ = np.asarray(fn(states_d, stream_d))
+    fn_long = make_chained(n_long)
+    _ = np.asarray(f1(states2d, stream2d))
+    _ = np.asarray(fn_long(states2d, stream2d))
 
     per_decode = []
     for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(f1(states_d, stream_d))
+        _ = np.asarray(f1(states2d, stream2d))
         t1 = time.perf_counter() - t0
         t0 = time.perf_counter()
-        _ = np.asarray(fn(states_d, stream_d))
+        _ = np.asarray(fn_long(states2d, stream2d))
         tn = time.perf_counter() - t0
         per_decode.append((tn - t1) / (n_long - 1))
     dt = max(min(per_decode), 1e-9)
@@ -125,7 +131,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ILANS2 interleaved rANS decode throughput per chip (100-symbol model, P=12)",
+                "metric": "ILANS2 interleaved rANS decode throughput per chip (100-symbol model, P=12, Pallas)",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / REFERENCE_DECODE_GBPS, 2),

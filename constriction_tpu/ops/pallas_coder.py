@@ -1,0 +1,304 @@
+"""Pallas TPU kernels for ILANS2 (shared-stream interleaved rANS) decoding.
+
+Why Pallas here: the XLA lowering of the per-step refill distribution (a
+monotone butterfly over [L] lanes whose masks depend on a cumsum of the
+refill mask) hits a fusion/layout pathology on TPU (~8 us/step measured for
+work that is ~0.5 us of VPU time).  In Pallas we control layout ([R, 128]
+u32 tiles in VMEM), use `pltpu.roll` for the butterfly rotations, keep lane
+states resident in VMEM scratch across the whole message, and double-buffer
+the stream window DMA from HBM.
+
+Per-lane coding algebra is the reference's rANS state machine
+(/root/reference/src/stream/stack.rs:1014-1100); the shared-stream format is
+defined in ops/interleaved2.py (numpy oracle `decode_shared_cdf`).
+
+Layout conventions
+------------------
+- L lanes = [R, 128] u32, R = L // 128 (lane l = (l // 128, l % 128)).
+- The word stream is u32 elements each holding one W-bit word, reshaped on
+  the host to [rows, 128]; the kernel DMAs a (R+1)-row window per step and
+  extracts the L-word chunk at word-granular offset via a dynamic lane
+  rotate + row-boundary select.
+- Butterfly rolls in *flattened row-major order* decompose into sublane
+  rolls (shift >= 128) and lane rolls with a row-carry select (shift < 128).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interleaved import LaneConfig
+
+LANES = 128  # TPU vector lane width; minor dim of every tile
+
+
+def _log2(x: int) -> int:
+    n = 0
+    while (1 << n) < x:
+        n += 1
+    return n
+
+
+def _lane_iota(R: int) -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+
+
+def _row_iota(R: int) -> jax.Array:
+    return jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+
+
+def _flat_roll(pltpu, x: jax.Array, s: int, lane: jax.Array) -> jax.Array:
+    """Roll [R,128] by static s in flattened row-major order."""
+    R = x.shape[0]
+    sr, sc = s // LANES, s % LANES
+    if sc == 0:
+        return pltpu.roll(x, sr % R, 0) if sr % R else x
+    a = pltpu.roll(x, sc, 1)
+    b = pltpu.roll(a, sr % R, 0) if sr % R else a
+    c = pltpu.roll(a, (sr + 1) % R, 0)
+    return jnp.where(lane >= sc, b, c)
+
+
+def _expand_monotone_2d(pltpu, chunk: jax.Array, d: jax.Array) -> jax.Array:
+    """out[l] = chunk[l - d[l]] (flat order) for monotone displacements d.
+
+    MSB->LSB butterfly: log2(L) rounds of static flat roll + select
+    (Nassimi & Sahni; conflict-free for monotone routes).
+    """
+    R = chunk.shape[0]
+    log_l = _log2(R * LANES)
+    lane = _lane_iota(R)
+    ex = chunk
+    for b in range(log_l - 1, -1, -1):
+        rolled = _flat_roll(pltpu, ex, 1 << b, lane)
+        ex = jnp.where((d >> b) & 1, rolled, ex)
+    return ex
+
+
+def _ranks_flat(pltpu, m32: jax.Array) -> jax.Array:
+    """Exclusive prefix sum of m32 ([R,128] i32, values 0/1) in flat order."""
+    R = m32.shape[0]
+    lane = _lane_iota(R)
+    row = _row_iota(R)
+    # inclusive scan within rows (along lanes)
+    x = m32
+    for b in range(7):
+        sh = 1 << b
+        rolled = pltpu.roll(x, sh, 1)
+        x = x + jnp.where(lane >= sh, rolled, 0)
+    # row totals, inclusive scan over rows
+    t = jnp.broadcast_to(x[:, LANES - 1 : LANES], (R, LANES))
+    for b in range(_log2(R)):
+        sh = 1 << b
+        rolled = pltpu.roll(t, sh, 0)
+        t = t + jnp.where(row >= sh, rolled, 0)
+    # exclusive row offsets = inclusive shifted down one row
+    excl = jnp.where(row >= 1, pltpu.roll(t, 1, 0), 0)
+    return excl + x - m32
+
+
+def _compare_sum_packed(q: jax.Array, cdf: np.ndarray, precision: int):
+    """(sym, cum, prob) via a compare-sum with ONE packed u32 accumulator.
+
+    Field layout: acc = sym << 2P | cum << P | prob.  Adding, per boundary j,
+    the constant P_j = (1 << 2P) + (d1_j << P) + w_j (w_j the signed second
+    difference of the CDF) whenever q >= cdf[j] keeps every field exact:
+    the prob partial sum is always the width of a genuine symbol interval
+    (in [1, 2^P - K + 1]), the cum partial sum a genuine left-cumulative
+    (< 2^P), and sym < K.  Requires 2*precision + ceil(log2(K)) <= 32,
+    i.e. the "small" preset (P=12, K<=255).  3 vector ops per boundary.
+    """
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    assert 2 * P + max(K - 1, 1).bit_length() <= 32
+    qi = q.astype(jnp.int32)
+    acc = jnp.full(q.shape, np.uint32(c[1] - c[0]), dtype=jnp.uint32)
+    zero = jnp.zeros_like(acc)
+    for j in range(1, K):
+        e = qi >= np.int32(c[j])
+        d1 = c[j] - c[j - 1]
+        w = (c[j + 1] - c[j]) - d1
+        packed = np.uint32(((1 << (2 * P)) + (d1 << P) + w) & 0xFFFFFFFF)
+        acc = acc + jnp.where(e, packed, zero)
+    mask = np.uint32((1 << P) - 1)
+    prob = acc & mask
+    cum = (acc >> P) & mask
+    sym = (acc >> (2 * P)).astype(jnp.int32)
+    return sym, cum, prob
+
+
+def _decode_kernel_body(
+    pltpu,
+    pl,
+    *,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    T: int,
+    tail: int,
+    R: int,
+):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+
+    def kernel(states_in, stream_hbm, syms_out, states_out,
+               states_s, win, base_s, sem):
+        t = pl.program_id(0)
+        lane = _lane_iota(R)
+        lane_flat = _row_iota(R) * LANES + lane
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = states_in[:]
+            base_s[0] = 0
+            dma = pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
+            )
+            dma.start()
+            dma.wait()
+
+        states = states_s[:]
+        base = base_s[0]
+
+        # --- model inversion + state update -------------------------------
+        q = states & qmask
+        sym, cum, prob = _compare_sum_packed(q, cdf, P)
+        new_states = (states >> P) * prob + (q - cum)
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            new_states = jnp.where(active, new_states, states)
+        states = new_states
+
+        # --- refill schedule ----------------------------------------------
+        m = states < lower
+        m32 = jnp.where(m, 1, 0)
+        k = jnp.sum(m32)
+
+        # prefetch next window while we distribute the current one
+        nxt = base + k
+        slot = t % 2
+
+        @pl.when(t + 1 < T)
+        def _prefetch():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot],
+                sem.at[1 - slot],
+            ).start()
+
+        # --- distribute chunk words to refilling lanes ---------------------
+        s_off = base & 127
+        wfull = win[slot]  # [R+1, 128]
+        a = pltpu.roll(wfull, (128 - s_off) & 127, 1)  # dyn lane rotate by -s
+        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
+        ranks = _ranks_flat(pltpu, m32)
+        d = lane_flat - ranks
+        ex = _expand_monotone_2d(pltpu, chunk, d)
+        states = jnp.where(m, (states << W) | (ex & np.uint32(cfg.word_mask)), states)
+
+        # --- commit ---------------------------------------------------------
+        states_s[:] = states
+        base_s[0] = nxt
+        syms_out[0] = sym
+
+        @pl.when(t + 1 < T)
+        def _wait_next():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot],
+                sem.at[1 - slot],
+            ).wait()
+
+        @pl.when(t == T - 1)
+        def _final():
+            states_out[:] = states_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
+                   interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _decode_kernel_body(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),       # states
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),  # stream windows
+            pltpu.SMEM((1,), jnp.int32),                # base word offset
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def decode_shared_pallas(
+    init_states,
+    stream,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_symbols: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode an ILANS2 container with the Pallas TPU kernel.
+
+    Matches ops/interleaved2.decode_shared_cdf exactly.  ``stream`` is the
+    u32 word array (one W-bit word per element); padding and reshaping to
+    the [rows, 128] window layout happen here.  ``interpret=None`` selects
+    the Pallas interpreter automatically off-TPU (tests on the CPU mesh).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0, "num_lanes must be a multiple of 128"
+    assert cfg.state_bits == 32 and cfg.word_bits == 16
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+
+    stream = jnp.asarray(stream, dtype=jnp.uint32)
+    rows = -(-int(stream.shape[0]) // LANES) + (R + 2)
+    pad = rows * LANES - int(stream.shape[0])
+    stream2d = jnp.concatenate(
+        [stream, jnp.zeros(pad, dtype=jnp.uint32)]
+    ).reshape(rows, LANES)
+
+    fn = _build_decoder(
+        tuple(int(x) for x in np.asarray(cdf)),
+        cfg, T, tail, L, interpret,
+    )
+    syms, _states = fn(
+        jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, LANES), stream2d
+    )
+    return syms.reshape(-1)[:num_symbols]

@@ -1,0 +1,88 @@
+"""Pallas ILANS2 decoder vs the numpy oracle (interpreter mode on CPU).
+
+The kernel itself (constriction_tpu/ops/pallas_coder.py) runs compiled on
+TPU; under the test CPU mesh it runs through the Pallas interpreter, which
+executes the identical lowered program semantics (DMA windows, butterfly
+rolls, packed compare-sum).
+"""
+
+import numpy as np
+import pytest
+
+from constriction_tpu.models.categorical import (
+    ContiguousCategoricalEntropyModel,
+)
+from constriction_tpu.ops import interleaved2 as il2
+from constriction_tpu.ops import pallas_coder as pc
+from constriction_tpu.ops.interleaved import LaneConfig
+
+
+def _roundtrip(L, n, alphabet, seed, precision=12):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=precision)
+    cdf64 = cdf.astype(np.uint64)
+    init_states, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    ref = il2.decode_shared_cdf(init_states, stream, n, cdf, cfg)
+    assert np.array_equal(ref, symbols)
+    out = np.asarray(pc.decode_shared_pallas(init_states, stream, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.parametrize(
+    "L,n,alphabet,seed",
+    [
+        (128, 1024, 16, 0),
+        (256, 2000, 100, 1),  # ragged tail
+        (256, 2048, 2, 2),  # binary alphabet
+        (512, 700, 7, 3),  # n > L but not 2L
+        (128, 128, 33, 4),  # single step
+        (128, 100, 5, 5),  # n < L
+    ],
+)
+def test_pallas_decode_matches_oracle(L, n, alphabet, seed):
+    _roundtrip(L, n, alphabet, seed)
+
+
+def test_pallas_decode_skewed_model():
+    # very skewed model: long refill bursts stress the butterfly
+    rng = np.random.RandomState(9)
+    alphabet = 64
+    w = np.exp(rng.randn(alphabet) * 4)
+    probs = w / w.sum()
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    n, L = 5000, 256
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf64 = cdf.astype(np.uint64)
+    init_states, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    out = np.asarray(pc.decode_shared_pallas(init_states, stream, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_packed_compare_sum_bounds():
+    # the packed-accumulator invariant: every partial prob is a genuine
+    # interval width, so fields never interfere (kernel docstring).
+    rng = np.random.RandomState(3)
+    for K in (2, 5, 100, 255):
+        probs = rng.dirichlet(np.full(K, 0.3))
+        m = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+            probs, 12
+        )
+        c = m.cdf.astype(np.int64)
+        assert c[0] == 0 and c[-1] == 1 << 12
+        deltas = np.diff(c)
+        assert deltas.min() >= 1  # leaky
+        assert 2 * 12 + int(max(K - 1, 1)).bit_length() <= 32
