@@ -133,6 +133,28 @@ def _compare_sum_packed(q: jax.Array, cdf: np.ndarray, precision: int):
     return sym, cum, prob
 
 
+def _u32_to_f32(x: jax.Array) -> jax.Array:
+    """u32 -> f32 (round-to-nearest) without relying on unsigned itofp."""
+    hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
+    lo = (x & np.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+    return hi * np.float32(65536.0) + lo
+
+
+def _exact_div(diff: jax.Array, scale: jax.Array) -> jax.Array:
+    """Exact floor(diff / scale) for u32 diff, u32 scale in [1, 2^20),
+    true quotient < 2^13: f32 divide then +-1 integer correction.
+
+    The f32 estimate's absolute error is < 2^-10 (relative error ~2^-23 on a
+    quotient < 2^13), so the truncated estimate is off by at most one.
+    """
+    qf = _u32_to_f32(diff) / _u32_to_f32(scale)
+    qh = qf.astype(jnp.int32)
+    r = (diff - qh.astype(jnp.uint32) * scale).astype(jnp.int32)
+    qh = qh + jnp.where(r >= scale.astype(jnp.int32), 1, 0)
+    qh = qh - jnp.where(r < 0, 1, 0)
+    return qh.astype(jnp.uint32)
+
+
 def _decode_kernel_body(
     pltpu,
     pl,
@@ -223,6 +245,184 @@ def _decode_kernel_body(
     return kernel
 
 
+def _range_decode_kernel_body(
+    pltpu,
+    pl,
+    *,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    T: int,
+    tail: int,
+    R: int,
+):
+    """ILANS2-R: shared-stream interleaved RANGE decoding (oracle:
+    ops/interleaved2.decode_shared_range_cdf; reference per-lane algebra
+    /root/reference/src/stream/queue.rs:968-1035).  Differences from rANS:
+    three u32 state arrays (lower, range, point), a per-lane division for
+    the quantile (f32 divide + exact correction), and the refill shifts all
+    three."""
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    lower_bound = np.uint32(1 << (S - W))
+
+    def kernel(points_in, stream_hbm, syms_out, points_out,
+               lows_s, rngs_s, pts_s, win, base_s, sem):
+        t = pl.program_id(0)
+        lane = _lane_iota(R)
+        lane_flat = _row_iota(R) * LANES + lane
+
+        @pl.when(t == 0)
+        def _init():
+            lows_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            rngs_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            pts_s[:] = points_in[:]
+            base_s[0] = 0
+            dma = pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
+            )
+            dma.start()
+            dma.wait()
+
+        lows, rngs, pts = lows_s[:], rngs_s[:], pts_s[:]
+        base = base_s[0]
+
+        scale = rngs >> P
+        q = _exact_div(pts - lows, scale)
+        sym, cum, prob = _compare_sum_packed(q, cdf, P)
+        new_lows = lows + scale * cum
+        new_rngs = scale * prob
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            new_lows = jnp.where(active, new_lows, lows)
+            new_rngs = jnp.where(active, new_rngs, rngs)
+        lows, rngs = new_lows, new_rngs
+
+        m = rngs < lower_bound
+        m32 = jnp.where(m, 1, 0)
+        k = jnp.sum(m32)
+        nxt = base + k
+        slot = t % 2
+
+        @pl.when(t + 1 < T)
+        def _prefetch():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot],
+                sem.at[1 - slot],
+            ).start()
+
+        s_off = base & 127
+        wfull = win[slot]
+        a = pltpu.roll(wfull, (128 - s_off) & 127, 1)
+        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
+        ranks = _ranks_flat(pltpu, m32)
+        d = lane_flat - ranks
+        ex = _expand_monotone_2d(pltpu, chunk, d)
+
+        lows = jnp.where(m, lows << W, lows)
+        rngs = jnp.where(m, rngs << W, rngs)
+        pts = jnp.where(m, (pts << W) | (ex & np.uint32(cfg.word_mask)), pts)
+
+        lows_s[:] = lows
+        rngs_s[:] = rngs
+        pts_s[:] = pts
+        base_s[0] = nxt
+        syms_out[0] = sym
+
+        @pl.when(t + 1 < T)
+        def _wait_next():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot],
+                sem.at[1 - slot],
+            ).wait()
+
+        @pl.when(t == T - 1)
+        def _final():
+            points_out[:] = pts_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
+                         interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _range_decode_kernel_body(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _pad_stream2d(stream, R: int):
+    stream = jnp.asarray(stream, dtype=jnp.uint32)
+    rows = -(-int(stream.shape[0]) // LANES) + (R + 2)
+    pad = rows * LANES - int(stream.shape[0])
+    return jnp.concatenate(
+        [stream, jnp.zeros(pad, dtype=jnp.uint32)]
+    ).reshape(rows, LANES)
+
+
+def decode_shared_range_pallas(
+    points,
+    stream,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_symbols: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode an ILANS2-R container with the Pallas TPU kernel (matches
+    ops/interleaved2.decode_shared_range_cdf exactly)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0
+    assert cfg.state_bits == 32 and cfg.word_bits == 16
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+    fn = _build_range_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    syms, _pts = fn(
+        jnp.asarray(points, dtype=jnp.uint32).reshape(R, LANES),
+        _pad_stream2d(stream, R),
+    )
+    return syms.reshape(-1)[:num_symbols]
+
+
 @functools.lru_cache(maxsize=32)
 def _build_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
                    interpret: bool):
@@ -287,12 +487,7 @@ def decode_shared_pallas(
     tail = num_symbols - (T - 1) * L
     R = L // LANES
 
-    stream = jnp.asarray(stream, dtype=jnp.uint32)
-    rows = -(-int(stream.shape[0]) // LANES) + (R + 2)
-    pad = rows * LANES - int(stream.shape[0])
-    stream2d = jnp.concatenate(
-        [stream, jnp.zeros(pad, dtype=jnp.uint32)]
-    ).reshape(rows, LANES)
+    stream2d = _pad_stream2d(stream, R)
 
     fn = _build_decoder(
         tuple(int(x) for x in np.asarray(cdf)),

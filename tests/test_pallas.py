@@ -86,3 +86,57 @@ def test_packed_compare_sum_bounds():
         deltas = np.diff(c)
         assert deltas.min() >= 1  # leaky
         assert 2 * 12 + int(max(K - 1, 1)).bit_length() <= 32
+
+
+# ---------------------------------------------------------------------------
+# ILANS2-R (shared-stream interleaved RANGE coding)
+# ---------------------------------------------------------------------------
+
+def _native_available():
+    from constriction_tpu import native
+
+    return native.LIB is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="needs native codec")
+@pytest.mark.parametrize(
+    "L,n,alphabet,seed",
+    [
+        (128, 1024, 16, 0),
+        (256, 2000, 100, 1),
+        (128, 100, 5, 2),
+        (256, 300, 2, 3),
+    ],
+)
+def test_pallas_range_decode_matches_oracle(L, n, alphabet, seed):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    points, stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+    ref = il2.decode_shared_range_cdf(points, stream, n, cdf, cfg)
+    assert np.array_equal(ref, symbols)
+    out = np.asarray(pc.decode_shared_range_pallas(points, stream, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_exact_div_corrections():
+    # the f32-divide + correction must be exact over adversarial operands
+    import jax.numpy as jnp
+
+    from constriction_tpu.ops.pallas_coder import _exact_div
+
+    rng = np.random.RandomState(0)
+    scale = rng.randint(16, 1 << 20, size=4096).astype(np.uint32)
+    q_true = rng.randint(0, 1 << 12, size=4096).astype(np.uint32)
+    r = (rng.rand(4096) * scale).astype(np.uint32)
+    # include exact-boundary remainders 0 and scale-1
+    r[:128] = 0
+    r[128:256] = scale[128:256] - 1
+    diff = (q_true.astype(np.uint64) * scale + r).astype(np.uint32)
+    got = np.asarray(_exact_div(jnp.asarray(diff), jnp.asarray(scale)))
+    np.testing.assert_array_equal(got, q_true)
