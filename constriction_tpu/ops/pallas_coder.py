@@ -245,6 +245,244 @@ def _decode_kernel_body(
     return kernel
 
 
+def _compact_monotone_2d(pltpu, vals: jax.Array, d: jax.Array) -> jax.Array:
+    """Inverse of _expand_monotone_2d: moves vals[l] down by d[l] positions
+    (flat order), LSB->MSB, carrying displacements along.  For d = lane -
+    rank (monotone), renorm lane l lands exactly at position rank_l; other
+    positions receive junk that callers must mask by position."""
+    R = vals.shape[0]
+    L = R * LANES
+    log_l = _log2(L)
+    lane = _lane_iota(R)
+    ex, dd = vals, d
+    for b in range(log_l):
+        sh = 1 << b
+        ex2 = _flat_roll(pltpu, ex, L - sh, lane)
+        dd2 = _flat_roll(pltpu, dd, L - sh, lane)
+        take = (dd2 >> b) & 1
+        ex = jnp.where(take, ex2, ex)
+        dd = jnp.where(take, dd2, dd)
+    return ex
+
+
+def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
+    """(cum, prob) for known symbols via the packed compare-sum (encode
+    side): acc = cum << P | prob, 3 vector ops per CDF boundary."""
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    acc = jnp.full(sym.shape, np.uint32(c[1] - c[0]), dtype=jnp.uint32)
+    zero = jnp.zeros_like(acc)
+    for j in range(1, K):
+        e = sym >= np.int32(j)
+        d1 = c[j] - c[j - 1]
+        w = (c[j + 1] - c[j]) - d1
+        packed = np.uint32(((d1 << P) + w) & 0xFFFFFFFF)
+        acc = acc + jnp.where(e, packed, zero)
+    mask = np.uint32((1 << P) - 1)
+    return (acc >> P) & mask, acc & mask
+
+
+def _encode_kernel_body(
+    pltpu,
+    pl,
+    *,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    T: int,
+    tail: int,
+    R: int,
+    cap_rows: int,
+):
+    """ILANS2 encoder (mirror of the decoder; oracle:
+    ops/interleaved2.encode_shared).  Walks encode steps T-1..0 (the grid
+    index is reversed in the symbol BlockSpec), emits renormalization words
+    right-to-left into the stream buffer at a decreasing end pointer, and
+    resolves the word-granular window writes by merging each new chunk over
+    the previous window image (so already-finalized words above the end
+    pointer are rewritten with their true values, never clobbered)."""
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    seed = np.uint32(1 << (S - W))
+    wmask = np.uint32(cfg.word_mask)
+
+    def kernel(syms_in, stream_out, states_out, end_out,
+               states_s, img, arow_s, sem):
+        t = pl.program_id(0)
+        lane = _lane_iota(R)
+        lane_flat = _row_iota(R) * LANES + lane
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
+            arow_s[0] = cap_rows * LANES  # end pointer e (words)
+            arow_s[1] = cap_rows  # previous window bottom row a_prev
+
+        states = states_s[:]
+        e = arow_s[0]
+        a_prev = arow_s[1]
+
+        sym = syms_in[0]
+        cum, prob = _cum_prob_from_sym(sym, cdf, P)
+
+        if tail < L:
+            active = jnp.logical_or(t > 0, lane_flat < tail)
+        else:
+            active = None
+
+        renorm = (states >> (S - P)) >= prob
+        if active is not None:
+            renorm = jnp.logical_and(renorm, active)
+        r32 = jnp.where(renorm, 1, 0)
+        k = jnp.sum(r32)
+
+        # emitted words, compacted to flat positions [0, k)
+        vals = jnp.where(renorm, states & wmask, np.uint32(0))
+        ranks = _ranks_flat(pltpu, r32)
+        d = lane_flat - ranks
+        compacted = _compact_monotone_2d(pltpu, vals, d)
+
+        # state update
+        shifted = jnp.where(renorm, states >> W, states)
+        q = _exact_div(shifted, prob)
+        rem = shifted - q * prob
+        new_states = (q << P) | (cum + rem)
+        if active is not None:
+            new_states = jnp.where(active, new_states, shifted)
+        states_s[:] = new_states
+
+        # --- build the window image and write it ---------------------------
+        e_new = e - k
+        a = (e_new) >> 7
+        s_off = e_new & 127
+        rel = a_prev - a  # rows the previous image shifts down
+
+        # image buffers are padded to a multiple of 8 rows because dynamic
+        # sublane rotates require 8-aligned shapes; only rows [0, R+1) are
+        # meaningful (and DMA'd).
+        RPAD = -(-(R + 1) // 8) * 8
+        ext = jnp.concatenate(
+            [compacted, jnp.zeros((RPAD - R, LANES), jnp.uint32)], axis=0
+        )  # [RPAD, 128]
+        lane1 = _lane_iota(RPAD)
+        flat1 = _row_iota(RPAD) * LANES + lane1
+        # flat roll of ext by s_off (< 128): chunk word j -> flat s_off + j
+        aa = pltpu.roll(ext, s_off, 1)
+        rot = jnp.where(lane1 >= s_off, aa, pltpu.roll(aa, 1, 0))
+        mask_new = jnp.logical_and(flat1 >= s_off, flat1 < s_off + k)
+        prev = pltpu.roll(img[1 - slot], rel, 0)
+        new_img = jnp.where(mask_new, rot, prev)
+        img[slot] = new_img
+
+        # serialize window DMAs (they overlap in HBM)
+        @pl.when(t > 0)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                img.at[1 - slot, pl.ds(0, R + 1)],
+                stream_out.at[pl.ds(a_prev, R + 1)],
+                sem.at[1 - slot],
+            ).wait()
+
+        pltpu.make_async_copy(
+            img.at[slot, pl.ds(0, R + 1)],
+            stream_out.at[pl.ds(a, R + 1)], sem.at[slot]
+        ).start()
+
+        arow_s[0] = e_new
+        arow_s[1] = a
+
+        @pl.when(t == T - 1)
+        def _final():
+            pltpu.make_async_copy(
+                img.at[slot, pl.ds(0, R + 1)],
+                stream_out.at[pl.ds(a, R + 1)], sem.at[slot]
+            ).wait()
+            states_out[:] = states_s[:]
+            end_out[0] = e_new
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_encoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
+                   cap_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _encode_kernel_body(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            # encode walks steps T-1..0: reverse the block index
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream buffer in HBM
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),        # states
+            pltpu.VMEM((2, -(-(R + 1) // 8) * 8, LANES), jnp.uint32),  # window images (8-aligned)
+            pltpu.SMEM((2,), jnp.int32),                # e, a_prev
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def encode_iid_pallas(
+    symbols,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Encode i.i.d. categorical symbols into the ILANS2 format on TPU.
+
+    Bit-exact with ops/interleaved2.encode_shared (the host encoder):
+    returns ``(init_states u32[L], stream u32[num_words])``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0
+    assert cfg.state_bits == 32 and cfg.word_bits == 16
+    symbols = jnp.asarray(symbols, dtype=jnp.int32)
+    n = int(symbols.shape[0])
+    T = -(-n // L) if n else 0
+    if T == 0:
+        return (jnp.full(L, np.uint32(1 << (cfg.state_bits - cfg.word_bits)),
+                         jnp.uint32), jnp.zeros((0,), jnp.uint32))
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = -(-(T * L) // LANES) + 1  # worst case one word/lane/step
+
+    syms3d = jnp.concatenate(
+        [symbols, jnp.zeros(T * L - n, jnp.int32)]
+    ).reshape(T, R, LANES)
+    fn = _build_encoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    stream_buf, states, end = fn(syms3d)
+    e = int(end[0])
+    return states.reshape(-1), stream_buf.reshape(-1)[e : cap_rows * LANES]
+
+
 def _range_decode_kernel_body(
     pltpu,
     pl,

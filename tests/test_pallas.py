@@ -140,3 +140,52 @@ def test_exact_div_corrections():
     diff = (q_true.astype(np.uint64) * scale + r).astype(np.uint32)
     got = np.asarray(_exact_div(jnp.asarray(diff), jnp.asarray(scale)))
     np.testing.assert_array_equal(got, q_true)
+
+
+# ---------------------------------------------------------------------------
+# Pallas encoder (bit-exact with the host ILANS2 encoder)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize(
+    "L,n,alphabet,seed",
+    [
+        (128, 1024, 16, 0),
+        (256, 2000, 100, 1),
+        (128, 100, 5, 2),
+        (384, 5000, 60, 3),  # R=3: unaligned row count exercises RPAD
+    ],
+)
+def test_pallas_encode_bit_exact(L, n, alphabet, seed):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf64 = cdf.astype(np.uint64)
+    ref_states, ref_stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    got_states, got_stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+    np.testing.assert_array_equal(np.asarray(got_states), ref_states)
+    np.testing.assert_array_equal(np.asarray(got_stream), ref_stream)
+
+
+def test_pallas_encode_decode_roundtrip():
+    # all-TPU-path round trip: Pallas encode -> Pallas decode
+    rng = np.random.RandomState(11)
+    alphabet, n, L = 40, 3000, 256
+    probs = rng.dirichlet(np.full(alphabet, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+    out = np.asarray(
+        pc.decode_shared_pallas(np.asarray(states), np.asarray(stream), cdf, cfg, n)
+    )
+    np.testing.assert_array_equal(out, symbols)
