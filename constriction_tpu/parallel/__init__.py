@@ -6,9 +6,11 @@ from .sharding import (
     make_mesh,
     prepare_blocks,
     shard_decode2,
+    shard_decode2_pallas,
     shard_decode_lookup,
     shard_encode,
     shard_encode2,
+    shard_encode2_pallas,
 )
 
 __all__ = [
@@ -17,7 +19,9 @@ __all__ = [
     "make_mesh",
     "prepare_blocks",
     "shard_decode2",
+    "shard_decode2_pallas",
     "shard_decode_lookup",
     "shard_encode",
     "shard_encode2",
+    "shard_encode2_pallas",
 ]

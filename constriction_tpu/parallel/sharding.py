@@ -184,6 +184,94 @@ def shard_decode2(
 
 
 # ---------------------------------------------------------------------------
+# Pallas-kernel block sharding (the flagship per-chip path, data-parallel)
+# ---------------------------------------------------------------------------
+
+
+def shard_decode2_pallas(
+    mesh: Mesh,
+    init_states: jax.Array,  # [D, L] u32
+    streams2d: jax.Array,  # [D, rows, 128] u32 (padded, see pallas_coder)
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    block_len: int,
+    interpret: Optional[bool] = None,
+):
+    """Decode D equal-length ILANS2 blocks in parallel, one Pallas kernel
+    per device.  All blocks carry ``block_len`` symbols (pad the message);
+    SPMD requires the same static shape on every device.  Returns
+    [D, block_len] i32 sharded along blocks."""
+    from ..ops import pallas_coder as pc
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pc._build_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+
+    def per_block(st_b, stream_b):
+        syms, _ = fn_k(st_b[0].reshape(R, pc.LANES), stream_b[0])
+        return syms.reshape(-1)[None, :block_len]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    return fn(init_states, streams2d)
+
+
+def shard_encode2_pallas(
+    mesh: Mesh,
+    symbols: jax.Array,  # [D, block_len] i32
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: Optional[bool] = None,
+):
+    """Encode D equal-length symbol blocks in parallel with the Pallas
+    encoder.  Returns (init_states [D, L], stream_bufs [D, cap_rows+R+2, 128],
+    ends [D, 2]) sharded along blocks; block d's words are
+    ``stream_bufs[d].reshape(-1)[ends[d, 0] : cap_rows * 128]``."""
+    from ..ops import pallas_coder as pc
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D, block_len = symbols.shape
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    cap_rows = T * R + 1
+    fn_k = pc._build_encoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    pad = T * L - block_len
+
+    def per_block(syms_b):
+        s = syms_b[0]
+        if pad:
+            s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+        buf, states, end = fn_k(s.reshape(T, R, pc.LANES))
+        return states.reshape(-1)[None], buf[None], end[None]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return fn(symbols.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
 # Host-level convenience: end-to-end sharded iid encode/decode
 # ---------------------------------------------------------------------------
 
