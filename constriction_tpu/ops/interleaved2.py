@@ -309,17 +309,50 @@ def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, La
     return init_states, stream[:stream_len], num_symbols, cfg
 
 
+def _pallas_eligible(cfg: LaneConfig, num_boundaries: int) -> bool:
+    """The Pallas kernels cover the small preset: W=16/S=32, L % 128 == 0,
+    and the packed compare-sum field budget 2P + ceil(log2(K)) <= 32."""
+    return (
+        cfg.num_lanes % 128 == 0
+        and cfg.state_bits == 32
+        and cfg.word_bits == 16
+        and 2 * cfg.precision + max(num_boundaries - 1, 1).bit_length() <= 32
+    )
+
+
 def encode_iid_categorical2(
-    symbols: np.ndarray, cdf: np.ndarray, cfg: LaneConfig
+    symbols: np.ndarray, cdf: np.ndarray, cfg: LaneConfig, device: bool = False
 ) -> np.ndarray:
-    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    """Encode i.i.d. categorical symbols into an ILANS2 container.
+
+    ``device=True`` runs the Pallas TPU encoder (bit-identical container);
+    the default is the host (C++/numpy) path.
+    """
     symbols = np.asarray(symbols, dtype=np.int64)
+    if device and _pallas_eligible(cfg, len(cdf) - 1):
+        from . import pallas_coder as pc
+
+        states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+        return pack_container2(
+            np.asarray(states), np.asarray(stream), len(symbols), cfg
+        )
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
     cums = cdf64[symbols]
     probs = cdf64[symbols + 1] - cums
     states, stream = encode_shared(cums, probs, cfg)
     return pack_container2(states, stream, len(symbols), cfg)
 
 
-def decode_iid_categorical2(data: np.ndarray, cdf: np.ndarray) -> np.ndarray:
+def decode_iid_categorical2(
+    data: np.ndarray, cdf: np.ndarray, device: bool = False
+) -> np.ndarray:
+    """Decode an ILANS2 container; ``device=True`` uses the Pallas TPU
+    kernel (identical output), the default the host oracle."""
     init_states, stream, n, cfg = unpack_container2(data)
+    if device and _pallas_eligible(cfg, len(cdf) - 1):
+        from . import pallas_coder as pc
+
+        return np.asarray(
+            pc.decode_shared_pallas(init_states, stream, cdf, cfg, n)
+        )
     return decode_shared_cdf(init_states, stream, n, cdf, cfg)
