@@ -1,0 +1,619 @@
+"""Device-native quantized continuous families for the ILANS2 Pallas coder.
+
+The neural-compression workload (BASELINE config 5) models every symbol with
+its own continuous distribution (per-element mean/scale from a hyperprior).
+The host path builds exactly-invertible f64 tables (models/quantized.py,
+mirroring /root/reference/src/stream/model/quantize.rs:525-568); this module
+is the TPU-native counterpart: the leaky-quantizer formula is evaluated
+*inside the kernel*, with per-step (mean, scale) parameter blocks streamed
+by explicit double-buffered DMA.
+
+Exactness contract.  Float transcendentals on this target are NOT monotone
+(measured: Mosaic tanh has tens of thousands of non-monotone steps, exp a
+handful), and a non-monotone quantized CDF silently breaks the leakiness
+guarantee ``prob >= 1`` (a zero-width interval corrupts the stream).  The
+CDF here is therefore computed in **exact integer arithmetic**:
+
+- the standardized argument t = (x - 0.5 - mean) * (1 / scale) uses three
+  correctly-rounded f32 ops (monotone in x by IEEE-754), then truncates to
+  12-bit fixed point;
+- e^-m is 2^(-m log2 e) with the exponent split into integer/fraction; the
+  fraction uses an integer quadratic P(xf) exhaustively verified monotone
+  (max rel. error 0.19%);
+- the logistic form sigma = N / (4096 + e) uses the exact f32-divide +
+  integer-correction floor division (pallas_coder._exact_div), and exact
+  floor of a monotone rational is monotone.
+
+Every op is identical under numpy, XLA and Mosaic, so the SAME bitstream is
+produced and consumed on host, CPU and TPU (unlike float transcendentals).
+The math helpers take an ``xp`` namespace (numpy or jax.numpy) so the host
+oracle in this file *is* the kernel math.
+
+Families (t standardized): gaussian ~ sigma(1.5958 (t + 0.044715 t^3))
+(logistic approximation of Phi, max CDF error ~2e-3 — a modeling choice
+with negligible rate cost); laplace (exact form, 0.5 e^t / 1 - 0.5 e^-t);
+logistic (exact form).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interleaved import LaneConfig
+from .pallas_coder import (
+    LANES,
+    _compact_monotone_2d,
+    _exact_div,
+    _expand_monotone_2d,
+    _lane_iota,
+    _pad_stream2d,
+    _ranks_flat,
+    _row_iota,
+)
+
+FAMILIES = ("gaussian", "laplace", "logistic")
+
+FX = 12  # fixed-point fraction bits (matches precision 12)
+_T_CLAMP = 8 << FX  # |t| <= 8 standard deviations; beyond is leak-level mass
+# integer quadratic for 2^(-xf/4096) * 2^18, exhaustively verified monotone
+# non-increasing with P(4095) >= P(0) >> 1 (see tests/test_family_int.py)
+_P0, _P1, _P2 = 261640, 174919, 44856
+_PG = 6  # guard bits of P
+_LOG2E = 5909  # round(log2(e) * 4096)
+_GA = 6536  # round(1.5958 * 4096)   sigma(1.5958 (t + c t^3)) ~ Phi(t)
+_GB = 292  # round(1.5958 * 0.044715 * 4096)
+
+
+def _i32(xp, x):
+    return x.astype(xp.int32) if hasattr(x, "astype") else xp.int32(x)
+
+
+def _t_fixed(xp, x_i32, mean, inv_scale):
+    """Fixed-point standardized argument; monotone in x (3 correctly-rounded
+    f32 ops + truncating cast, each order-preserving)."""
+    xf = x_i32.astype(xp.float32)
+    tf = ((xf - np.float32(0.5)) - mean) * inv_scale
+    tf = tf * np.float32(1 << FX)
+    tf = xp.clip(tf, np.float32(-_T_CLAMP), np.float32(_T_CLAMP - 1))
+    return tf.astype(xp.int32)
+
+
+def _exp2_neg(xp, mag):
+    """e_fix ~ 4096 * e^-(mag / 4096) for mag i32 >= 0; exact-integer and
+    verified non-increasing in mag."""
+    m = (mag * np.int32(_LOG2E)) >> FX
+    xi = xp.minimum(m >> FX, np.int32(30))
+    xfr = m & np.int32((1 << FX) - 1)
+    P = (
+        np.int32(_P0)
+        - ((np.int32(_P1) * xfr) >> FX)
+        + ((np.int32(_P2) * ((xfr * xfr) >> FX)) >> FX)
+    )
+    return P >> (np.int32(_PG) + xi)
+
+
+def _mag(xp, family: str, u):
+    """Positive sigmoid argument from |t_fix| (exact integer, monotone)."""
+    if family == "gaussian":
+        u2 = (u * u) >> FX
+        u3 = ((u2 >> 4) * u) >> (FX - 4)
+        return ((np.int32(_GA) * u) >> FX) + ((np.int32(_GB) * u3) >> FX)
+    return u  # laplace, logistic
+
+
+def _floor_div_small(xp, num, den):
+    """Exact floor(num / den) for 0 <= num < 2^24 (f32-exact), den in
+    [1, 2^13]; f32 divide + one-step correction."""
+    qf = num.astype(xp.float32) / den.astype(xp.float32)
+    qh = qf.astype(xp.int32)
+    r = num - qh * den
+    qh = qh + xp.where(r >= den, np.int32(1), np.int32(0))
+    qh = qh - xp.where(r < 0, np.int32(1), np.int32(0))
+    return qh
+
+
+def _ctrunc(xp, family: str, t_fix, free: int):
+    """trunc(free * CDF(t)) in exact integer arithmetic, monotone in t_fix."""
+    neg = t_fix < 0
+    u = xp.where(neg, -t_fix, t_fix)
+    e = _exp2_neg(xp, _mag(xp, family, u))
+    freei = np.int32(free)
+    if family == "laplace":
+        v = freei * e
+        return xp.where(
+            neg, v >> (FX + 1), freei - ((v + np.int32(8191)) >> (FX + 1))
+        )
+    num = xp.where(neg, freei * e, np.int32(free << FX))
+    return _floor_div_small(xp, num, np.int32(1 << FX) + e)
+
+
+def _left_fn(family: str, min_sym: int, precision: int, free: float):
+    """left(x) for interior x in (min, max]: (x - min) + trunc(free*CDF) —
+    the reference's leaky quantizer (quantize.rs:525-568), exact-integer."""
+    assert precision == FX, "device families run at the small preset (P=12)"
+    free_i = int(free)
+
+    def left(x_i32, mean, inv_scale, xp=jnp):
+        t = _t_fixed(xp, x_i32, mean, inv_scale)
+        return (x_i32 - np.int32(min_sym)) + _ctrunc(xp, family, t, free_i)
+
+    return left
+
+
+# ---------------------------------------------------------------------------
+# Host oracle (numpy): identical math, loopy coder — used by tests and as the
+# host-side codec for device-family bitstreams.
+# ---------------------------------------------------------------------------
+
+
+def family_tables_host(symbols, means, scales, family, min_sym, max_sym,
+                       precision=FX):
+    """(cum, prob) u32 arrays for given symbols — numpy twin of the kernel
+    math (bit-identical), pluggable into interleaved2.encode_shared."""
+    free = (1 << precision) - 1 - (max_sym - min_sym)
+    left = _left_fn(family, min_sym, precision, free)
+    sym = np.asarray(symbols, dtype=np.int32)
+    mean = np.asarray(means, dtype=np.float32)
+    inv_scale = np.float32(1.0) / np.asarray(scales, dtype=np.float32)
+    lo = np.where(sym == min_sym, 0, left(sym, mean, inv_scale, xp=np))
+    hi = np.where(
+        sym == max_sym, 1 << precision, left(sym + 1, mean, inv_scale, xp=np)
+    )
+    return lo.astype(np.uint64), (hi - lo).astype(np.uint64)
+
+
+def decode_family_host(init_states, stream, means, scales, family,
+                       min_sym, max_sym, cfg: LaneConfig, num_symbols):
+    """Numpy oracle decoder for device-family ILANS2 streams."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    lower = np.uint64(1 << (S - W))
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    left = _left_fn(family, min_sym, P, free)
+    means = np.asarray(means, dtype=np.float32)
+    scales = np.asarray(scales, dtype=np.float32)
+
+    states = init_states.astype(np.uint64)
+    base = 0
+    out = np.empty(T * L, dtype=np.int32)
+    lanes = np.arange(L)
+    for t in range(T):
+        idx = t * L + lanes
+        active = idx < num_symbols
+        mean = np.where(active, means[np.minimum(idx, num_symbols - 1)], 0.0).astype(np.float32)
+        inv_scale = np.float32(1.0) / np.where(
+            active, scales[np.minimum(idx, num_symbols - 1)], 1.0
+        ).astype(np.float32)
+        q = (states & np.uint64((1 << P) - 1)).astype(np.int32)
+        lo = np.full(L, min_sym, np.int32)
+        hi = np.full(L, max_sym + 1, np.int32)
+        for _ in range(max(max_sym - min_sym, 1).bit_length()):
+            mid = (lo + hi) >> 1
+            take = left(mid, mean, inv_scale, xp=np) <= q
+            lo = np.where(take, mid, lo)
+            hi = np.where(take, hi, mid)
+        sym = lo
+        cum = np.where(sym == min_sym, 0, left(sym, mean, inv_scale, xp=np))
+        right = np.where(
+            sym == max_sym, 1 << P, left(sym + 1, mean, inv_scale, xp=np)
+        )
+        prob = (right - cum).astype(np.uint64)
+        new_states = (states >> np.uint64(P)) * prob + (
+            q.astype(np.uint64) - cum.astype(np.uint64)
+        )
+        states = np.where(active, new_states, states)
+        m = states < lower
+        k = int(m.sum())
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base : base + k]
+            words[: len(avail)] = avail
+            states[m] = (states[m] << np.uint64(W)) | words
+            base += k
+        out[idx] = sym
+    return out[:num_symbols]
+
+
+def _invert_family(left, qi, min_sym: int, max_sym: int, precision: int):
+    """Bisection for sym = max{x : left(x) <= q}, then (cum, prob)."""
+    lo = jnp.full(qi.shape, np.int32(min_sym), jnp.int32)
+    hi = jnp.full(qi.shape, np.int32(max_sym + 1), jnp.int32)
+
+    def mk(mean, inv_scale):
+        l, h = lo, hi
+        span = max_sym + 1 - min_sym
+        iters = max(span - 1, 1).bit_length()
+        for _ in range(iters):
+            mid = (l + h) >> 1
+            take = left(mid, mean, inv_scale) <= qi
+            l = jnp.where(take, mid, l)
+            h = jnp.where(take, h, mid)
+        sym = l
+        cum = jnp.where(
+            sym == np.int32(min_sym), 0, left(sym, mean, inv_scale)
+        )
+        right = jnp.where(
+            sym == np.int32(max_sym),
+            np.int32(1 << precision),
+            left(sym + 1, mean, inv_scale),
+        )
+        return sym, cum.astype(jnp.uint32), (right - cum).astype(jnp.uint32)
+
+    return mk
+
+
+def _family_decode_kernel_body(
+    pltpu, pl, *, family: str, min_sym: int, max_sym: int,
+    cfg: LaneConfig, T: int, tail: int, R: int,
+):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+    free = float((1 << P) - 1 - (max_sym - min_sym))
+    left = _left_fn(family, min_sym, P, free)
+
+    def kernel(states_in, params_hbm, stream_hbm,
+               syms_out, states_out, states_s, win, pbuf, base_s, sem, psem):
+        # params_hbm: [T, 2, R, 128] f32 (mean, scale) — streamed with our
+        # own double-buffered DMA.  (Pallas auto-pipelined inputs combined
+        # with pipelined outputs AND manual DMA in the same kernel hit a
+        # runtime failure at grid sizes >= 64 on this target, so every
+        # transfer in this kernel is explicit.)
+        t = pl.program_id(0)
+        lane = _lane_iota(R)
+        lane_flat = _row_iota(R) * LANES + lane
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = states_in[:]
+            base_s[0] = 0
+            dma = pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
+            )
+            dma.start()
+            dma.wait()
+            pdma = pltpu.make_async_copy(
+                params_hbm.at[0], pbuf.at[0], psem.at[0]
+            )
+            pdma.start()
+            pdma.wait()
+
+        @pl.when(t + 1 < T)
+        def _prefetch_params():
+            pltpu.make_async_copy(
+                params_hbm.at[t + 1], pbuf.at[1 - slot], psem.at[1 - slot]
+            ).start()
+
+        @pl.when(t > 0)
+        def _wait_params():
+            pltpu.make_async_copy(
+                params_hbm.at[t], pbuf.at[slot], psem.at[slot]
+            ).wait()
+
+        states = states_s[:]
+        base = base_s[0]
+        mean = pbuf[slot, 0]
+        inv_scale = np.float32(1.0) / pbuf[slot, 1]
+
+        q = states & qmask
+        qi = q.astype(jnp.int32)
+        sym, cum, prob = _invert_family(left, qi, min_sym, max_sym, P)(
+            mean, inv_scale
+        )
+        new_states = (states >> P) * prob + (q - cum)
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            new_states = jnp.where(active, new_states, states)
+        states = new_states
+
+        m = states < lower
+        m32 = jnp.where(m, 1, 0)
+        k = jnp.sum(m32)
+        nxt = base + k
+
+        @pl.when(t + 1 < T)
+        def _prefetch():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot], sem.at[1 - slot],
+            ).start()
+
+        s_off = base & 127
+        a = pltpu.roll(win[slot], (128 - s_off) & 127, 1)
+        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
+        ranks = _ranks_flat(pltpu, m32)
+        ex = _expand_monotone_2d(pltpu, chunk, lane_flat - ranks)
+        states = jnp.where(
+            m, (states << W) | (ex & np.uint32(cfg.word_mask)), states
+        )
+
+        states_s[:] = states
+        base_s[0] = nxt
+        syms_out[0] = sym  # bisection already yields absolute symbol values
+
+        @pl.when(t + 1 < T)
+        def _wait_next():
+            pltpu.make_async_copy(
+                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                win.at[1 - slot], sem.at[1 - slot],
+            ).wait()
+
+        @pl.when(t == T - 1)
+        def _final():
+            states_out[:] = states_s[:]
+
+    return kernel
+
+
+def _family_encode_kernel_body(
+    pltpu, pl, *, family: str, min_sym: int, max_sym: int,
+    cfg: LaneConfig, T: int, tail: int, R: int, cap_rows: int,
+):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    seed = np.uint32(1 << (S - W))
+    wmask = np.uint32(cfg.word_mask)
+    free = float((1 << P) - 1 - (max_sym - min_sym))
+    left = _left_fn(family, min_sym, P, free)
+
+    def kernel(syms_in, means_in, scales_in, stream_out, states_out, end_out,
+               states_s, img, arow_s, sem):
+        t = pl.program_id(0)
+        lane = _lane_iota(R)
+        lane_flat = _row_iota(R) * LANES + lane
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        states = states_s[:]
+        e = arow_s[0]
+        a_prev = arow_s[1]
+
+        sym = syms_in[0]  # absolute symbol values (i32)
+        mean = means_in[0]
+        inv_scale = np.float32(1.0) / scales_in[0]
+        cum_i = jnp.where(
+            sym == np.int32(min_sym), 0, left(sym, mean, inv_scale)
+        )
+        right_i = jnp.where(
+            sym == np.int32(max_sym),
+            np.int32(1 << P),
+            left(sym + 1, mean, inv_scale),
+        )
+        cum = cum_i.astype(jnp.uint32)
+        prob = (right_i - cum_i).astype(jnp.uint32)
+
+        if tail < L:
+            active = jnp.logical_or(t > 0, lane_flat < tail)
+        else:
+            active = None
+
+        renorm = (states >> (S - P)) >= prob
+        if active is not None:
+            renorm = jnp.logical_and(renorm, active)
+        r32 = jnp.where(renorm, 1, 0)
+        k = jnp.sum(r32)
+
+        vals = jnp.where(renorm, states & wmask, np.uint32(0))
+        ranks = _ranks_flat(pltpu, r32)
+        compacted = _compact_monotone_2d(pltpu, vals, lane_flat - ranks)
+
+        shifted = jnp.where(renorm, states >> W, states)
+        qd = _exact_div(shifted, prob)
+        rem = shifted - qd * prob
+        new_states = (qd << P) | (cum + rem)
+        if active is not None:
+            new_states = jnp.where(active, new_states, shifted)
+        states_s[:] = new_states
+
+        e_new = e - k
+        a = e_new >> 7
+        s_off = e_new & 127
+        rel = a_prev - a
+
+        RPAD = -(-(R + 1) // 8) * 8
+        ext = jnp.concatenate(
+            [compacted, jnp.zeros((RPAD - R, LANES), jnp.uint32)], axis=0
+        )
+        lane1 = _lane_iota(RPAD)
+        flat1 = _row_iota(RPAD) * LANES + lane1
+        aa = pltpu.roll(ext, s_off, 1)
+        rot = jnp.where(lane1 >= s_off, aa, pltpu.roll(aa, 1, 0))
+        mask_new = jnp.logical_and(flat1 >= s_off, flat1 < s_off + k)
+        prev = pltpu.roll(img[1 - slot], rel, 0)
+        img[slot] = jnp.where(mask_new, rot, prev)
+
+        @pl.when(t > 0)
+        def _wait_prev():
+            pltpu.make_async_copy(
+                img.at[1 - slot, pl.ds(0, R + 1)],
+                stream_out.at[pl.ds(a_prev, R + 1)], sem.at[1 - slot],
+            ).wait()
+
+        pltpu.make_async_copy(
+            img.at[slot, pl.ds(0, R + 1)],
+            stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
+        ).start()
+
+        arow_s[0] = e_new
+        arow_s[1] = a
+
+        @pl.when(t == T - 1)
+        def _final():
+            pltpu.make_async_copy(
+                img.at[slot, pl.ds(0, R + 1)],
+                stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
+            ).wait()
+            states_out[:] = states_s[:]
+            end_out[0] = e_new
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_family_decoder(family, min_sym, max_sym, cfg, T, tail, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _family_decode_kernel_body(
+        pltpu, pl, family=family, min_sym=min_sym, max_sym=max_sym,
+        cfg=cfg, T=T, tail=tail, R=R,
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # params [T, 2, R, 128]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.VMEM((2, 2, R, LANES), jnp.float32),  # param double buffer
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_family_encoder(family, min_sym, max_sym, cfg, T, tail, L, cap_rows,
+                          interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _family_encode_kernel_body(
+        pltpu, pl, family=family, min_sym=min_sym, max_sym=max_sym,
+        cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows,
+    )
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _blocks3d(arr, T, R, n, dtype, fill=0):
+    arr = jnp.asarray(arr, dtype=dtype)
+    pad = T * R * LANES - n
+    if pad:
+        arr = jnp.concatenate([arr, jnp.full(pad, fill, dtype)])
+    return arr.reshape(T, R, LANES)
+
+
+def encode_family_pallas(
+    symbols, means, scales, family: str,
+    min_sym: int, max_sym: int, cfg: LaneConfig,
+    interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """On-device encode with per-symbol (mean, scale) parameters.
+
+    Returns ``(init_states u32[L], stream u32[num_words])``; decode with
+    :func:`decode_family_pallas` on the same backend.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    assert family in FAMILIES
+    assert (1 << cfg.precision) - 1 - (max_sym - min_sym) >= max_sym - min_sym + 1, \
+        "support too wide for precision (free weight must cover leakiness)"
+    n = int(np.asarray(symbols).shape[0])
+    T = -(-n // L) if n else 0
+    if T == 0:
+        return (jnp.full(L, np.uint32(1 << (cfg.state_bits - cfg.word_bits)),
+                         jnp.uint32), jnp.zeros((0,), jnp.uint32))
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = T * R + 1
+
+    syms3d = _blocks3d(symbols, T, R, n, jnp.int32, min_sym)
+    means3d = _blocks3d(means, T, R, n, jnp.float32)
+    scales3d = _blocks3d(scales, T, R, n, jnp.float32, 1.0)
+    fn = _build_family_encoder(
+        family, int(min_sym), int(max_sym), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    buf, states, end = fn(syms3d, means3d, scales3d)
+    e = int(end[0])
+    return states.reshape(-1), buf.reshape(-1)[e : cap_rows * LANES]
+
+
+def decode_family_pallas(
+    init_states, stream, means, scales, family: str,
+    min_sym: int, max_sym: int, cfg: LaneConfig, num_symbols: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """On-device decode with per-symbol (mean, scale) parameters."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+    means3d = _blocks3d(means, T, R, num_symbols, jnp.float32)
+    scales3d = _blocks3d(scales, T, R, num_symbols, jnp.float32, 1.0)
+    params = jnp.stack([means3d, scales3d], axis=1)  # [T, 2, R, 128]
+    fn = _build_family_decoder(
+        family, int(min_sym), int(max_sym), cfg, T, tail, L, interpret
+    )
+    syms, _ = fn(
+        jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, LANES),
+        params, _pad_stream2d(stream, R),
+    )
+    return syms.reshape(-1)[:num_symbols]
