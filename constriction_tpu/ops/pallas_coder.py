@@ -207,10 +207,14 @@ def _decode_kernel_body(
         nxt = base + k
         slot = t % 2
 
+        # clamp so corrupt input (garbage states) degrades to garbage output
+        # instead of an out-of-bounds DMA
+        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
+
         @pl.when(t + 1 < T)
         def _prefetch():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot],
                 sem.at[1 - slot],
             ).start()
@@ -233,7 +237,7 @@ def _decode_kernel_body(
         @pl.when(t + 1 < T)
         def _wait_next():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot],
                 sem.at[1 - slot],
             ).wait()
@@ -541,10 +545,14 @@ def _range_decode_kernel_body(
         nxt = base + k
         slot = t % 2
 
+        # clamp so corrupt input (garbage states) degrades to garbage output
+        # instead of an out-of-bounds DMA
+        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
+
         @pl.when(t + 1 < T)
         def _prefetch():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot],
                 sem.at[1 - slot],
             ).start()
@@ -570,7 +578,7 @@ def _range_decode_kernel_body(
         @pl.when(t + 1 < T)
         def _wait_next():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot],
                 sem.at[1 - slot],
             ).wait()

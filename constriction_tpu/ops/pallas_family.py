@@ -319,10 +319,12 @@ def _family_decode_kernel_body(
         k = jnp.sum(m32)
         nxt = base + k
 
+        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
+
         @pl.when(t + 1 < T)
         def _prefetch():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot], sem.at[1 - slot],
             ).start()
 
@@ -342,7 +344,7 @@ def _family_decode_kernel_body(
         @pl.when(t + 1 < T)
         def _wait_next():
             pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(nxt >> 7, R + 1)],
+                stream_hbm.at[pl.ds(row, R + 1)],
                 win.at[1 - slot], sem.at[1 - slot],
             ).wait()
 
