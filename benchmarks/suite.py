@@ -1,0 +1,235 @@
+"""Benchmark suite mirroring the reference's published table
+(/root/reference/README.md:165-240): bit-rate overhead vs the information
+bound and throughput, across message entropies, for every coder path.
+
+Run on TPU:  python benchmarks/suite.py
+Run on CPU:  JAX_PLATFORMS=cpu python benchmarks/suite.py  (small shapes)
+
+Prints a markdown table plus one JSON line per row.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def _entropy_model(kind: str, alphabet: int, rng):
+    """Categorical models at different entropies (the reference sweeps
+    0.001..10 bits/symbol; we pick representative points)."""
+    if kind == "low":  # ~0.12 bits/symbol
+        p = np.full(alphabet, 0.01 / (alphabet - 1))
+        p[0] = 0.99
+    elif kind == "mid":  # ~3 bits/symbol
+        p = np.exp(-0.5 * (np.arange(alphabet) / 8.0) ** 2)
+    else:  # "high": near-uniform, ~6.6 bits/symbol
+        p = rng.dirichlet(np.full(alphabet, 2.0))
+    return p / p.sum()
+
+
+def _pipelined_time(g, args, total):
+    import jax
+
+    def run_k(k):
+        jax.block_until_ready([g(*args) for _ in range(k)])
+
+    run_k(8)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_k(1)
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run_k(9)
+        t9 = time.perf_counter() - t0
+        best = min(best, (t9 - t1) / 8)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops import interleaved2 as il2
+    from constriction_tpu.ops import pallas_coder as pc
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    on_tpu = jax.default_backend() == "tpu"
+    L = (1 << 15) if on_tpu else (1 << 10)
+    total = (1 << 24) if on_tpu else (1 << 18)
+    R = L // 128
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    rng = np.random.RandomState(1234)
+    alphabet = 100
+
+    rows = []
+    print(f"backend={jax.default_backend()}  L={L}  n={total}\n")
+    print("| workload | entropy (bits/sym) | overhead vs bound | marginal overhead | decode GB/s | encode GB/s |")
+    print("|---|---|---|---|---|---|")
+    # "overhead" counts the fixed per-lane state header (L*32 bits, of which
+    # ~L*16 are recoverable payload) -- it amortizes with message length.
+    # "marginal" differences two message lengths, i.e. the true asymptotic
+    # per-symbol overhead.
+
+    for kind in ("low", "mid", "high"):
+        p = _entropy_model(kind, alphabet, rng)
+        model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 12)
+        cdf = model.cdf
+        symbols = rng.choice(alphabet, size=total, p=p).astype(np.int64)
+        cdf64 = cdf.astype(np.uint64)
+        probs_fix = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.float64)
+        info_bits = -np.sum(np.log2(probs_fix / 4096.0))
+        entropy = info_bits / total
+
+        init_states, stream = il2.encode_shared(
+            cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+        )
+        actual_bits = len(stream) * 16 + L * 32
+        overhead = actual_bits / info_bits - 1.0
+        half = total // 2
+        _, stream_h = il2.encode_shared(
+            cdf64[symbols[:half]], cdf64[symbols[:half] + 1] - cdf64[symbols[:half]], cfg
+        )
+        info_h = -np.sum(np.log2(probs_fix[:half] / 4096.0))
+        marginal = ((len(stream) - len(stream_h)) * 16) / (info_bits - info_h) - 1.0
+
+        T = -(-total // L)
+        tail = total - (T - 1) * L
+        dec = pc._build_decoder(tuple(int(x) for x in cdf), cfg, T, tail, L, not on_tpu)
+        st2 = jax.device_put(jnp.asarray(init_states, jnp.uint32).reshape(R, 128))
+        w2 = jax.device_put(pc._pad_stream2d(stream, R))
+        out = np.asarray(dec(st2, w2)[0]).reshape(-1)[:total]
+        assert np.array_equal(out, symbols), f"rANS decode mismatch ({kind})"
+        g = jax.jit(lambda s, w: dec(s, w)[0][0, 0, 0])
+        dt_dec = _pipelined_time(g, (st2, w2), total)
+
+        cap_rows = T * R + 1
+        enc = pc._build_encoder(
+            tuple(int(x) for x in cdf), cfg, T, tail, L, cap_rows, not on_tpu
+        )
+        syms3d = jax.device_put(
+            jnp.concatenate(
+                [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - total, jnp.int32)]
+            ).reshape(T, R, 128)
+        )
+        ge = jax.jit(lambda s: enc(s)[2][0])
+        dt_enc = _pipelined_time(ge, (syms3d,), total)
+
+        name = f"rANS {kind}-entropy categorical (K={alphabet}, P=12)"
+        row = {
+            "workload": name,
+            "entropy_bits": round(entropy, 3),
+            "overhead_pct": round(overhead * 100, 3),
+            "marginal_overhead_pct": round(marginal * 100, 4),
+            "decode_GBps": round(total / dt_dec / 1e9, 2),
+            "encode_GBps": round(total / dt_enc / 1e9, 2),
+        }
+        rows.append(row)
+        print(
+            f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+            f"| {row['marginal_overhead_pct']}% "
+            f"| {row['decode_GBps']} | {row['encode_GBps']} |"
+        )
+
+    # range coder decode (encode is host C++)
+    from constriction_tpu import native
+
+    if native.LIB is not None:
+        p = _entropy_model("high", alphabet, rng)
+        model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 12)
+        cdf = model.cdf
+        symbols = rng.choice(alphabet, size=total, p=p).astype(np.int64)
+        points, stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+        cdf64 = cdf.astype(np.uint64)
+        probs_fix = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.float64)
+        info_bits = -np.sum(np.log2(probs_fix / 4096.0))
+        overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
+        half = total // 2
+        _, stream_h = il2.encode_iid_categorical_range(symbols[:half], cdf, cfg)
+        info_h = -np.sum(np.log2(probs_fix[:half] / 4096.0))
+        marginal = ((len(stream) - len(stream_h)) * 16) / (info_bits - info_h) - 1.0
+        T = -(-total // L)
+        dec = pc._build_range_decoder(
+            tuple(int(x) for x in cdf), cfg, T, total - (T - 1) * L, L, not on_tpu
+        )
+        pts2 = jax.device_put(jnp.asarray(points, jnp.uint32).reshape(R, 128))
+        w2 = jax.device_put(pc._pad_stream2d(stream, R))
+        out = np.asarray(dec(pts2, w2)[0]).reshape(-1)[:total]
+        assert np.array_equal(out, symbols), "range decode mismatch"
+        g = jax.jit(lambda s, w: dec(s, w)[0][0, 0, 0])
+        dt = _pipelined_time(g, (pts2, w2), total)
+        row = {
+            "workload": "range coding high-entropy categorical",
+            "entropy_bits": round(info_bits / total, 3),
+            "overhead_pct": round(overhead * 100, 3),
+            "marginal_overhead_pct": round(marginal * 100, 4),
+            "decode_GBps": round(total / dt / 1e9, 2),
+            "encode_GBps": None,
+        }
+        rows.append(row)
+        print(
+            f"| {row['workload']} | {row['entropy_bits']} | {row['overhead_pct']}% "
+            f"| {row['marginal_overhead_pct']}% | {row['decode_GBps']} | host C++ |"
+        )
+
+    # per-symbol gaussian family
+    from constriction_tpu.ops import pallas_family as pf
+
+    n_fam = total >> 1
+    means = (rng.randn(n_fam) * 10).astype(np.float32)
+    scales = (0.3 + np.abs(rng.randn(n_fam)) * 5).astype(np.float32)
+    symbols = np.clip(np.round(means + rng.randn(n_fam) * scales), -100, 100).astype(np.int32)
+    cums, probs = pf.family_tables_host(symbols, means, scales, "gaussian", -100, 100)
+    info_bits = -np.sum(np.log2(probs.astype(np.float64) / 4096.0))
+    states, stream = pf.encode_family_pallas(symbols, means, scales, "gaussian", -100, 100, cfg)
+    states, stream = np.asarray(states), np.asarray(stream)
+    overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
+    half = n_fam // 2
+    _, stream_h = pf.encode_family_pallas(
+        symbols[:half], means[:half], scales[:half], "gaussian", -100, 100, cfg
+    )
+    info_h = -np.sum(np.log2(probs[:half].astype(np.float64) / 4096.0))
+    marginal = ((len(stream) - len(np.asarray(stream_h))) * 16) / (info_bits - info_h) - 1.0
+    T = -(-n_fam // L)
+    fdec = pf._build_family_decoder(
+        "gaussian", -100, 100, cfg, T, n_fam - (T - 1) * L, L, not on_tpu
+    )
+    m3 = pf._blocks3d(means, T, R, n_fam, jnp.float32)
+    s3 = pf._blocks3d(scales, T, R, n_fam, jnp.float32, 1.0)
+    params = jax.device_put(jnp.stack([m3, s3], axis=1))
+    st2 = jax.device_put(jnp.asarray(states, jnp.uint32).reshape(R, 128))
+    w2 = jax.device_put(pf._pad_stream2d(stream, R))
+    out = np.asarray(fdec(st2, params, w2)[0]).reshape(-1)[:n_fam]
+    assert np.array_equal(out, symbols), "family decode mismatch"
+    g = jax.jit(lambda s, p_, w: fdec(s, p_, w)[0][0, 0, 0])
+    dt = _pipelined_time(g, (st2, params, w2), n_fam)
+    row = {
+        "workload": "per-symbol quantized Gaussian (device family)",
+        "entropy_bits": round(info_bits / n_fam, 3),
+        "overhead_pct": round(overhead * 100, 3),
+        "marginal_overhead_pct": round(marginal * 100, 4),
+        "decode_GBps": round(n_fam / dt / 1e9, 2),
+        "encode_GBps": None,
+    }
+    rows.append(row)
+    print(
+        f"| {row['workload']} | {row['entropy_bits']} | {row['overhead_pct']}% "
+        f"| {row['marginal_overhead_pct']}% | {row['decode_GBps']} | see pallas encoder |"
+    )
+
+    print()
+    for r in rows:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
