@@ -155,6 +155,56 @@ def _exact_div(diff: jax.Array, scale: jax.Array) -> jax.Array:
     return qh.astype(jnp.uint32)
 
 
+
+def _init_stream_window(pltpu, pl, stream_hbm, win, sem, R):
+    """Blocking DMA of the first (R+1)-row stream window into slot 0."""
+    dma = pltpu.make_async_copy(
+        stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
+    )
+    dma.start()
+    dma.wait()
+
+
+def _refill_words(pltpu, pl, *, stream_hbm, win, sem, base, m, t, T, R):
+    """Shared decode-side refill machinery.
+
+    Given the refill mask ``m`` and the current stream word offset ``base``:
+    counts refills, prefetches the NEXT window (row-clamped so corrupt input
+    degrades to garbage output instead of an out-of-bounds DMA), extracts
+    the current L-word chunk at the word-granular offset (dynamic lane
+    rotate + row-boundary select), butterfly-distributes it to refilling
+    lanes, and waits for the prefetch.  Returns ``(ex, nxt)``: the per-lane
+    refill word (valid where ``m``) and the next word offset.
+    """
+    lane = _lane_iota(R)
+    lane_flat = _row_iota(R) * LANES + lane
+    m32 = jnp.where(m, 1, 0)
+    k = jnp.sum(m32)
+    nxt = base + k
+    slot = t % 2
+    row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
+
+    @pl.when(t + 1 < T)
+    def _prefetch():
+        pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(row, R + 1)], win.at[1 - slot], sem.at[1 - slot]
+        ).start()
+
+    s_off = base & 127
+    a = pltpu.roll(win[slot], (128 - s_off) & 127, 1)  # dyn lane rotate by -s
+    chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
+    ranks = _ranks_flat(pltpu, m32)
+    ex = _expand_monotone_2d(pltpu, chunk, lane_flat - ranks)
+
+    @pl.when(t + 1 < T)
+    def _wait_next():
+        pltpu.make_async_copy(
+            stream_hbm.at[pl.ds(row, R + 1)], win.at[1 - slot], sem.at[1 - slot]
+        ).wait()
+
+    return ex, nxt
+
+
 def _decode_kernel_body(
     pltpu,
     pl,
@@ -173,23 +223,18 @@ def _decode_kernel_body(
     def kernel(states_in, stream_hbm, syms_out, states_out,
                states_s, win, base_s, sem):
         t = pl.program_id(0)
-        lane = _lane_iota(R)
-        lane_flat = _row_iota(R) * LANES + lane
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
             states_s[:] = states_in[:]
             base_s[0] = 0
-            dma = pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
-            )
-            dma.start()
-            dma.wait()
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
 
         states = states_s[:]
-        base = base_s[0]
 
-        # --- model inversion + state update -------------------------------
+        # --- model inversion + state update (reference rANS algebra,
+        # stack.rs:1086-1096) ------------------------------------------------
         q = states & qmask
         sym, cum, prob = _compare_sum_packed(q, cdf, P)
         new_states = (states >> P) * prob + (q - cum)
@@ -198,49 +243,16 @@ def _decode_kernel_body(
             new_states = jnp.where(active, new_states, states)
         states = new_states
 
-        # --- refill schedule ----------------------------------------------
         m = states < lower
-        m32 = jnp.where(m, 1, 0)
-        k = jnp.sum(m32)
-
-        # prefetch next window while we distribute the current one
-        nxt = base + k
-        slot = t % 2
-
-        # clamp so corrupt input (garbage states) degrades to garbage output
-        # instead of an out-of-bounds DMA
-        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
-
-        @pl.when(t + 1 < T)
-        def _prefetch():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot],
-                sem.at[1 - slot],
-            ).start()
-
-        # --- distribute chunk words to refilling lanes ---------------------
-        s_off = base & 127
-        wfull = win[slot]  # [R+1, 128]
-        a = pltpu.roll(wfull, (128 - s_off) & 127, 1)  # dyn lane rotate by -s
-        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
-        ranks = _ranks_flat(pltpu, m32)
-        d = lane_flat - ranks
-        ex = _expand_monotone_2d(pltpu, chunk, d)
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
         states = jnp.where(m, (states << W) | (ex & np.uint32(cfg.word_mask)), states)
 
-        # --- commit ---------------------------------------------------------
         states_s[:] = states
         base_s[0] = nxt
         syms_out[0] = sym
-
-        @pl.when(t + 1 < T)
-        def _wait_next():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot],
-                sem.at[1 - slot],
-            ).wait()
 
         @pl.when(t == T - 1)
         def _final():

@@ -50,9 +50,11 @@ from .pallas_coder import (
     _compact_monotone_2d,
     _exact_div,
     _expand_monotone_2d,
+    _init_stream_window,
     _lane_iota,
     _pad_stream2d,
     _ranks_flat,
+    _refill_words,
     _row_iota,
 )
 
@@ -275,11 +277,7 @@ def _family_decode_kernel_body(
         def _init():
             states_s[:] = states_in[:]
             base_s[0] = 0
-            dma = pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
-            )
-            dma.start()
-            dma.wait()
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
             pdma = pltpu.make_async_copy(
                 params_hbm.at[0], pbuf.at[0], psem.at[0]
             )
@@ -299,7 +297,6 @@ def _family_decode_kernel_body(
             ).wait()
 
         states = states_s[:]
-        base = base_s[0]
         mean = pbuf[slot, 0]
         inv_scale = np.float32(1.0) / pbuf[slot, 1]
 
@@ -315,24 +312,10 @@ def _family_decode_kernel_body(
         states = new_states
 
         m = states < lower
-        m32 = jnp.where(m, 1, 0)
-        k = jnp.sum(m32)
-        nxt = base + k
-
-        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
-
-        @pl.when(t + 1 < T)
-        def _prefetch():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot], sem.at[1 - slot],
-            ).start()
-
-        s_off = base & 127
-        a = pltpu.roll(win[slot], (128 - s_off) & 127, 1)
-        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
-        ranks = _ranks_flat(pltpu, m32)
-        ex = _expand_monotone_2d(pltpu, chunk, lane_flat - ranks)
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
         states = jnp.where(
             m, (states << W) | (ex & np.uint32(cfg.word_mask)), states
         )
@@ -340,13 +323,6 @@ def _family_decode_kernel_body(
         states_s[:] = states
         base_s[0] = nxt
         syms_out[0] = sym  # bisection already yields absolute symbol values
-
-        @pl.when(t + 1 < T)
-        def _wait_next():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot], sem.at[1 - slot],
-            ).wait()
 
         @pl.when(t == T - 1)
         def _final():
