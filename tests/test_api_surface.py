@@ -1,0 +1,118 @@
+"""API-surface parity checks (SURVEY Appendix A.1): constructor combos,
+call-form dispatch, error contracts, random access."""
+
+import numpy as np
+import pytest
+
+import constriction_tpu as c
+
+
+def test_model_constructor_combinations():
+    c.stream.model.CustomModel(
+        lambda x, m, s: 0.5 * (1 + np.tanh((x - m) / s)),
+        lambda q, m, s: m + s * np.arctanh(2 * q - 1),
+        -10, 10,
+    )
+    import scipy.stats
+
+    c.stream.model.ScipyModel(scipy.stats.norm(2.0, 5.0), -10, 10)
+    c.stream.model.Categorical(np.array([0.2, 0.3, 0.5]), perfect=False)
+    c.stream.model.Categorical(perfect=False)
+    c.stream.model.Categorical(lazy=True)
+    c.stream.model.Uniform(10)
+    c.stream.model.Uniform()
+    for cls, kw in [
+        ("QuantizedGaussian", "std"),
+        ("QuantizedLaplace", "scale"),
+        ("QuantizedCauchy", "scale"),
+    ]:
+        K = getattr(c.stream.model, cls)
+        K(-50, 50, 3.2, 9.6)  # both
+        K(-50, 50)  # family
+        K(-50, 50, 3.2)  # mean fixed
+        K(-50, 50, **{kw: 9.6})  # scale fixed
+    c.stream.model.Binomial(10, 0.3)
+    c.stream.model.Binomial(10)
+    c.stream.model.Binomial()
+    c.stream.model.Binomial(p=0.3)
+    c.stream.model.Bernoulli(0.3, perfect=False)
+    c.stream.model.Bernoulli(perfect=False)
+
+
+def test_scalar_symbol_encode_decode():
+    m = c.stream.model.QuantizedGaussian(-50, 50, 3.2, 9.6)
+    enc = c.stream.stack.AnsCoder()
+    enc.encode_reverse(5, m)
+    assert enc.decode(m) == 5
+
+
+def test_scalar_symbol_with_family_params_errors():
+    fam = c.stream.model.QuantizedGaussian(-50, 50)
+    enc = c.stream.stack.AnsCoder()
+    with pytest.raises((ValueError, TypeError)):
+        enc.encode_reverse(5, fam, np.array([1.0]), np.array([2.0]))
+
+
+def test_wrong_param_length_errors():
+    fam = c.stream.model.QuantizedGaussian(-50, 50)
+    enc = c.stream.stack.AnsCoder()
+    with pytest.raises(ValueError):
+        enc.encode_reverse(
+            np.array([1, 2, 3], np.int32), fam,
+            np.array([1.0, 2.0]), np.array([2.0, 1.0]),
+        )
+
+
+def test_empty_range_encoder_empty_output():
+    assert len(c.stream.queue.RangeEncoder().get_compressed()) == 0
+
+
+def test_range_random_access():
+    m = c.stream.model.Categorical(np.array([0.2, 0.3, 0.5]), perfect=False)
+    enc = c.stream.queue.RangeEncoder()
+    enc.encode(np.array([0, 1, 2, 1] * 10, np.int32), m)
+    snap = enc.pos()
+    enc.encode(np.array([2, 2, 0, 1] * 10, np.int32), m)
+    dec = c.stream.queue.RangeDecoder(enc.get_compressed())
+    dec.seek(*snap)
+    np.testing.assert_array_equal(dec.decode(m, 40), np.array([2, 2, 0, 1] * 10))
+
+
+def test_ans_random_access():
+    m = c.stream.model.Categorical(np.array([0.2, 0.3, 0.5]), perfect=False)
+    enc = c.stream.stack.AnsCoder()
+    enc.encode_reverse(np.array([2, 2, 0, 1] * 10, np.int32), m)
+    snap = enc.pos()
+    enc.encode_reverse(np.array([0, 1, 2, 1] * 10, np.int32), m)
+    dec = enc.clone()
+    dec.seek(*snap)
+    np.testing.assert_array_equal(dec.decode(m, 40), np.array([2, 2, 0, 1] * 10))
+
+
+def test_maybe_exhausted_and_num_valid_bits():
+    m = c.stream.model.Categorical(np.array([0.5, 0.5]), perfect=False)
+    enc = c.stream.queue.RangeEncoder()
+    enc.encode(np.array([0, 1], np.int32), m)
+    d = enc.get_decoder()
+    d.decode(m, 2)
+    assert d.maybe_exhausted()
+
+    a = c.stream.stack.AnsCoder()
+    a.encode_reverse(np.array([0, 1, 1], np.int32), m)
+    assert 0 < a.num_valid_bits() <= a.num_bits()
+
+
+def test_model_diagnostics_and_conversion():
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+
+    m = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        np.array([0.2, 0.3, 0.5]), 24
+    )
+    assert abs(m.entropy_base2() - 1.485) < 0.01
+    assert m.kl_divergence_base2([0.2, 0.3, 0.5]) >= 0
+    assert m.cross_entropy_base2([0.2, 0.3, 0.5]) >= m.entropy_base2() - 1e-9
+    lk = m.to_lookup_decoder_model() if hasattr(m, "to_lookup_decoder_model") else None
+    if lk is not None:
+        assert lk.qf(0)[0] == 0
