@@ -519,11 +519,10 @@ def _range_decode_kernel_body(
     L = R * LANES
     lower_bound = np.uint32(1 << (S - W))
 
-    def kernel(points_in, stream_hbm, syms_out, points_out,
+    def kernel(points_in, stream_hbm, syms_out, points_out, bad_out,
                lows_s, rngs_s, pts_s, win, base_s, sem):
         t = pl.program_id(0)
-        lane = _lane_iota(R)
-        lane_flat = _row_iota(R) * LANES + lane
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
@@ -531,17 +530,23 @@ def _range_decode_kernel_body(
             rngs_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
             pts_s[:] = points_in[:]
             base_s[0] = 0
-            dma = pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(0, R + 1)], win.at[0], sem.at[0]
-            )
-            dma.start()
-            dma.wait()
+            base_s[1] = 0  # invalid-data flag
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
 
         lows, rngs, pts = lows_s[:], rngs_s[:], pts_s[:]
-        base = base_s[0]
 
         scale = rngs >> P
         q = _exact_div(pts - lows, scale)
+        # invalid-data detection (queue.rs:991-993): a quantile >= 2^P means
+        # the data is inconsistent with the entropy model
+        if tail < L:
+            act_q = jnp.logical_or(t < T - 1, lane_flat < tail)
+            qmaxv = jnp.max(jnp.where(act_q, q, jnp.uint32(0)))
+        else:
+            qmaxv = jnp.max(q)
+        base_s[1] = base_s[1] | jnp.where(
+            qmaxv >= np.uint32(1 << P), np.int32(1), np.int32(0)
+        )
         sym, cum, prob = _compare_sum_packed(q, cdf, P)
         new_lows = lows + scale * cum
         new_rngs = scale * prob
@@ -552,52 +557,23 @@ def _range_decode_kernel_body(
         lows, rngs = new_lows, new_rngs
 
         m = rngs < lower_bound
-        m32 = jnp.where(m, 1, 0)
-        k = jnp.sum(m32)
-        nxt = base + k
-        slot = t % 2
-
-        # clamp so corrupt input (garbage states) degrades to garbage output
-        # instead of an out-of-bounds DMA
-        row = jnp.minimum(nxt >> 7, np.int32(stream_hbm.shape[0] - (R + 1)))
-
-        @pl.when(t + 1 < T)
-        def _prefetch():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot],
-                sem.at[1 - slot],
-            ).start()
-
-        s_off = base & 127
-        wfull = win[slot]
-        a = pltpu.roll(wfull, (128 - s_off) & 127, 1)
-        chunk = jnp.where(lane < 128 - s_off, a[0:R], a[1 : R + 1])
-        ranks = _ranks_flat(pltpu, m32)
-        d = lane_flat - ranks
-        ex = _expand_monotone_2d(pltpu, chunk, d)
-
-        lows = jnp.where(m, lows << W, lows)
-        rngs = jnp.where(m, rngs << W, rngs)
-        pts = jnp.where(m, (pts << W) | (ex & np.uint32(cfg.word_mask)), pts)
-
-        lows_s[:] = lows
-        rngs_s[:] = rngs
-        pts_s[:] = pts
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        lows_s[:] = jnp.where(m, lows << W, lows)
+        rngs_s[:] = jnp.where(m, rngs << W, rngs)
+        pts_s[:] = jnp.where(
+            m, (pts << W) | (ex & np.uint32(cfg.word_mask)), pts
+        )
         base_s[0] = nxt
         syms_out[0] = sym
-
-        @pl.when(t + 1 < T)
-        def _wait_next():
-            pltpu.make_async_copy(
-                stream_hbm.at[pl.ds(row, R + 1)],
-                win.at[1 - slot],
-                sem.at[1 - slot],
-            ).wait()
 
         @pl.when(t == T - 1)
         def _final():
             points_out[:] = pts_s[:]
+            bad_out[0] = base_s[1]
+            bad_out[1] = 0
 
     return kernel
 
@@ -624,17 +600,19 @@ def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
             jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((R, LANES), jnp.uint32),
             pltpu.VMEM((R, LANES), jnp.uint32),
             pltpu.VMEM((R, LANES), jnp.uint32),
             pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -674,10 +652,14 @@ def decode_shared_range_pallas(
     fn = _build_range_decoder(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
     )
-    syms, _pts = fn(
+    syms, _pts, bad = fn(
         jnp.asarray(points, dtype=jnp.uint32).reshape(R, LANES),
         _pad_stream2d(stream, R),
     )
+    if int(bad[0]):
+        raise ValueError(
+            "Tried to decode data that is inconsistent with the entropy model."
+        )
     return syms.reshape(-1)[:num_symbols]
 
 

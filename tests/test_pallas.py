@@ -189,3 +189,20 @@ def test_pallas_encode_decode_roundtrip():
         pc.decode_shared_pallas(np.asarray(states), np.asarray(stream), cdf, cfg, n)
     )
     np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.skipif(not _native_available(), reason="needs native codec")
+def test_pallas_range_decode_detects_invalid_data():
+    rng = np.random.RandomState(0)
+    alphabet, n, L = 20, 1000, 128
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    points, stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+    garbage_points = np.full_like(points, 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="inconsistent"):
+        pc.decode_shared_range_pallas(garbage_points, stream, cdf, cfg, n)
