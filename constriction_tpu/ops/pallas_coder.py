@@ -299,6 +299,72 @@ def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
     return (acc >> P) & mask, acc & mask
 
 
+
+def _emit_words(pltpu, pl, *, stream_out, img, sem, arow_s, renorm, vals,
+                t, T, R, cap_rows):
+    """Shared encode-side emission machinery.
+
+    Compacts ``vals`` (the W-bit words of renormalizing lanes) into stream
+    order via the inverse monotone butterfly and writes them right-to-left
+    at the decreasing end pointer ``arow_s[0]``: each (R+1)-row window image
+    is built by merging the new chunk over the previous image shifted into
+    place (so finalized words above the end pointer are rewritten with their
+    true values), and window DMAs are serialized but overlap compute.
+    Returns the emission count ``k``; commits the new end pointer."""
+    lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+    slot = t % 2
+    e = arow_s[0]
+    a_prev = arow_s[1]
+
+    r32 = jnp.where(renorm, 1, 0)
+    k = jnp.sum(r32)
+    ranks = _ranks_flat(pltpu, r32)
+    compacted = _compact_monotone_2d(pltpu, vals, lane_flat - ranks)
+
+    e_new = e - k
+    a = e_new >> 7
+    s_off = e_new & 127
+    rel = a_prev - a
+
+    # image buffers are padded to a multiple of 8 rows (dynamic sublane
+    # rotates require 8-aligned shapes); only rows [0, R+1) are DMA'd
+    RPAD = -(-(R + 1) // 8) * 8
+    ext = jnp.concatenate(
+        [compacted, jnp.zeros((RPAD - R, LANES), jnp.uint32)], axis=0
+    )
+    lane1 = _lane_iota(RPAD)
+    flat1 = _row_iota(RPAD) * LANES + lane1
+    aa = pltpu.roll(ext, s_off, 1)
+    rot = jnp.where(lane1 >= s_off, aa, pltpu.roll(aa, 1, 0))
+    mask_new = jnp.logical_and(flat1 >= s_off, flat1 < s_off + k)
+    prev = pltpu.roll(img[1 - slot], rel, 0)
+    img[slot] = jnp.where(mask_new, rot, prev)
+
+    @pl.when(t > 0)
+    def _wait_prev():
+        pltpu.make_async_copy(
+            img.at[1 - slot, pl.ds(0, R + 1)],
+            stream_out.at[pl.ds(a_prev, R + 1)], sem.at[1 - slot],
+        ).wait()
+
+    pltpu.make_async_copy(
+        img.at[slot, pl.ds(0, R + 1)],
+        stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
+    ).start()
+
+    arow_s[0] = e_new
+    arow_s[1] = a
+
+    @pl.when(t == T - 1)
+    def _final_wait():
+        pltpu.make_async_copy(
+            img.at[slot, pl.ds(0, R + 1)],
+            stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
+        ).wait()
+
+    return e_new
+
+
 def _encode_kernel_body(
     pltpu,
     pl,
@@ -325,9 +391,7 @@ def _encode_kernel_body(
     def kernel(syms_in, stream_out, states_out, end_out,
                states_s, img, arow_s, sem):
         t = pl.program_id(0)
-        lane = _lane_iota(R)
-        lane_flat = _row_iota(R) * LANES + lane
-        slot = t % 2
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
@@ -336,9 +400,6 @@ def _encode_kernel_body(
             arow_s[1] = cap_rows  # previous window bottom row a_prev
 
         states = states_s[:]
-        e = arow_s[0]
-        a_prev = arow_s[1]
-
         sym = syms_in[0]
         cum, prob = _cum_prob_from_sym(sym, cdf, P)
 
@@ -350,16 +411,13 @@ def _encode_kernel_body(
         renorm = (states >> (S - P)) >= prob
         if active is not None:
             renorm = jnp.logical_and(renorm, active)
-        r32 = jnp.where(renorm, 1, 0)
-        k = jnp.sum(r32)
-
-        # emitted words, compacted to flat positions [0, k)
         vals = jnp.where(renorm, states & wmask, np.uint32(0))
-        ranks = _ranks_flat(pltpu, r32)
-        d = lane_flat - ranks
-        compacted = _compact_monotone_2d(pltpu, vals, d)
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
 
-        # state update
+        # state update (reference rANS encode algebra, stack.rs:1035-1046)
         shifted = jnp.where(renorm, states >> W, states)
         q = _exact_div(shifted, prob)
         rem = shifted - q * prob
@@ -368,54 +426,11 @@ def _encode_kernel_body(
             new_states = jnp.where(active, new_states, shifted)
         states_s[:] = new_states
 
-        # --- build the window image and write it ---------------------------
-        e_new = e - k
-        a = (e_new) >> 7
-        s_off = e_new & 127
-        rel = a_prev - a  # rows the previous image shifts down
-
-        # image buffers are padded to a multiple of 8 rows because dynamic
-        # sublane rotates require 8-aligned shapes; only rows [0, R+1) are
-        # meaningful (and DMA'd).
-        RPAD = -(-(R + 1) // 8) * 8
-        ext = jnp.concatenate(
-            [compacted, jnp.zeros((RPAD - R, LANES), jnp.uint32)], axis=0
-        )  # [RPAD, 128]
-        lane1 = _lane_iota(RPAD)
-        flat1 = _row_iota(RPAD) * LANES + lane1
-        # flat roll of ext by s_off (< 128): chunk word j -> flat s_off + j
-        aa = pltpu.roll(ext, s_off, 1)
-        rot = jnp.where(lane1 >= s_off, aa, pltpu.roll(aa, 1, 0))
-        mask_new = jnp.logical_and(flat1 >= s_off, flat1 < s_off + k)
-        prev = pltpu.roll(img[1 - slot], rel, 0)
-        new_img = jnp.where(mask_new, rot, prev)
-        img[slot] = new_img
-
-        # serialize window DMAs (they overlap in HBM)
-        @pl.when(t > 0)
-        def _wait_prev():
-            pltpu.make_async_copy(
-                img.at[1 - slot, pl.ds(0, R + 1)],
-                stream_out.at[pl.ds(a_prev, R + 1)],
-                sem.at[1 - slot],
-            ).wait()
-
-        pltpu.make_async_copy(
-            img.at[slot, pl.ds(0, R + 1)],
-            stream_out.at[pl.ds(a, R + 1)], sem.at[slot]
-        ).start()
-
-        arow_s[0] = e_new
-        arow_s[1] = a
-
         @pl.when(t == T - 1)
         def _final():
-            pltpu.make_async_copy(
-                img.at[slot, pl.ds(0, R + 1)],
-                stream_out.at[pl.ds(a, R + 1)], sem.at[slot]
-            ).wait()
             states_out[:] = states_s[:]
             end_out[0] = e_new
+            end_out[1] = 0
 
     return kernel
 

@@ -47,13 +47,11 @@ import numpy as np
 from .interleaved import LaneConfig
 from .pallas_coder import (
     LANES,
-    _compact_monotone_2d,
+    _emit_words,
     _exact_div,
-    _expand_monotone_2d,
     _init_stream_window,
     _lane_iota,
     _pad_stream2d,
-    _ranks_flat,
     _refill_words,
     _row_iota,
 )
@@ -223,29 +221,31 @@ def decode_family_host(init_states, stream, means, scales, family,
 
 
 def _invert_family(left, qi, min_sym: int, max_sym: int, precision: int):
-    """Bisection for sym = max{x : left(x) <= q}, then (cum, prob)."""
+    """Bisection for sym = max{x : left(x) <= q}, then (cum, prob).
+
+    The left() values at the surviving endpoints are carried through the
+    bisection, so no extra CDF evaluations are needed afterwards: at
+    termination lo's value was computed when it was last taken (or is the
+    pinned 0 at min), and hi == lo + 1 with its value from the last
+    rejection (or the pinned 2^P at max + 1)."""
     lo = jnp.full(qi.shape, np.int32(min_sym), jnp.int32)
     hi = jnp.full(qi.shape, np.int32(max_sym + 1), jnp.int32)
 
     def mk(mean, inv_scale):
         l, h = lo, hi
+        cum = jnp.zeros(qi.shape, jnp.int32)  # left(min) is pinned to 0
+        right = jnp.full(qi.shape, np.int32(1 << precision), jnp.int32)
         span = max_sym + 1 - min_sym
         iters = max(span - 1, 1).bit_length()
         for _ in range(iters):
             mid = (l + h) >> 1
-            take = left(mid, mean, inv_scale) <= qi
+            lmid = left(mid, mean, inv_scale)
+            take = lmid <= qi
             l = jnp.where(take, mid, l)
             h = jnp.where(take, h, mid)
-        sym = l
-        cum = jnp.where(
-            sym == np.int32(min_sym), 0, left(sym, mean, inv_scale)
-        )
-        right = jnp.where(
-            sym == np.int32(max_sym),
-            np.int32(1 << precision),
-            left(sym + 1, mean, inv_scale),
-        )
-        return sym, cum.astype(jnp.uint32), (right - cum).astype(jnp.uint32)
+            cum = jnp.where(take, lmid, cum)
+            right = jnp.where(take, right, lmid)
+        return l, cum.astype(jnp.uint32), (right - cum).astype(jnp.uint32)
 
     return mk
 
@@ -345,9 +345,7 @@ def _family_encode_kernel_body(
     def kernel(syms_in, means_in, scales_in, stream_out, states_out, end_out,
                states_s, img, arow_s, sem):
         t = pl.program_id(0)
-        lane = _lane_iota(R)
-        lane_flat = _row_iota(R) * LANES + lane
-        slot = t % 2
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
@@ -356,9 +354,6 @@ def _family_encode_kernel_body(
             arow_s[1] = cap_rows
 
         states = states_s[:]
-        e = arow_s[0]
-        a_prev = arow_s[1]
-
         sym = syms_in[0]  # absolute symbol values (i32)
         mean = means_in[0]
         inv_scale = np.float32(1.0) / scales_in[0]
@@ -381,12 +376,11 @@ def _family_encode_kernel_body(
         renorm = (states >> (S - P)) >= prob
         if active is not None:
             renorm = jnp.logical_and(renorm, active)
-        r32 = jnp.where(renorm, 1, 0)
-        k = jnp.sum(r32)
-
         vals = jnp.where(renorm, states & wmask, np.uint32(0))
-        ranks = _ranks_flat(pltpu, r32)
-        compacted = _compact_monotone_2d(pltpu, vals, lane_flat - ranks)
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
 
         shifted = jnp.where(renorm, states >> W, states)
         qd = _exact_div(shifted, prob)
@@ -396,46 +390,11 @@ def _family_encode_kernel_body(
             new_states = jnp.where(active, new_states, shifted)
         states_s[:] = new_states
 
-        e_new = e - k
-        a = e_new >> 7
-        s_off = e_new & 127
-        rel = a_prev - a
-
-        RPAD = -(-(R + 1) // 8) * 8
-        ext = jnp.concatenate(
-            [compacted, jnp.zeros((RPAD - R, LANES), jnp.uint32)], axis=0
-        )
-        lane1 = _lane_iota(RPAD)
-        flat1 = _row_iota(RPAD) * LANES + lane1
-        aa = pltpu.roll(ext, s_off, 1)
-        rot = jnp.where(lane1 >= s_off, aa, pltpu.roll(aa, 1, 0))
-        mask_new = jnp.logical_and(flat1 >= s_off, flat1 < s_off + k)
-        prev = pltpu.roll(img[1 - slot], rel, 0)
-        img[slot] = jnp.where(mask_new, rot, prev)
-
-        @pl.when(t > 0)
-        def _wait_prev():
-            pltpu.make_async_copy(
-                img.at[1 - slot, pl.ds(0, R + 1)],
-                stream_out.at[pl.ds(a_prev, R + 1)], sem.at[1 - slot],
-            ).wait()
-
-        pltpu.make_async_copy(
-            img.at[slot, pl.ds(0, R + 1)],
-            stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
-        ).start()
-
-        arow_s[0] = e_new
-        arow_s[1] = a
-
         @pl.when(t == T - 1)
         def _final():
-            pltpu.make_async_copy(
-                img.at[slot, pl.ds(0, R + 1)],
-                stream_out.at[pl.ds(a, R + 1)], sem.at[slot],
-            ).wait()
             states_out[:] = states_s[:]
             end_out[0] = e_new
+            end_out[1] = 0
 
     return kernel
 
