@@ -1,0 +1,87 @@
+"""Public facade for the TPU-native fast paths.
+
+The `constriction_tpu.stream.*` / `symbol.*` modules mirror the reference's
+host API; this module is the discoverable entry point for everything that
+runs on the accelerator.  All functions accept / return numpy or JAX arrays
+and fall back to the Pallas interpreter off-TPU.
+
+    import constriction_tpu.tpu as ctpu
+
+    data = ctpu.encode_iid(symbols, cdf)           # ILANS2 container (u32)
+    out  = ctpu.decode_iid(data, cdf)              # ~10 GB/s/chip
+
+    states, stream = ctpu.encode_family(sym, mu, sigma, "gaussian", -100, 100)
+    out = ctpu.decode_family(states, stream, mu, sigma, "gaussian",
+                             -100, 100, len(sym))  # ~5 GB/s/chip
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ops import interleaved2 as _il2
+from .ops import pallas_coder as _pc
+from .ops import pallas_family as _pf
+from .ops import chain_jax as _cj
+from .ops.interleaved import LaneConfig
+
+DEFAULT_CFG = LaneConfig(num_lanes=32768, word_bits=16, state_bits=32, precision=12)
+SMALL_CFG = LaneConfig(num_lanes=1024, word_bits=16, state_bits=32, precision=12)
+
+
+def _pick_cfg(n: int, cfg: LaneConfig | None) -> LaneConfig:
+    if cfg is not None:
+        return cfg
+    # lane count should not dwarf the message (the per-lane state header is
+    # the only fixed overhead)
+    L = 128
+    while L * 2 <= min(DEFAULT_CFG.num_lanes, max(n // 8, 128)):
+        L *= 2
+    return LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+
+
+def encode_iid(symbols, cdf, cfg: LaneConfig | None = None) -> np.ndarray:
+    """Encode i.i.d. categorical symbols into a self-describing ILANS2
+    container (u32 array) using the Pallas encoder."""
+    symbols = np.asarray(symbols, dtype=np.int64)
+    cfg = _pick_cfg(len(symbols), cfg)
+    return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
+
+
+def decode_iid(container, cdf) -> np.ndarray:
+    """Decode an ILANS2 container with the Pallas kernel."""
+    return _il2.decode_iid_categorical2(np.asarray(container), cdf, device=True)
+
+
+def encode_family(symbols, means, scales, family: str, min_sym: int,
+                  max_sym: int, cfg: LaneConfig | None = None):
+    """On-device encode with per-symbol (mean, scale) models (gaussian /
+    laplace / logistic; exact-integer CDF, bit-identical across backends).
+    Returns ``(init_states, stream)``."""
+    symbols = np.asarray(symbols)
+    cfg = _pick_cfg(len(symbols), cfg)
+    return _pf.encode_family_pallas(
+        symbols, means, scales, family, min_sym, max_sym, cfg
+    )
+
+
+def decode_family(init_states, stream, means, scales, family: str,
+                  min_sym: int, max_sym: int, num_symbols: int,
+                  cfg: LaneConfig | None = None):
+    """On-device decode with per-symbol (mean, scale) models."""
+    cfg = _pick_cfg(num_symbols, cfg)
+    return _pf.decode_family_pallas(
+        np.asarray(init_states), np.asarray(stream), means, scales,
+        family, min_sym, max_sym, cfg, num_symbols,
+    )
+
+
+def decode_chain_iid(data, num_symbols: int, cdf):
+    """Fully-parallel chain-coder decode (host chain format, default
+    preset); see ops/chain_jax.py."""
+    return _cj.chain_decode_iid(np.asarray(data), num_symbols, cdf)
+
+
+def decode_chain_rows(data, rows):
+    """Chain decode with a different categorical model per symbol."""
+    return _cj.chain_decode_rows(np.asarray(data), rows)

@@ -1,0 +1,47 @@
+"""Public TPU facade round trips (interpreter mode on the CPU test mesh)."""
+
+import numpy as np
+
+import constriction_tpu.tpu as ctpu
+from constriction_tpu.models.categorical import (
+    ContiguousCategoricalEntropyModel,
+)
+
+
+def test_facade_iid_roundtrip():
+    rng = np.random.RandomState(0)
+    probs = rng.dirichlet(np.ones(30))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    symbols = rng.choice(30, size=5000, p=probs).astype(np.int64)
+    data = ctpu.encode_iid(symbols, model.cdf)
+    out = ctpu.decode_iid(data, model.cdf)
+    np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+def test_facade_family_roundtrip():
+    rng = np.random.RandomState(1)
+    n = 2000
+    means = (rng.randn(n) * 5).astype(np.float32)
+    scales = (0.5 + np.abs(rng.randn(n))).astype(np.float32)
+    symbols = np.clip(np.round(means + rng.randn(n) * scales), -50, 50).astype(np.int32)
+    states, stream = ctpu.encode_family(symbols, means, scales, "gaussian", -50, 50)
+    out = ctpu.decode_family(states, stream, means, scales, "gaussian", -50, 50, n)
+    np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+def test_facade_chain_decode():
+    from constriction_tpu.ops.chain import ChainCoderCore
+
+    rng = np.random.RandomState(2)
+    probs = rng.dirichlet(np.ones(9))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    )
+    data = rng.randint(1, 2**32, size=64, dtype=np.uint64).astype(np.uint32)
+    data[-1] |= 0x80000000
+    core = ChainCoderCore.from_compressed(list(data))
+    ref = core.decode_iid_symbols(40, model)
+    out = ctpu.decode_chain_iid(data, 40, model.cdf)
+    np.testing.assert_array_equal(np.asarray(out), ref)
