@@ -15,7 +15,7 @@ by the numpy/C++/TPU fast paths.
 from __future__ import annotations
 
 import math
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Iterator, Tuple
 
 import numpy as np
 

@@ -25,7 +25,7 @@ symbol; only speed differs, never the bitstream.
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Sequence, Tuple
 
 import numpy as np
 

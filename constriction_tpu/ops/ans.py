@@ -21,7 +21,7 @@ This scalar core is the spec and test oracle; the C++ native module
 
 from __future__ import annotations
 
-from typing import Iterable, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

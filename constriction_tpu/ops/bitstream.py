@@ -17,7 +17,7 @@ Mirrors /root/reference/src/symbol/mod.rs:
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ which also makes this the most TPU-parallel-friendly of the stream codes
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -23,7 +23,6 @@ round trips is maintained by the scalar core on the host.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import numpy as np
 

@@ -34,7 +34,7 @@ fidelity and runs vectorized on the host / u64-capable backends.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -160,11 +160,10 @@ from .pallas_coder import (
 )
 
 
-def _cs16(q, cdf, want_sym: bool):
+def _cs16(q, cdf):
     """Compare-sum at P=16: (sym, cum, prob); two u32 accumulators (the
     packed single-accumulator trick needs 2P + log2 K <= 32, which P=16
-    exceeds).  For the encode side ``q`` is the symbol array itself and the
-    compares are against indices."""
+    exceeds)."""
     c = [int(v) for v in np.asarray(cdf)]
     K = len(c) - 1
     qi = q.astype(jnp.int32)
@@ -173,7 +172,7 @@ def _cs16(q, cdf, want_sym: bool):
     zero_u = jnp.zeros(q.shape, jnp.uint32)
     zero_i = jnp.zeros(q.shape, jnp.int32)
     for j in range(1, K):
-        e = qi >= (np.int32(j) if want_sym is None else np.int32(c[j]))
+        e = qi >= np.int32(c[j])
         d1 = c[j] - c[j - 1]
         w = (c[j + 1] - c[j]) - d1
         acc = acc + jnp.where(e, np.uint32((1 << 16) | d1), zero_u)
@@ -215,7 +214,7 @@ def _tchain_decode_kernel(pltpu, pl, *, cdf, T: int, R: int, cap_rows: int):
         heads = heads_s[:]
         qw = qw_in[0]
         q = jnp.concatenate([qw & np.uint32(0xFFFF), qw >> 16], axis=0)
-        sym, cum, prob = _cs16(q, cdf, want_sym=True)
+        sym, cum, prob = _cs16(q, cdf)
         heads = heads * prob + (q - cum)
         m = heads >= np.uint32(1 << 16)
         vals = jnp.where(m, heads & np.uint32(0xFFFF), np.uint32(0))

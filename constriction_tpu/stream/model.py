@@ -16,8 +16,7 @@ encoding (internals.rs:226-235).
 
 from __future__ import annotations
 
-import warnings
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -17,8 +17,7 @@ their input dtype (f32 sums stay f32), matching the reference's generic
 from __future__ import annotations
 
 import heapq
-import math
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, List, Optional
 
 import numpy as np
 

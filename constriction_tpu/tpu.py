@@ -20,7 +20,6 @@ from __future__ import annotations
 import numpy as np
 
 from .ops import interleaved2 as _il2
-from .ops import pallas_coder as _pc
 from .ops import pallas_family as _pf
 from .ops import chain_jax as _cj
 from .ops.interleaved import LaneConfig
