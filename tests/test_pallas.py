@@ -206,3 +206,26 @@ def test_pallas_range_decode_detects_invalid_data():
     garbage_points = np.full_like(points, 0xFFFFFFFF)
     with pytest.raises(ValueError, match="inconsistent"):
         pc.decode_shared_range_pallas(garbage_points, stream, cdf, cfg, n)
+
+
+def test_pallas_prefix_decode():
+    # decoding only the first n' symbols of a longer container is valid
+    # (lane states evolve identically through the first ceil(n'/L) steps)
+    rng = np.random.RandomState(3)
+    alphabet, n, L = 30, 4000, 128
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf64 = cdf.astype(np.uint64)
+    states, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    for n_prefix in (L, 3 * L, 5 * L):
+        out = np.asarray(
+            pc.decode_shared_pallas(states, stream, cdf, cfg, n_prefix)
+        )
+        np.testing.assert_array_equal(out, symbols[:n_prefix])

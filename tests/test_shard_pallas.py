@@ -50,3 +50,38 @@ def test_sharded_pallas_roundtrip():
     out = np.asarray(sh.shard_decode2_pallas(mesh, jnp.asarray(states), jnp.asarray(streams_arr), cdf, cfg, block_len))
     assert np.array_equal(out.reshape(-1), symbols), "decode mismatch"
 
+
+
+def test_sharded_container_random_access():
+    """Blocks are independent ILANS2 units: any single block decodes alone
+    (the random-access / seek analog for the sharded container format)."""
+    import jax
+
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops import interleaved2 as il2
+    from constriction_tpu.ops import pallas_coder as pc
+    from constriction_tpu.ops.interleaved import LaneConfig
+    from constriction_tpu.parallel import sharding as sh
+
+    rng = np.random.RandomState(1)
+    D, block_len, L = 4, 800, 128
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    probs = rng.dirichlet(np.full(20, 2.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(20, size=D * block_len, p=probs).astype(np.int32)
+    mesh = sh.make_mesh(min(D, len(jax.devices())))
+    syms2d = jnp.asarray(symbols).reshape(D, block_len)
+    states, bufs, ends = sh.shard_encode2_pallas(mesh, syms2d, cdf, cfg)
+    states, bufs, ends = map(np.asarray, (states, bufs, ends))
+    T = -(-block_len // L)
+    cap_rows = T * (L // 128) + 1
+    # decode ONLY block 2, without touching the others
+    d = 2
+    words = bufs[d].reshape(-1)[ends[d, 0] : cap_rows * 128]
+    out = np.asarray(pc.decode_shared_pallas(states[d], words, cdf, cfg, block_len))
+    np.testing.assert_array_equal(out, symbols[d * block_len : (d + 1) * block_len])
