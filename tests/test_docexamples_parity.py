@@ -1,0 +1,284 @@
+"""Remaining doc-example parity with the reference Python suite.
+
+Golden constants vendored from /root/reference/tests/python/test_docexamples.py
+(data only); scenarios re-expressed against constriction_tpu's API.  Together
+with test_golden_reference.py / test_docexamples.py / test_docexamples_f32_lazy
+this covers the reference's documented call forms and their exact bitstreams.
+"""
+
+import numpy as np
+
+import constriction_tpu as constriction
+
+
+def _cat(probs, **kw):
+    return constriction.stream.model.Categorical(np.asarray(probs), **kw)
+
+
+def test_chain_bits_back_roundtrip_gaussians():
+    leaky_gaussian = constriction.stream.model.QuantizedGaussian(-100, 100)
+    means = np.array([3.2, -14.3, 5.7])
+    stds = np.array([6.4, 4.2, 3.9])
+    np.random.seed(123)
+    side_information = np.random.randint(2**32, size=10, dtype=np.uint32)
+
+    coder = constriction.stream.chain.ChainCoder(side_information, seal=True)
+    symbols = coder.decode(leaky_gaussian, means, stds)
+    r1, r2 = coder.get_remainders()
+    remaining = np.concatenate([r1, r2])
+
+    coder2 = constriction.stream.chain.ChainCoder(remaining, is_remainders=True)
+    coder2.encode_reverse(symbols, leaky_gaussian, means, stds)
+    d1, d2 = coder2.get_data(unseal=True)
+    np.testing.assert_array_equal(np.concatenate([d1, d2]), side_information)
+
+
+def test_chain_vs_ans_sensitivity():
+    data = np.array([0x80D14131, 0xDDA97C6C, 0x5017A640, 0x01170A3E], np.uint32)
+    probabilities = np.array(
+        [[0.1, 0.7, 0.1, 0.1], [0.2, 0.2, 0.1, 0.5], [0.2, 0.1, 0.4, 0.3]]
+    )
+    family = constriction.stream.model.Categorical(perfect=False)
+
+    ans = constriction.stream.stack.AnsCoder(data, seal=True)
+    np.testing.assert_array_equal(ans.decode(family, probabilities), [0, 0, 2])
+    perturbed = probabilities.copy()
+    perturbed[0, :] = [0.09, 0.71, 0.1, 0.1]
+    ans = constriction.stream.stack.AnsCoder(data, seal=True)
+    np.testing.assert_array_equal(ans.decode(family, perturbed), [1, 0, 0])
+
+    chain = constriction.stream.chain.ChainCoder(data, seal=True)
+    np.testing.assert_array_equal(chain.decode(family, probabilities), [0, 3, 3])
+    chain = constriction.stream.chain.ChainCoder(data, seal=True)
+    np.testing.assert_array_equal(chain.decode(family, perturbed), [1, 3, 3])
+
+
+def test_stack_two_part_message():
+    part1 = np.array([1, 2, 0, 3, 2, 3, 0], dtype=np.int32)
+    model1 = _cat([0.2, 0.4, 0.1, 0.3], perfect=False)
+    part2 = np.array([6, 10, -4, 2], dtype=np.int32)
+    means2 = np.array([2.5, 13.1, -1.1, -3.0])
+    stds2 = np.array([4.1, 8.7, 6.2, 5.4])
+    fam2 = constriction.stream.model.QuantizedGaussian(-100, 100)
+
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(part2, fam2, means2, stds2)
+    coder.encode_reverse(part1, model1)
+    np.testing.assert_array_equal(coder.decode(model1, 7), part1)
+    np.testing.assert_array_equal(coder.decode(fam2, means2, stds2), part2)
+
+
+def test_stack_gaussian_roundtrip_with_empty_check():
+    symbols = np.array([2, -1, 0, 2, 3], dtype=np.int32)
+    model = constriction.stream.model.QuantizedGaussian(-10, 10)
+    means = np.array([2.3, -1.7, 0.1, 2.2, -5.1])
+    stds = np.array([1.1, 5.3, 3.8, 1.4, 3.9])
+    ans = constriction.stream.stack.AnsCoder()
+    ans.encode_reverse(symbols, model, means, stds)
+    ans2 = constriction.stream.stack.AnsCoder(ans.get_compressed())
+    np.testing.assert_array_equal(ans2.decode(model, means, stds), symbols)
+    assert ans2.is_empty()
+
+
+def test_ans_decode_golden_vectors():
+    model = _cat([0.1, 0.6, 0.3], perfect=False)
+    coder = constriction.stream.stack.AnsCoder(
+        np.array([2514924296, 114], dtype=np.uint32)
+    )
+    assert coder.decode(model) == 2
+
+    coder = constriction.stream.stack.AnsCoder(
+        np.array([1441153686, 108], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(
+        coder.decode(model, 9), [2, 0, 0, 1, 2, 2, 1, 2, 2]
+    )
+
+    fam = constriction.stream.model.QuantizedGaussian(-100, 100)
+    means = np.array([10.3, -4.7, 20.5])
+    stds = np.array([5.2, 24.2, 3.1])
+    coder = constriction.stream.stack.AnsCoder(
+        np.array([597775281, 3], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(fam, means, stds), [12, -13, 25])
+
+    catfam = constriction.stream.model.Categorical(perfect=False)
+    probabilities = np.array(
+        [[0.1, 0.2, 0.3, 0.1, 0.3], [0.3, 0.2, 0.2, 0.2, 0.1]]
+    )
+    coder = constriction.stream.stack.AnsCoder(
+        np.array([2142112014, 31], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(catfam, probabilities), [3, 1])
+
+
+def test_ans_encode_golden_vectors():
+    model = _cat([0.1, 0.6, 0.3], perfect=False)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(
+        np.array([0, 2, 1, 2, 0, 2, 0, 2, 1], dtype=np.int32), model
+    )
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([1276728145, 172], dtype=np.uint32)
+    )
+
+    fam = constriction.stream.model.QuantizedGaussian(-100, 100)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(
+        np.array([12, -13, 25], dtype=np.int32), fam,
+        np.array([10.3, -4.7, 20.5]), np.array([5.2, 24.2, 3.1]),
+    )
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([597775281, 3], dtype=np.uint32)
+    )
+
+    catfam = constriction.stream.model.Categorical(perfect=False)
+    probabilities = np.array(
+        [[0.1, 0.2, 0.3, 0.1, 0.3], [0.3, 0.2, 0.2, 0.2, 0.1]]
+    )
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(np.array([3, 1], dtype=np.int32), catfam, probabilities)
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([45298481], dtype=np.uint32)
+    )
+
+
+def test_ans_seek_checkpoint():
+    model = _cat([0.2, 0.4, 0.1, 0.3], perfect=False)
+    part1 = np.array([1, 2, 0, 3, 2, 3, 0], dtype=np.int32)
+    part2 = np.array([2, 2, 0, 1, 3], dtype=np.int32)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(part2, model)
+    position, state = coder.pos()
+    coder.encode_reverse(part1, model)
+    assert coder.decode(model) == 1
+    coder.seek(position, state)
+    np.testing.assert_array_equal(coder.decode(model, 5), part2)
+
+
+def test_range_encode_golden_vectors():
+    model = _cat([0.1, 0.6, 0.3], perfect=False)
+    enc = constriction.stream.queue.RangeEncoder()
+    enc.encode(np.array([0, 2, 1, 2, 0, 2, 0, 2, 1], dtype=np.int32), model)
+    np.testing.assert_array_equal(
+        enc.get_compressed(), np.array([369323576], dtype=np.uint32)
+    )
+
+    fam = constriction.stream.model.QuantizedGaussian(-100, 100)
+    enc = constriction.stream.queue.RangeEncoder()
+    enc.encode(
+        np.array([12, -13, 25], dtype=np.int32), fam,
+        np.array([10.3, -4.7, 20.5]), np.array([5.2, 24.2, 3.1]),
+    )
+    np.testing.assert_array_equal(
+        enc.get_compressed(), np.array([2655472005], dtype=np.uint32)
+    )
+
+    catfam = constriction.stream.model.Categorical(perfect=False)
+    probabilities = np.array(
+        [[0.1, 0.2, 0.3, 0.1, 0.3], [0.3, 0.2, 0.2, 0.2, 0.1]]
+    )
+    enc = constriction.stream.queue.RangeEncoder()
+    enc.encode(np.array([3, 1], dtype=np.int32), catfam, probabilities)
+    np.testing.assert_array_equal(
+        enc.get_compressed(), np.array([2705829254], dtype=np.uint32)
+    )
+
+
+def test_range_decode_golden_vectors():
+    model = _cat([0.1, 0.6, 0.3], perfect=False)
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([3089773345, 1894195597], dtype=np.uint32)
+    )
+    assert dec.decode(model) == 2
+
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([369323576], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(
+        dec.decode(model, 9), [0, 2, 1, 2, 0, 2, 0, 2, 1]
+    )
+
+    fam = constriction.stream.model.QuantizedGaussian(-100, 100)
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([2655472005], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(
+        dec.decode(fam, np.array([10.3, -4.7, 20.5]), np.array([5.2, 24.2, 3.1])),
+        [12, -13, 25],
+    )
+
+    catfam = constriction.stream.model.Categorical(perfect=False)
+    probabilities = np.array(
+        [[0.1, 0.2, 0.3, 0.1, 0.3], [0.3, 0.2, 0.2, 0.2, 0.1]]
+    )
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([2705829535], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(dec.decode(catfam, probabilities), [3, 1])
+
+
+def test_range_seek_checkpoint():
+    model = _cat([0.2, 0.4, 0.1, 0.3], perfect=False)
+    part1 = np.array([1, 2, 0, 3, 2, 3, 0], dtype=np.int32)
+    part2 = np.array([2, 2, 0, 1, 3], dtype=np.int32)
+    enc = constriction.stream.queue.RangeEncoder()
+    enc.encode(part1, model)
+    position, state = enc.pos()
+    enc.encode(part2, model)
+    dec = constriction.stream.queue.RangeDecoder(enc.get_compressed())
+    assert dec.decode(model) == 1
+    dec.seek(position, state)
+    np.testing.assert_array_equal(dec.decode(model, 5), part2)
+
+
+def test_categorical_golden_vectors():
+    model = _cat([0.2, 0.4, 0.1, 0.3], perfect=False)
+    symbols = np.array([0, 3, 2, 3, 2, 0, 2, 1], dtype=np.int32)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(symbols, model)
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([488222996, 175], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(model, 8), symbols)
+
+    fam = constriction.stream.model.Categorical(perfect=False)
+    probabilities = np.array(
+        [[0.3, 0.1, 0.1, 0.3, 0.2], [0.1, 0.4, 0.2, 0.1, 0.2],
+         [0.4, 0.2, 0.1, 0.2, 0.1]]
+    )
+    symbols = np.array([0, 4, 1], dtype=np.int32)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(symbols, fam, probabilities)
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([104018741], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(fam, probabilities), symbols)
+
+
+def test_huffman_golden_vectors():
+    probabils = np.array([0.3, 0.2, 0.4, 0.1])
+    message = [1, 3, 2, 3, 0, 1, 3, 0, 2, 1, 1, 3, 3, 1, 2, 0, 1, 3, 1]
+
+    enc = constriction.symbol.QueueEncoder()
+    book = constriction.symbol.huffman.EncoderHuffmanTree(probabils)
+    for s in message:
+        enc.encode_symbol(s, book)
+    compressed, bitrate = enc.get_compressed()
+    np.testing.assert_array_equal(
+        compressed, np.array([3756389791, 61358], dtype=np.uint32)
+    )
+    assert bitrate == 48
+    dec = constriction.symbol.QueueDecoder(compressed)
+    dbook = constriction.symbol.huffman.DecoderHuffmanTree(probabils)
+    assert [dec.decode_symbol(dbook) for _ in message] == message
+
+    coder = constriction.symbol.StackCoder()
+    for s in reversed(message):
+        coder.encode_symbol(s, book)
+    compressed, bitrate = coder.get_compressed()
+    np.testing.assert_array_equal(
+        compressed, np.array([2818274807, 129455], dtype=np.uint32)
+    )
+    assert bitrate == 48
+    assert [coder.decode_symbol(dbook) for _ in message] == message
