@@ -229,3 +229,26 @@ def test_pallas_prefix_decode():
             pc.decode_shared_pallas(states, stream, cdf, cfg, n_prefix)
         )
         np.testing.assert_array_equal(out, symbols[:n_prefix])
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_pallas_fuzz_roundtrips(seed):
+    """Randomized end-to-end property: Pallas encode -> Pallas decode is the
+    identity for random lane counts, alphabet sizes, skews and lengths."""
+    rng = np.random.RandomState(1000 + seed)
+    L = 128 * int(rng.choice([1, 2, 3, 4]))
+    alphabet = int(rng.randint(2, 200))
+    n = int(rng.randint(1, 6 * L))
+    skew = float(np.exp(rng.randn() * 1.5))
+    w = rng.dirichlet(np.full(alphabet, skew))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        w, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=w).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+    out = np.asarray(
+        pc.decode_shared_pallas(np.asarray(states), np.asarray(stream), cdf, cfg, n)
+    )
+    np.testing.assert_array_equal(out, symbols)
