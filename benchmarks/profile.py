@@ -5,7 +5,7 @@ TPU equivalent is an XLA/TensorBoard trace.  This writes a trace directory
 (default /tmp/ctpu_trace) that `tensorboard --logdir ...` or Perfetto can
 open, covering one full-scale Pallas decode.
 
-Run: python benchmarks/profile.py [outdir]
+Run: python benchmarks/profile.py [outdir] [--cpu]
 """
 
 from __future__ import annotations
@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 
 def main() -> None:
+    if "--cpu" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
@@ -29,7 +33,8 @@ def main() -> None:
     from constriction_tpu.ops import pallas_coder as pc
     from constriction_tpu.ops.interleaved import LaneConfig
 
-    outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/ctpu_trace"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    outdir = args[0] if args else "/tmp/ctpu_trace"
     on_tpu = jax.default_backend() == "tpu"
     L = (1 << 15) if on_tpu else (1 << 10)
     total = (1 << 23) if on_tpu else (1 << 17)
