@@ -116,3 +116,27 @@ def test_model_diagnostics_and_conversion():
     lk = m.to_lookup_decoder_model() if hasattr(m, "to_lookup_decoder_model") else None
     if lk is not None:
         assert lk.qf(0)[0] == 0
+
+
+def test_native_selftest_binary():
+    """The native codec stands alone (the reference's ensure_no_std analog):
+    build and run the self-test binary."""
+    import os
+    import shutil
+    import subprocess
+    import tempfile
+
+    if shutil.which("g++") is None:
+        import pytest
+
+        pytest.skip("no g++")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src = os.path.join(here, "constriction_tpu", "native", "selftest.cpp")
+    with tempfile.TemporaryDirectory() as d:
+        exe = os.path.join(d, "selftest")
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-fopenmp", "-o", exe, src],
+            check=True,
+        )
+        out = subprocess.run([exe], capture_output=True, text=True, check=True)
+        assert "OK" in out.stdout
