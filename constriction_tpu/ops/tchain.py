@@ -390,3 +390,457 @@ def tchain_encode_pallas(symbols, remainders, heads, cdf,
     fn = _build_tchain_encoder(tuple(int(x) for x in np.asarray(cdf)), T, L, interpret)
     qw, h = fn(syms3d, heads2d, stream2d)
     return unpack_quantiles(np.asarray(qw)), np.asarray(h).reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# TChain-12 with per-symbol continuous families: neural bits-back on TPU.
+# P=12 (matching the device families' fixed-point precision); quantiles are
+# packed 12-bit fields, row-planar: symbol rows [8k, 8k+8) live in word rows
+# [3k, 3k+3) of a [T, 3R/8, 128] u32 array.
+# ---------------------------------------------------------------------------
+
+TCHAIN12_CFG = LaneConfig(num_lanes=32768, word_bits=16, state_bits=32, precision=12)
+
+_M12 = 0xFFF
+
+
+def pack_q12(q: np.ndarray, L: int) -> np.ndarray:
+    """[T*L] u16 (12-bit) quantiles -> [T, 3R/8, 128] u32 planar words."""
+    R = L // 128
+    assert R % 8 == 0, "num_lanes must be a multiple of 1024 for 12-bit packing"
+    T = len(q) // L
+    q3 = q.astype(np.uint32).reshape(T, R // 8, 8, 128)
+    w = np.empty((T, R // 8, 3, 128), dtype=np.uint32)
+    w[:, :, 0] = q3[:, :, 0] | (q3[:, :, 1] << 12) | (q3[:, :, 2] << 24)
+    w[:, :, 1] = (q3[:, :, 2] >> 8) | (q3[:, :, 3] << 4) | (q3[:, :, 4] << 16) | (q3[:, :, 5] << 28)
+    w[:, :, 2] = (q3[:, :, 5] >> 4) | (q3[:, :, 6] << 8) | (q3[:, :, 7] << 20)
+    return w.reshape(T, 3 * (R // 8), 128)
+
+
+def unpack_q12(w: np.ndarray, xp=np):
+    """[T, 3R/8, 128] -> [T, R, 128] u32 quantile values (12-bit)."""
+    T, rows, _ = w.shape
+    g = w.reshape(T, rows // 3, 3, 128)
+    w0, w1, w2 = g[:, :, 0], g[:, :, 1], g[:, :, 2]
+    m = np.uint32(_M12)
+    q = xp.stack(
+        [
+            w0 & m,
+            (w0 >> 12) & m,
+            (w0 >> 24) | ((w1 & np.uint32(0xF)) << 8),
+            (w1 >> 4) & m,
+            (w1 >> 16) & m,
+            (w1 >> 28) | ((w2 & np.uint32(0xFF)) << 4),
+            (w2 >> 8) & m,
+            w2 >> 20,
+        ],
+        axis=2,
+    )  # [T, R/8, 8, 128]
+    return q.reshape(T, -1, 128)
+
+
+def _unpack_q12_block(xp, wblk):
+    """[3R/8, 128] word block -> [R, 128] quantiles (kernel-side)."""
+    rows = int(wblk.shape[0])
+    g = wblk.reshape(rows // 3, 3, 128)
+    w0, w1, w2 = g[:, 0], g[:, 1], g[:, 2]
+    m = np.uint32(_M12)
+    q = xp.stack(
+        [
+            w0 & m,
+            (w0 >> 12) & m,
+            (w0 >> 24) | ((w1 & np.uint32(0xF)) << 8),
+            (w1 >> 4) & m,
+            (w1 >> 16) & m,
+            (w1 >> 28) | ((w2 & np.uint32(0xFF)) << 4),
+            (w2 >> 8) & m,
+            w2 >> 20,
+        ],
+        axis=1,
+    )  # [R/8, 8, 128]
+    return q.reshape(-1, 128)
+
+
+def _pack_q12_block(xp, q):
+    """[R, 128] quantiles -> [3R/8, 128] words (kernel-side)."""
+    R = int(q.shape[0])
+    g = q.reshape(R // 8, 8, 128)
+    q0, q1, q2, q3_, q4, q5, q6, q7 = [g[:, i] for i in range(8)]
+    w0 = q0 | (q1 << 12) | (q2 << 24)
+    w1 = (q2 >> 8) | (q3_ << 4) | (q4 << 16) | (q5 << 28)
+    w2 = (q5 >> 4) | (q6 << 8) | (q7 << 20)
+    return xp.stack([w0, w1, w2], axis=1).reshape(-1, 128)
+
+
+def tchain12_family_decode_host(quantiles, means, scales, family,
+                                min_sym, max_sym,
+                                cfg: LaneConfig = TCHAIN12_CFG):
+    """Numpy oracle: bits-back decode with per-symbol (mean, scale) models
+    at P=12 (exact-integer family CDF; bit-identical with the kernel)."""
+    from . import pallas_family as pf
+
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert (S, W, P) == (32, 16, 12)
+    n = len(quantiles)
+    assert n % L == 0
+    T = n // L
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    left = pf._left_fn(family, min_sym, P, free)
+    means = np.asarray(means, dtype=np.float32)
+    scales = np.asarray(scales, dtype=np.float32)
+
+    # chain head invariant (chain.rs:248-258): head in [2^(S-W-P), 2^(S-P));
+    # the lower bound is what makes encode-refill exactly mirror decode-flush
+    heads = np.full(L, 1 << (S - W - P), dtype=np.uint64)
+    out = np.empty(n, dtype=np.int32)
+    chunks = []
+    lanes = np.arange(L)
+    flush_at = np.uint64(1 << (S - P))
+    for t in range(T):
+        idx = t * L + lanes
+        q = np.asarray(quantiles[idx], dtype=np.int32)
+        mean = means[idx]
+        inv_scale = np.float32(1.0) / scales[idx]
+        lo = np.full(L, min_sym, np.int32)
+        hi = np.full(L, max_sym + 1, np.int32)
+        cum = np.zeros(L, np.int32)
+        right = np.full(L, 1 << P, np.int32)
+        for _ in range(max(max_sym - min_sym, 1).bit_length()):
+            mid = (lo + hi) >> 1
+            lmid = left(mid, mean, inv_scale, xp=np)
+            take = lmid <= q
+            lo = np.where(take, mid, lo)
+            hi = np.where(take, hi, mid)
+            cum = np.where(take, lmid, cum)
+            right = np.where(take, right, lmid)
+        prob = (right - cum).astype(np.uint64)
+        heads = heads * prob + (q.astype(np.uint64) - cum.astype(np.uint64))
+        m = heads >= flush_at
+        chunks.append((heads[m] & np.uint64(0xFFFF)).astype(np.uint32))
+        heads = np.where(m, heads >> np.uint64(W), heads)
+        out[idx] = lo
+    stream = np.concatenate(chunks[::-1]) if chunks else np.zeros(0, np.uint32)
+    return out, stream, heads.astype(np.uint32)
+
+
+def tchain12_family_encode_host(symbols, remainders, heads, means, scales,
+                                family, min_sym, max_sym,
+                                cfg: LaneConfig = TCHAIN12_CFG):
+    """Numpy oracle reverse pass: reconstructs the 12-bit quantiles."""
+    from . import pallas_family as pf
+
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    n = len(symbols)
+    T = n // L
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    left = pf._left_fn(family, min_sym, P, free)
+    means = np.asarray(means, dtype=np.float32)
+    scales = np.asarray(scales, dtype=np.float32)
+
+    h = np.asarray(heads, dtype=np.uint64)
+    q_out = np.empty(n, dtype=np.uint16)
+    base = 0
+    lanes = np.arange(L)
+    refill_shift = np.uint64(S - W - P)  # refill when head < prob << (S-W-P)
+    for tt in range(T - 1, -1, -1):
+        idx = tt * L + lanes
+        sym = np.asarray(symbols[idx], dtype=np.int32)
+        mean = means[idx]
+        inv_scale = np.float32(1.0) / scales[idx]
+        cum = np.where(sym == min_sym, 0, left(sym, mean, inv_scale, xp=np))
+        right = np.where(
+            sym == max_sym, 1 << P, left(sym + 1, mean, inv_scale, xp=np)
+        )
+        prob = (right - cum).astype(np.uint64)
+        m = h < (prob << refill_shift)
+        k = int(m.sum())
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = remainders[base : base + k]
+            words[: len(avail)] = avail
+            h[m] = (h[m] << np.uint64(W)) | words
+            base += k
+        r = h % prob
+        h = h // prob
+        q_out[idx] = (cum.astype(np.uint64) + r).astype(np.uint16)
+    return q_out, h.astype(np.uint32)
+
+
+def _tchain12_family_decode_kernel(pltpu, pl, *, family, min_sym, max_sym,
+                                   T: int, R: int, cap_rows: int):
+    from . import pallas_family as pf
+
+    P = 12
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    left = pf._left_fn(family, min_sym, P, free)
+
+    def kernel(qw_in, params_hbm, syms_out, stream_out, heads_out, end_out,
+               heads_s, img, pbuf, arow_s, psem, sem):
+        t = pl.program_id(0)
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            heads_s[:] = jnp.full((R, LANES), np.uint32(1 << 4), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+            pdma = pltpu.make_async_copy(params_hbm.at[0], pbuf.at[0], psem.at[0])
+            pdma.start()
+            pdma.wait()
+
+        @pl.when(t + 1 < T)
+        def _prefetch_params():
+            pltpu.make_async_copy(
+                params_hbm.at[t + 1], pbuf.at[1 - slot], psem.at[1 - slot]
+            ).start()
+
+        @pl.when(t > 0)
+        def _wait_params():
+            pltpu.make_async_copy(
+                params_hbm.at[t], pbuf.at[slot], psem.at[slot]
+            ).wait()
+
+        heads = heads_s[:]
+        q = _unpack_q12_block(jnp, qw_in[0]).astype(jnp.int32)
+        mean = pbuf[slot, 0]
+        inv_scale = np.float32(1.0) / pbuf[slot, 1]
+        sym, cum, prob = pf._invert_family(left, q, min_sym, max_sym, P)(
+            mean, inv_scale
+        )
+        heads = heads * prob + (q.astype(jnp.uint32) - cum)
+        m = heads >= np.uint32(1 << 20)  # 2^(S-P)
+        vals = jnp.where(m, heads & np.uint32(0xFFFF), np.uint32(0))
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=m, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+        heads_s[:] = jnp.where(m, heads >> 16, heads)
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            heads_out[:] = heads_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+def _tchain12_family_encode_kernel(pltpu, pl, *, family, min_sym, max_sym,
+                                   T: int, R: int):
+    from . import pallas_family as pf
+
+    P = 12
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    left = pf._left_fn(family, min_sym, P, free)
+
+    def kernel(syms_in, params_hbm, heads_in, stream_hbm, qw_out, heads_out,
+               heads_s, win, pbuf, base_s, psem, sem):
+        t = pl.program_id(0)  # symbol step is T-1-t
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            heads_s[:] = heads_in[:]
+            base_s[0] = 0
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+            pdma = pltpu.make_async_copy(
+                params_hbm.at[T - 1], pbuf.at[0], psem.at[0]
+            )
+            pdma.start()
+            pdma.wait()
+
+        @pl.when(t + 1 < T)
+        def _prefetch_params():
+            pltpu.make_async_copy(
+                params_hbm.at[T - 2 - t], pbuf.at[1 - slot], psem.at[1 - slot]
+            ).start()
+
+        @pl.when(t > 0)
+        def _wait_params():
+            pltpu.make_async_copy(
+                params_hbm.at[T - 1 - t], pbuf.at[slot], psem.at[slot]
+            ).wait()
+
+        heads = heads_s[:]
+        sym = syms_in[0]
+        mean = pbuf[slot, 0]
+        inv_scale = np.float32(1.0) / pbuf[slot, 1]
+        cum_i = jnp.where(
+            sym == np.int32(min_sym), 0, left(sym, mean, inv_scale)
+        )
+        right_i = jnp.where(
+            sym == np.int32(max_sym),
+            np.int32(1 << P),
+            left(sym + 1, mean, inv_scale),
+        )
+        cum = cum_i.astype(jnp.uint32)
+        prob = (right_i - cum_i).astype(jnp.uint32)
+
+        m = heads < (prob << 4)  # prob << (S - W - P)
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        heads = jnp.where(m, (heads << 16) | (ex & np.uint32(0xFFFF)), heads)
+        qd = _exact_div(heads, prob)
+        r = heads - qd * prob
+        q = cum + r
+        heads_s[:] = qd
+        base_s[0] = nxt
+        qw_out[0] = _pack_q12_block(jnp, q)
+
+        @pl.when(t == T - 1)
+        def _final():
+            heads_out[:] = heads_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tchain12_family_decoder(family, min_sym, max_sym, T, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    cap_rows = T * R + 1
+    kernel = _tchain12_family_decode_kernel(
+        pltpu, pl, family=family, min_sym=min_sym, max_sym=max_sym,
+        T=T, R=R, cap_rows=cap_rows,
+    )
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * R // 8, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # params [T, 2, R, 128]
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.VMEM((2, 2, R, LANES), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tchain12_family_encoder(family, min_sym, max_sym, T, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _tchain12_family_encode_kernel(
+        pltpu, pl, family=family, min_sym=min_sym, max_sym=max_sym, T=T, R=R
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # params
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # remainders stream
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3 * R // 8, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3 * R // 8, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.VMEM((2, 2, R, LANES), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def tchain12_family_decode_pallas(quantiles, means, scales, family,
+                                  min_sym, max_sym,
+                                  cfg: LaneConfig = TCHAIN12_CFG,
+                                  interpret: bool | None = None):
+    """Neural bits-back decode on TPU: per-symbol (mean, scale) models,
+    12-bit quantiles.  Returns (symbols, remainders, heads); bit-identical
+    with tchain12_family_decode_host."""
+    from . import pallas_family as pf
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    q = np.asarray(quantiles, dtype=np.uint16)
+    n = len(q)
+    assert n % L == 0 and L % 1024 == 0
+    T = n // L
+    R = L // LANES
+    cap_rows = T * R + 1
+    qw = jnp.asarray(pack_q12(q, L))
+    m3 = pf._blocks3d(means, T, R, n, jnp.float32)
+    s3 = pf._blocks3d(scales, T, R, n, jnp.float32, 1.0)
+    params = jnp.stack([m3, s3], axis=1)
+    fn = _build_tchain12_family_decoder(
+        family, int(min_sym), int(max_sym), T, L, interpret
+    )
+    syms, buf, heads, end = fn(qw, params)
+    e = int(end[0])
+    stream = np.asarray(buf).reshape(-1)[e : cap_rows * LANES]
+    return np.asarray(syms).reshape(-1), stream, np.asarray(heads).reshape(-1)
+
+
+def tchain12_family_encode_pallas(symbols, remainders, heads, means, scales,
+                                  family, min_sym, max_sym,
+                                  cfg: LaneConfig = TCHAIN12_CFG,
+                                  interpret: bool | None = None):
+    """Reverse pass of tchain12_family_decode_pallas (exact)."""
+    from . import pallas_family as pf
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    symbols = np.asarray(symbols, dtype=np.int32)
+    n = len(symbols)
+    T = n // L
+    R = L // LANES
+    syms3d = jnp.asarray(symbols).reshape(T, R, LANES)
+    m3 = pf._blocks3d(means, T, R, n, jnp.float32)
+    s3 = pf._blocks3d(scales, T, R, n, jnp.float32, 1.0)
+    params = jnp.stack([m3, s3], axis=1)
+    heads2d = jnp.asarray(np.asarray(heads, np.uint32)).reshape(R, LANES)
+    stream2d = _pad_stream2d(np.asarray(remainders, np.uint32), R)
+    fn = _build_tchain12_family_encoder(
+        family, int(min_sym), int(max_sym), T, L, interpret
+    )
+    qw, h = fn(syms3d, params, heads2d, stream2d)
+    return (
+        unpack_q12(np.asarray(qw)).reshape(-1).astype(np.uint16),
+        np.asarray(h).reshape(-1),
+    )

@@ -64,3 +64,42 @@ def test_tchain_symbol_locality():
     syms2, _, _ = tchain.tchain_decode_host(data2, m1.cdf, cfg)
     diff = np.nonzero(syms1 != syms2)[0]
     assert np.all((diff >= L) & (diff < 2 * L))
+
+
+@pytest.mark.parametrize("family", ("gaussian", "laplace", "logistic"))
+def test_tchain12_family_roundtrip(family):
+    """Neural bits-back: per-symbol continuous models at P=12."""
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(hash(family) % 1000)
+    L, T = 1024, 3
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    n = L * T
+    means = (rng.randn(n) * 10).astype(np.float32)
+    scales = (0.4 + np.abs(rng.randn(n)) * 4).astype(np.float32)
+    data = rng.randint(0, 1 << 12, size=n).astype(np.uint16)
+
+    rs, rr, rh = tchain.tchain12_family_decode_host(
+        data, means, scales, family, -100, 100, cfg
+    )
+    syms, rem, heads = tchain.tchain12_family_decode_pallas(
+        data, means, scales, family, -100, 100, cfg
+    )
+    np.testing.assert_array_equal(syms, rs)
+    np.testing.assert_array_equal(rem, rr)
+    np.testing.assert_array_equal(heads, rh)
+
+    q2, h2 = tchain.tchain12_family_encode_pallas(
+        syms, rem, heads, means, scales, family, -100, 100, cfg
+    )
+    np.testing.assert_array_equal(q2, data)
+    assert np.all(h2 == 16)  # back to the seed = 2^(S-W-P)
+
+
+def test_pack_q12_roundtrip():
+    rng = np.random.RandomState(9)
+    q = rng.randint(0, 1 << 12, size=1024 * 5).astype(np.uint16)
+    w = tchain.pack_q12(q, 1024)
+    np.testing.assert_array_equal(
+        tchain.unpack_q12(w).reshape(-1).astype(np.uint16), q
+    )
