@@ -282,3 +282,44 @@ def test_huffman_golden_vectors():
     )
     assert bitrate == 48
     assert [coder.decode_symbol(dbook) for _ in message] == message
+
+
+def test_quantized_gaussian_scalar_and_family_goldens():
+    model = constriction.stream.model.QuantizedGaussian(-100, 100, 12.6, 7.3)
+    symbols = np.array([12, 15, 4, -2, 18, 5], dtype=np.int32)
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(symbols, model)
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([745994372, 25704], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(model, 6), symbols)
+
+    fam = constriction.stream.model.QuantizedGaussian(-100, 100)
+    means = np.array([13.2, 17.9, 7.3, -4.2, 25.1, 3.2])
+    stds = np.array([3.2, 4.7, 5.2, 3.1, 6.3, 2.9])
+    coder = constriction.stream.stack.AnsCoder()
+    coder.encode_reverse(symbols, fam, means, stds)
+    np.testing.assert_array_equal(
+        coder.get_compressed(), np.array([2051958011, 1549], dtype=np.uint32)
+    )
+    np.testing.assert_array_equal(coder.decode(fam, means, stds), symbols)
+
+
+def test_binomial_scipy_crossvalidation():
+    # Binomial has no published golden vector; pin it against ScipyModel
+    # (both must build identical fixed-point tables from the same f64 CDF)
+    import scipy.stats
+
+    n_, p_ = 20, 0.37
+    bin_model = constriction.stream.model.Binomial(n_, p_)
+    scipy_model = constriction.stream.model.ScipyModel(
+        scipy.stats.binom(n_, p_), 0, n_
+    )
+    symbols = np.array([3, 7, 11, 0, 20, 8], dtype=np.int32)
+    outs = []
+    for m in (bin_model, scipy_model):
+        coder = constriction.stream.stack.AnsCoder()
+        coder.encode_reverse(symbols, m)
+        outs.append(coder.get_compressed())
+        np.testing.assert_array_equal(coder.decode(m, 6), symbols)
+    np.testing.assert_array_equal(outs[0], outs[1])
