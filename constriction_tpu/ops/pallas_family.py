@@ -56,7 +56,7 @@ from .pallas_coder import (
     _row_iota,
 )
 
-FAMILIES = ("gaussian", "laplace", "logistic")
+FAMILIES = ("gaussian", "laplace", "logistic", "cauchy")
 
 FX = 12  # fixed-point fraction bits (matches precision 12)
 _T_CLAMP = 8 << FX  # |t| <= 8 standard deviations; beyond is leak-level mass
@@ -67,6 +67,12 @@ _PG = 6  # guard bits of P
 _LOG2E = 5909  # round(log2(e) * 4096)
 _GA = 6536  # round(1.5958 * 4096)   sigma(1.5958 (t + c t^3)) ~ Phi(t)
 _GB = 292  # round(1.5958 * 0.044715 * 4096)
+# cauchy: atan(x) ~ x / (1 + 0.28 x^2) on [0,1], reciprocal-reflected beyond;
+# _PI2EFF = 2 * atan_fix(4096) keeps the piecewise boundary exactly
+# continuous (the approximation's own pi/2), and _PIEFF = 2 * _PI2EFF its pi
+_CA = 1147  # round(0.28 * 4096)
+_PI2EFF = 6398
+_PIEFF = 12796
 
 
 def _i32(xp, x):
@@ -107,8 +113,9 @@ def _mag(xp, family: str, u):
 
 
 def _floor_div_small(xp, num, den):
-    """Exact floor(num / den) for 0 <= num < 2^24 (f32-exact), den in
-    [1, 2^13]; f32 divide + one-step correction."""
+    """Exact floor(num / den) for 0 <= num < 2^24 (f32-exact) and exact den
+    < 2^20 with quotient error < 1 (correctly-rounded f32 divide + one-step
+    integer correction)."""
     qf = num.astype(xp.float32) / den.astype(xp.float32)
     qh = qf.astype(xp.int32)
     r = num - qh * den
@@ -117,12 +124,40 @@ def _floor_div_small(xp, num, den):
     return qh
 
 
+def _atan_fix(xp, u):
+    """atan(u / 4096) in units of 1/4096 rad; exact-integer, exhaustively
+    verified monotone over every representable u (tests)."""
+    one = np.int32(1 << FX)
+
+    def a_small(v):
+        v2 = (v * v) >> FX
+        den = one + ((np.int32(_CA) * v2) >> FX)
+        return _floor_div_small(xp, v << FX, den)
+
+    inv = _floor_div_small(xp, xp.full(u.shape, np.int32(1 << (2 * FX))),
+                           xp.maximum(u, np.int32(1)))
+    small = u <= one
+    return xp.where(
+        small, a_small(xp.minimum(u, one)),
+        np.int32(_PI2EFF) - a_small(xp.minimum(inv, one)),
+    )
+
+
 def _ctrunc(xp, family: str, t_fix, free: int):
     """trunc(free * CDF(t)) in exact integer arithmetic, monotone in t_fix."""
     neg = t_fix < 0
     u = xp.where(neg, -t_fix, t_fix)
-    e = _exp2_neg(xp, _mag(xp, family, u))
     freei = np.int32(free)
+    if family == "cauchy":
+        # C(t) = 1/2 + atan(t)/pi; corr = floor((free*A >> 2) / (pi_eff >> 2))
+        # keeps the numerator f32-exact (< 2^24) while staying monotone
+        A = _atan_fix(xp, u)
+        corr = _floor_div_small(
+            xp, (freei * A) >> 2, np.int32(_PIEFF >> 2)
+        )
+        half = np.int32(free >> 1)
+        return xp.where(neg, half - corr, half + corr)
+    e = _exp2_neg(xp, _mag(xp, family, u))
     if family == "laplace":
         v = freei * e
         return xp.where(
@@ -238,7 +273,10 @@ def _invert_family(left, qi, min_sym: int, max_sym: int, precision: int):
         span = max_sym + 1 - min_sym
         iters = max(span - 1, 1).bit_length()
         for _ in range(iters):
-            mid = (l + h) >> 1
+            # never evaluate left(min): its formula value is NOT the pinned 0
+            # (heavy-tailed families have real mass below min), and a
+            # converged [min, min+1) interval would otherwise falsely reject
+            mid = jnp.maximum((l + h) >> 1, np.int32(min_sym + 1))
             lmid = left(mid, mean, inv_scale)
             take = lmid <= qi
             l = jnp.where(take, mid, l)

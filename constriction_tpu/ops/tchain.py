@@ -507,7 +507,7 @@ def tchain12_family_decode_host(quantiles, means, scales, family,
         cum = np.zeros(L, np.int32)
         right = np.full(L, 1 << P, np.int32)
         for _ in range(max(max_sym - min_sym, 1).bit_length()):
-            mid = (lo + hi) >> 1
+            mid = np.maximum((lo + hi) >> 1, min_sym + 1)
             lmid = left(mid, mean, inv_scale, xp=np)
             take = lmid <= q
             lo = np.where(take, mid, lo)

@@ -122,3 +122,51 @@ def test_family_rate_near_optimal():
     actual_bits = len(stream) * 16 + L * 32  # payload + state header
     # per-lane state flush costs ~L*16 bits amortized; stay within 15%
     assert actual_bits < info_bits * 1.15 + L * 40
+
+
+def test_cauchy_atan_exhaustive_monotone():
+    # 1-D in the fixed-point argument => verify EVERY value
+    u = np.arange(0, (8 << 12) + 1, dtype=np.int32)
+    a = pf._atan_fix(np, u).astype(np.int64)
+    assert np.all(np.diff(a) >= 0)
+    assert a[0] == 0 and a[-1] <= pf._PI2EFF
+    true = np.arctan(u / 4096.0) * 4096.0
+    # max error ~56 units (~0.9% of pi/2): the rational approximation plus
+    # the continuity-preserving effective pi/2 (tail bias) — a modeling
+    # choice; monotonicity (above) is the correctness property
+    assert np.abs(a - true).max() < 60
+
+
+def test_cauchy_ctrunc_exhaustive_monotone_bounded():
+    t = np.arange(-(8 << 12), (8 << 12), dtype=np.int32)
+    for free in (4095 - 200, 4085, 2000, 100):
+        c = pf._ctrunc(np, "cauchy", t, free).astype(np.int64)
+        assert np.all(np.diff(c) >= 0), free
+        assert c.min() >= 0 and c.max() <= free, free
+
+
+def test_cauchy_family_roundtrip():
+    rng = np.random.RandomState(4)
+    L, n = 128, 3000
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    means = (rng.randn(n) * 10).astype(np.float32)
+    scales = (0.5 + np.abs(rng.randn(n)) * 3).astype(np.float32)
+    symbols = np.clip(
+        np.round(means + rng.standard_cauchy(n) * scales), -100, 100
+    ).astype(np.int32)
+    states, stream = pf.encode_family_pallas(
+        symbols, means, scales, "cauchy", -100, 100, cfg
+    )
+    out = np.asarray(
+        pf.decode_family_pallas(
+            np.asarray(states), np.asarray(stream), means, scales,
+            "cauchy", -100, 100, cfg, n,
+        )
+    )
+    np.testing.assert_array_equal(out, symbols)
+
+    # host oracle bit-identity
+    cums, probs = pf.family_tables_host(symbols, means, scales, "cauchy", -100, 100)
+    ref_states, ref_stream = il2.encode_shared(cums, probs, cfg)
+    np.testing.assert_array_equal(np.asarray(states), ref_states)
+    np.testing.assert_array_equal(np.asarray(stream), ref_stream)
