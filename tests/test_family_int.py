@@ -170,3 +170,39 @@ def test_cauchy_family_roundtrip():
     ref_states, ref_stream = il2.encode_shared(cums, probs, cfg)
     np.testing.assert_array_equal(np.asarray(states), ref_states)
     np.testing.assert_array_equal(np.asarray(stream), ref_stream)
+
+
+@pytest.mark.parametrize("family", pf.FAMILIES)
+def test_family_extreme_parameters(family):
+    """Mirror the reference's quantizer stress grid (quantize.rs:879-1023):
+    near-delta scales, huge scales, and means far outside the support must
+    stay leaky and round-trip."""
+    rng = np.random.RandomState(11)
+    L = 128
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cases = []
+    for mean in (-500.0, -100.0, 0.0, 99.7, 500.0):
+        for scale in (1e-6, 0.01, 1.0, 1e4, 1e6):
+            cases.append((mean, scale))
+    n = len(cases) * 8
+    means = np.array([c[0] for c in cases] * 8, np.float32)
+    scales = np.array([c[1] for c in cases] * 8, np.float32)
+    # symbols anywhere in support (decode must invert regardless of how
+    # unlikely the symbol is under its model)
+    symbols = rng.randint(-100, 101, size=n).astype(np.int32)
+
+    cums, probs = pf.family_tables_host(
+        symbols, means, scales, family, -100, 100
+    )
+    assert probs.min() >= 1  # leaky for every (symbol, parameter) combo
+
+    states, stream = pf.encode_family_pallas(
+        symbols, means, scales, family, -100, 100, cfg
+    )
+    out = np.asarray(
+        pf.decode_family_pallas(
+            np.asarray(states), np.asarray(stream), means, scales,
+            family, -100, 100, cfg, n,
+        )
+    )
+    np.testing.assert_array_equal(out, symbols)
