@@ -84,3 +84,19 @@ def decode_chain_iid(data, num_symbols: int, cdf):
 def decode_chain_rows(data, rows):
     """Chain decode with a different categorical model per symbol."""
     return _cj.chain_decode_rows(np.asarray(data), rows)
+
+
+def bits_back_decode(quantiles, cdf):
+    """TChain-16 bits-back decode: returns (symbols, remainders, heads);
+    reverse with :func:`bits_back_encode` to recover the quantiles exactly.
+    ``len(quantiles)`` must be a multiple of the lane count (32768)."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain_decode_pallas(quantiles, cdf)
+
+
+def bits_back_encode(symbols, remainders, heads, cdf):
+    """Reverse pass of :func:`bits_back_decode` (exact reconstruction)."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain_encode_pallas(symbols, remainders, heads, cdf)
