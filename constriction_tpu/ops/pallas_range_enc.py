@@ -1,0 +1,282 @@
+"""Pallas TPU encoder for ILANS2-R (shared-stream interleaved range coding).
+
+Range encoding's deferred-carry machinery (queue.rs:126-142, 647-702 — the
+`Inverted` run bookkeeping) is sequential within a lane, which is why the
+encoder previously ran on the host (codec.cpp).  The TPU formulation uses
+the classical equivalence: the Inverted-run scheme IS big-number arithmetic
+— each emitted word is a base-2^W digit of an infinite-precision `lower`,
+and a wrap during an interval update adds +1 to the already-emitted digit
+prefix (rippling backward through 0xFFFF digits).  That makes a two-phase
+pipeline possible:
+
+Phase A (forward kernel over steps): per lane, run the interval updates and
+record, per step, the provisional renorm word, the renorm mask, and the
+carry (wrap) flag — pure vector math, one packed u32 record per (step,
+lane).  Outputs the final (lower, range) per lane for sealing.
+
+Phase B (reverse kernel over steps): resolve carries with a pending-+1
+scan processed backward in time (at an emission: word += pending, pending =
+overflow; then pending += this step's carry flag), and place words into the
+shared stream.  The ILANS2-R container maps the r-th renorm of a lane to
+the lane's word-list entry r + 2 (the first two words form the decoder's
+initial `point` header, queue.rs:847-868), which in reverse order is a
+2-deep delay line: place the word resolved two emissions later, seeded from
+the lane's seal words.  Stream slots are step-major / lane-ascending — the
+standard right-to-left emission machinery (pallas_coder._emit_words).
+
+Sealing (queue.rs:458-523) is closed-form per lane from the final
+(lower, range): point = lower + (2^(S-W) - 1) (its wrap is one more carry
+event), the emitted word is point >> (S-W), plus a literal zero word when
+the upper bound shares that top word — and a zero word equals the zero
+padding used for absent entries, which is why the delay line can seed its
+second slot with 0 unconditionally.
+
+Bit-exactness: output (points header + stream) equals codec.cpp's
+ctpu_ilans2_range_encode verbatim (tested).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interleaved import LaneConfig
+from .pallas_coder import LANES, _emit_words, _lane_iota, _row_iota
+
+
+def _cum_prob_packed_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
+    """(cum, prob) for known symbols via the packed compare-sum (encode
+    side; 3 vector ops per boundary, P <= 12)."""
+    c = [int(v) for v in np.asarray(cdf)]
+    K = len(c) - 1
+    P = precision
+    acc = jnp.full(sym.shape, np.uint32(c[1] - c[0]), dtype=jnp.uint32)
+    zero = jnp.zeros_like(acc)
+    for j in range(1, K):
+        e = sym >= np.int32(j)
+        d1 = c[j] - c[j - 1]
+        w = (c[j + 1] - c[j]) - d1
+        packed = np.uint32(((d1 << P) + w) & 0xFFFFFFFF)
+        acc = acc + jnp.where(e, packed, zero)
+    mask = np.uint32((1 << P) - 1)
+    return (acc >> P) & mask, acc & mask
+
+
+def _range_record_kernel(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
+                         tail: int, R: int):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    lower_bound = np.uint32(1 << (S - W))
+
+    def kernel(syms_in, rec_out, low_out, rng_out, lows_s, rngs_s):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            lows_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            rngs_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+
+        lows, rngs = lows_s[:], rngs_s[:]
+        sym = syms_in[0]
+        cum, prob = _cum_prob_packed_from_sym(sym, cdf, P)
+
+        scale = rngs >> P
+        new_rngs = scale * prob
+        add = scale * cum
+        new_lows = lows + add
+        carry = jnp.where(new_lows < add, np.uint32(1), np.uint32(0))
+
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            new_lows = jnp.where(active, new_lows, lows)
+            new_rngs = jnp.where(active, new_rngs, rngs)
+            carry = jnp.where(active, carry, np.uint32(0))
+
+        m = new_rngs < lower_bound
+        w = jnp.where(m, new_lows >> (S - W), np.uint32(0))
+        rec_out[0] = w | (jnp.where(m, np.uint32(1), np.uint32(0)) << 16) | (carry << 17)
+
+        lows_s[:] = jnp.where(m, new_lows << W, new_lows)
+        rngs_s[:] = jnp.where(m, new_rngs << W, new_rngs)
+
+        @pl.when(t == T - 1)
+        def _final():
+            low_out[:] = lows_s[:]
+            rng_out[:] = rngs_s[:]
+
+    return kernel
+
+
+def _range_resolve_kernel(pltpu, pl, *, T: int, R: int, cap_rows: int):
+    def kernel(rec_in, d1_init, p_init, stream_out, hdr_out, end_out,
+               p_s, d1_s, d2_s, img, arow_s, sem):
+        t = pl.program_id(0)  # processes encode step T-1-t (reversed blocks)
+
+        @pl.when(t == 0)
+        def _init():
+            p_s[:] = p_init[:]
+            d1_s[:] = d1_init[:]
+            d2_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        rec = rec_in[0]
+        w = rec & np.uint32(0xFFFF)
+        m = ((rec >> 16) & 1) != 0
+        c = (rec >> 17) & 1
+
+        p, d1, d2 = p_s[:], d1_s[:], d2_s[:]
+        vfull = w + p
+        placed = d2  # the word resolved two emissions later fills this slot
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=m, vals=jnp.where(m, placed, np.uint32(0)),
+            t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+        p_s[:] = jnp.where(m, vfull >> 16, p) + c
+        d2_s[:] = jnp.where(m, d1, d2)
+        d1_s[:] = jnp.where(m, vfull & np.uint32(0xFFFF), d1)
+
+        @pl.when(t == T - 1)
+        def _final():
+            # header = first two resolved words of each lane's sequence
+            hdr_out[:] = (d1_s[:] << 16) | d2_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_range_recorder(cdf_tuple, cfg: LaneConfig, T, tail, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _range_record_kernel(pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_range_resolver(T, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    cap_rows = T * R + 1
+    kernel = _range_resolve_kernel(pltpu, pl, T=T, R=R, cap_rows=cap_rows)
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def encode_iid_range_pallas(
+    symbols,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: bool | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode i.i.d. categorical symbols into the ILANS2-R format on TPU.
+
+    Returns ``(points u32[L], stream u32[num_words])``, bit-exact with the
+    host C++ encoder (native.ctpu_ilans2_range_encode).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert L % LANES == 0 and (S, W) == (32, 16) and P <= 12
+    symbols = np.asarray(symbols, dtype=np.int64)
+    n = len(symbols)
+    T = -(-n // L) if n else 0
+    if T == 0:
+        return np.zeros(L, np.uint32), np.zeros(0, np.uint32)
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = T * R + 1
+
+    syms3d = jnp.concatenate(
+        [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - n, jnp.int32)]
+    ).reshape(T, R, LANES)
+    rec_fn = _build_range_recorder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    records, low_f, rng_f = rec_fn(syms3d)
+
+    # --- seal per lane (closed-form, host vector math) ----------------------
+    low_f = np.asarray(low_f).reshape(-1).astype(np.uint64)
+    rng_f = np.asarray(rng_f).reshape(-1).astype(np.uint64)
+    mask32 = np.uint64(0xFFFFFFFF)
+    touched = rng_f != mask32  # lanes that encoded at least one symbol
+    point = (low_f + np.uint64((1 << (S - W)) - 1)) & mask32
+    seal_carry = np.where(touched & (point < low_f), 1, 0).astype(np.uint32)
+    s0 = np.where(touched, (point >> np.uint64(S - W)), 0).astype(np.uint32)
+    # (the optional disambiguation word after s0 is a literal zero, which is
+    # identical to the zero-fill for absent entries: no explicit handling)
+
+    res_fn = _build_range_resolver(T, L, interpret)
+    stream_buf, hdr, end = res_fn(
+        records,
+        jnp.asarray(s0, jnp.uint32).reshape(R, LANES),
+        jnp.asarray(seal_carry, jnp.uint32).reshape(R, LANES),
+    )
+    e = int(end[0])
+    stream = np.asarray(stream_buf).reshape(-1)[e : cap_rows * LANES]
+    points = np.asarray(hdr).reshape(-1)
+    return points, stream

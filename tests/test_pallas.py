@@ -252,3 +252,44 @@ def test_pallas_fuzz_roundtrips(seed):
         pc.decode_shared_pallas(np.asarray(states), np.asarray(stream), cdf, cfg, n)
     )
     np.testing.assert_array_equal(out, symbols)
+
+
+# ---------------------------------------------------------------------------
+# ILANS2-R TPU encoder (two-phase carry resolution)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not _native_available(), reason="needs native codec")
+@pytest.mark.parametrize(
+    "L,n,alphabet,seed",
+    [
+        (128, 1000, 16, 0),
+        (256, 5000, 100, 1),
+        (128, 128, 5, 2),
+        (128, 100, 7, 3),  # tail-only, seal feeds the header
+        (384, 9000, 2, 4),  # binary model: long runs stress carries
+    ],
+)
+def test_pallas_range_encode_bit_exact(L, n, alphabet, seed):
+    from constriction_tpu.ops import pallas_range_enc as pre
+
+    rng = np.random.RandomState(seed)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    # skewed models produce 0xFFFF-heavy words -> deeper carry ripples
+    w = np.exp(rng.randn(alphabet) * 3)
+    probs = w / w.sum()
+    if alphabet == 2:
+        probs = np.array([0.999, 0.001])
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    ref_pts, ref_stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+    got_pts, got_stream = pre.encode_iid_range_pallas(symbols, cdf, cfg)
+    np.testing.assert_array_equal(got_pts, ref_pts)
+    np.testing.assert_array_equal(got_stream, ref_stream)
+    # and the Pallas range decoder reads it back
+    out = np.asarray(
+        pc.decode_shared_range_pallas(got_pts, got_stream, cdf, cfg, n)
+    )
+    np.testing.assert_array_equal(out, symbols)
