@@ -228,9 +228,15 @@ def decode_shared_range_cdf(
     return out[:num_symbols]
 
 
-def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig):
-    cdf64 = np.asarray(cdf, dtype=np.uint64)
+def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig, device: bool = False):
+    """``device=True`` runs the Pallas two-phase range encoder (bit-exact
+    with the host C++ path)."""
     symbols = np.asarray(symbols, dtype=np.int64)
+    if device and _pallas_eligible(cfg, len(cdf) - 1):
+        from . import pallas_range_enc as pre
+
+        return pre.encode_iid_range_pallas(symbols, cdf, cfg)
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
     cums = cdf64[symbols]
     probs = cdf64[symbols + 1] - cums
     return encode_shared_range(cums, probs, cfg)

@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 
 from .ops import interleaved2 as _il2
+from .ops import pallas_coder as _pc
 from .ops import pallas_family as _pf
 from .ops import chain_jax as _cj
 from .ops.interleaved import LaneConfig
@@ -84,6 +85,23 @@ def decode_chain_iid(data, num_symbols: int, cdf):
 def decode_chain_rows(data, rows):
     """Chain decode with a different categorical model per symbol."""
     return _cj.chain_decode_rows(np.asarray(data), rows)
+
+
+def encode_iid_range(symbols, cdf, cfg: LaneConfig | None = None):
+    """Range-coder twin of :func:`encode_iid`: returns ``(points, stream)``
+    (ILANS2-R), encoded on-device; decode with :func:`decode_iid_range`."""
+    symbols = np.asarray(symbols)
+    cfg = _pick_cfg(len(symbols), cfg)
+    return _il2.encode_iid_categorical_range(symbols, cdf, cfg, device=True)
+
+
+def decode_iid_range(points, stream, cdf, num_symbols: int,
+                     cfg: LaneConfig | None = None):
+    """Decode an ILANS2-R stream with the Pallas range decoder."""
+    cfg = _pick_cfg(num_symbols, cfg)
+    return _pc.decode_shared_range_pallas(
+        np.asarray(points), np.asarray(stream), cdf, cfg, num_symbols
+    )
 
 
 def bits_back_decode(quantiles, cdf):
