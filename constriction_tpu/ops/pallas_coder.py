@@ -553,14 +553,16 @@ def _range_decode_kernel_body(
         scale = rngs >> P
         q = _exact_div(pts - lows, scale)
         # invalid-data detection (queue.rs:991-993): a quantile >= 2^P means
-        # the data is inconsistent with the entropy model
+        # the data is inconsistent with the entropy model.  The reduction
+        # runs in i32 (q < 2^21 always; Mosaic has no unsigned reductions).
+        qi_chk = q.astype(jnp.int32)
         if tail < L:
             act_q = jnp.logical_or(t < T - 1, lane_flat < tail)
-            qmaxv = jnp.max(jnp.where(act_q, q, jnp.uint32(0)))
+            qmaxv = jnp.max(jnp.where(act_q, qi_chk, 0))
         else:
-            qmaxv = jnp.max(q)
+            qmaxv = jnp.max(qi_chk)
         base_s[1] = base_s[1] | jnp.where(
-            qmaxv >= np.uint32(1 << P), np.int32(1), np.int32(0)
+            qmaxv >= np.int32(1 << P), np.int32(1), np.int32(0)
         )
         sym, cum, prob = _compare_sum_packed(q, cdf, P)
         new_lows = lows + scale * cum
