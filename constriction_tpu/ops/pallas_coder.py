@@ -1,4 +1,9 @@
-"""Pallas TPU kernels for ILANS2 (shared-stream interleaved rANS) decoding.
+"""Pallas TPU kernels for the ILANS2 shared-stream interleaved coders:
+rANS decode AND encode, plus the ILANS2-R range decoder (the range encoder
+lives in ops/pallas_range_enc.py; per-symbol continuous families in
+ops/pallas_family.py; bits-back in ops/tchain.py — all built on this
+module's shared machinery: `_refill_words`, `_emit_words`, the monotone
+butterflies, and `_exact_div`).
 
 Why Pallas here: the XLA lowering of the per-step refill distribution (a
 monotone butterfly over [L] lanes whose masks depend on a cumsum of the
@@ -11,6 +16,12 @@ the stream window DMA from HBM.
 Per-lane coding algebra is the reference's rANS state machine
 (/root/reference/src/stream/stack.rs:1014-1100); the shared-stream format is
 defined in ops/interleaved2.py (numpy oracle `decode_shared_cdf`).
+
+NOTE for kernel authors: the CPU test suite runs these kernels through the
+Pallas interpreter, which does NOT enforce Mosaic lowering restrictions
+(no unsigned reductions, no 16-bit compares/mults/rotates, 8-aligned
+sublane shapes for dynamic rotates...).  After touching a kernel, run
+benchmarks/tpu_smoke.py on the real chip.
 
 Layout conventions
 ------------------
