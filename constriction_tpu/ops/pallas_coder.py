@@ -153,10 +153,12 @@ def _u32_to_f32(x: jax.Array) -> jax.Array:
 
 def _exact_div(diff: jax.Array, scale: jax.Array) -> jax.Array:
     """Exact floor(diff / scale) for u32 diff, u32 scale in [1, 2^20),
-    true quotient < 2^13: f32 divide then +-1 integer correction.
+    true quotient < 2^21: f32 divide then +-1 integer correction.
 
-    The f32 estimate's absolute error is < 2^-10 (relative error ~2^-23 on a
-    quotient < 2^13), so the truncated estimate is off by at most one.
+    The f32 estimate's relative error is ~2^-23 (inputs rounded to f32,
+    division correctly rounded), so its absolute error on a quotient below
+    2^21 is < 1/2 and the truncated estimate is off by at most one; the
+    integer remainder check fixes the direction exactly.
     """
     qf = _u32_to_f32(diff) / _u32_to_f32(scale)
     qh = qf.astype(jnp.int32)
