@@ -75,10 +75,6 @@ _PI2EFF = 6398
 _PIEFF = 12796
 
 
-def _i32(xp, x):
-    return x.astype(xp.int32) if hasattr(x, "astype") else xp.int32(x)
-
-
 def _t_fixed(xp, x_i32, mean, inv_scale):
     """Fixed-point standardized argument; monotone in x (3 correctly-rounded
     f32 ops + truncating cast, each order-preserving)."""

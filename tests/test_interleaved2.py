@@ -123,3 +123,39 @@ def test_per_symbol_rows_roundtrip():
         )
     )[:N]
     assert np.array_equal(out, symbols)
+
+
+def test_decode_shared_batched():
+    """B independent blocks decoded in one scan (ops/jax_coder2)."""
+    import jax.numpy as jnp
+
+    from constriction_tpu.ops import jax_coder2 as jc2
+
+    rng = np.random.RandomState(5)
+    B, L, block_len, alphabet = 3, 128, 700, 20
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    probs = rng.dirichlet(np.full(alphabet, 1.5))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf.astype(np.uint64)
+    T = -(-block_len // L)
+    blocks = [
+        rng.choice(alphabet, size=block_len, p=probs).astype(np.int64)
+        for _ in range(B)
+    ]
+    states = np.zeros((B, L), np.uint32)
+    cap = T * L
+    streams = np.zeros((B, cap), np.uint32)
+    for b, blk in enumerate(blocks):
+        st, w = il2.encode_shared(cdf[blk], cdf[blk + 1] - cdf[blk], cfg)
+        states[b] = st
+        streams[b, : len(w)] = w
+    out = np.asarray(
+        jc2.decode_shared_batched(
+            jnp.asarray(states), jnp.asarray(streams), model.cdf.astype(np.uint64),
+            cfg, T, block_len,
+        )
+    )
+    for b, blk in enumerate(blocks):
+        np.testing.assert_array_equal(out[b, :block_len], blk)
