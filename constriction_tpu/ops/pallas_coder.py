@@ -168,6 +168,41 @@ def _compare_sum_packed(q: jax.Array, cdf: np.ndarray, precision: int):
     return sym, cum, prob
 
 
+def _compare_sum_wide(q: jax.Array, cdf: np.ndarray, precision: int):
+    """(sym, cum, prob) for alphabets beyond the packed-field budget
+    (2P + ceil(log2 K) > 32): two accumulators, 5 vector ops per boundary.
+    acc1 packs sym << P | cum (sym < 2^P and cum < 2^P always); prob uses a
+    separate signed accumulator of CDF second differences."""
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    assert K - 1 < (1 << P)
+    qi = q.astype(jnp.int32)
+    acc = jnp.zeros(q.shape, jnp.uint32)  # sym << P | cum
+    prob = jnp.full(q.shape, np.int32(c[1] - c[0]), jnp.int32)
+    zero_u = jnp.zeros(q.shape, jnp.uint32)
+    zero_i = jnp.zeros(q.shape, jnp.int32)
+    for j in range(1, K):
+        e = qi >= np.int32(c[j])
+        d1 = c[j] - c[j - 1]
+        w = (c[j + 1] - c[j]) - d1
+        acc = acc + jnp.where(e, np.uint32((1 << P) | d1), zero_u)
+        prob = prob + jnp.where(e, np.int32(w), zero_i)
+    mask = np.uint32((1 << P) - 1)
+    sym = (acc >> P).astype(jnp.int32)
+    cum = acc & mask
+    return sym, cum, prob.astype(jnp.uint32)
+
+
+def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
+    """Packed single-accumulator form when the field budget allows (3 ops
+    per boundary), wide two-accumulator form otherwise (5 ops)."""
+    K = len(cdf) - 1
+    if 2 * precision + max(K - 1, 1).bit_length() <= 32:
+        return _compare_sum_packed(q, cdf, precision)
+    return _compare_sum_wide(q, cdf, precision)
+
+
 def _u32_to_f32(x: jax.Array) -> jax.Array:
     """u32 -> f32 (round-to-nearest) without relying on unsigned itofp."""
     hi = (x >> 16).astype(jnp.int32).astype(jnp.float32)
@@ -273,7 +308,7 @@ def _decode_kernel_body(
         # --- model inversion + state update (reference rANS algebra,
         # stack.rs:1086-1096) ------------------------------------------------
         q = states & qmask
-        sym, cum, prob = _compare_sum_packed(q, cdf, P)
+        sym, cum, prob = _compare_sum_auto(q, cdf, P)
         new_states = (states >> P) * prob + (q - cum)
         if tail < L:
             active = jnp.logical_or(t < T - 1, lane_flat < tail)
@@ -601,7 +636,7 @@ def _range_decode_kernel_body(
         base_s[1] = base_s[1] | jnp.where(
             qmaxv >= np.int32(1 << P), np.int32(1), np.int32(0)
         )
-        sym, cum, prob = _compare_sum_packed(q, cdf, P)
+        sym, cum, prob = _compare_sum_auto(q, cdf, P)
         new_lows = lows + scale * cum
         new_rngs = scale * prob
         if tail < L:

@@ -293,3 +293,28 @@ def test_pallas_range_encode_bit_exact(L, n, alphabet, seed):
         pc.decode_shared_range_pallas(got_pts, got_stream, cdf, cfg, n)
     )
     np.testing.assert_array_equal(out, symbols)
+
+
+def test_pallas_decode_large_alphabet():
+    """K > 255 exceeds the packed compare-sum field budget; the wide
+    two-accumulator path must take over transparently."""
+    rng = np.random.RandomState(12)
+    alphabet, n, L = 1000, 3000, 128
+    probs = rng.dirichlet(np.full(alphabet, 0.5))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+    cdf64 = cdf.astype(np.uint64)
+    ref_states, ref_stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    np.testing.assert_array_equal(np.asarray(states), ref_states)
+    np.testing.assert_array_equal(np.asarray(stream), ref_stream)
+    out = np.asarray(
+        pc.decode_shared_pallas(ref_states, ref_stream, cdf, cfg, n)
+    )
+    np.testing.assert_array_equal(out, symbols)
