@@ -118,3 +118,23 @@ def bits_back_encode(symbols, remainders, heads, cdf):
     from .ops import tchain as _tc
 
     return _tc.tchain_encode_pallas(symbols, remainders, heads, cdf)
+
+
+def bits_back_decode_family(quantiles, means, scales, family, min_sym, max_sym):
+    """Neural bits-back: per-symbol (mean, scale) models, 12-bit quantiles
+    (``len(quantiles)`` must be a multiple of 32768)."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain12_family_decode_pallas(
+        quantiles, means, scales, family, min_sym, max_sym
+    )
+
+
+def bits_back_encode_family(symbols, remainders, heads, means, scales,
+                            family, min_sym, max_sym):
+    """Reverse pass of :func:`bits_back_decode_family`."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain12_family_encode_pallas(
+        symbols, remainders, heads, means, scales, family, min_sym, max_sym
+    )
