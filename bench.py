@@ -3,7 +3,7 @@
 Workload mirrors the reference's published benchmark setup (README.md:173-182
 / benches/lookup.rs): i.i.d. symbols from a ~100-symbol categorical model at
 the "small" preset (precision 12), decoded TPU-first with the ILANS v2
-shared-stream format (constriction_tpu.ops.interleaved2): 2^15 interleaved
+shared-stream format (constriction_tpu.ops.interleaved2): 2^16 interleaved
 rANS lanes in lockstep, decoded by the Pallas kernel
 (constriction_tpu.ops.pallas_coder): packed compare-sum model inversion
 (3 vector ops per CDF boundary for sym+cum+prob together), monotone
@@ -42,7 +42,7 @@ def main() -> None:
 
     backend = jax.default_backend()
     if backend == "tpu":
-        num_lanes, total = 1 << 15, 1 << 25  # 33.5M symbols, 32768 lanes
+        num_lanes, total = 1 << 16, 1 << 25  # 33.5M symbols, 65536 lanes
     else:
         num_lanes, total = 1 << 10, 1 << 18
 

@@ -99,11 +99,12 @@ def _ranks_flat(pltpu, m32: jax.Array) -> jax.Array:
     L_strict @ broadcast(row totals) — both EXACT with bf16 inputs (0/1
     matrices; totals <= 128) and f32 accumulation (sums < 2^24), and nearly
     free on the MXU.  Measured: 4-5x faster than the log-rounds roll scan
-    (which is VMEM-bandwidth-bound).  Falls back to the roll scan for
-    R > 256 where the [R, R] offsets matmul stops being negligible.
+    (which is VMEM-bandwidth-bound).  The [R, R] offsets matmul grows
+    quadratically but amortizes over R*128 symbols, so it stays ~linear
+    per symbol; the roll fallback only covers pathologically large R.
     """
     R = m32.shape[0]
-    if R <= 256:
+    if R <= 1024:
         i128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
         j128 = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
         upper = (i128 <= j128).astype(jnp.bfloat16)
