@@ -33,24 +33,43 @@ def _entropy_model(kind: str, alphabet: int, rng):
     return p / p.sum()
 
 
-def _pipelined_time(g, args, total):
+def _chain_time(step_fn, args, n_long=9):
+    """Trustworthy timing: chain n executions inside ONE jit with a data
+    dependency the compiler cannot elide, difference two chain lengths,
+    medians over rounds, host readback as the sync point.  step_fn(*args)
+    must return (new_first_arg, u32_contrib)."""
+    import statistics
+
+    import jax
+    import jax.numpy as jnp
     import numpy as _np
 
-    def run_k(k):
-        outs = [g(*args) for _ in range(k)]
-        _np.asarray(outs[-1])  # host readback: the only reliable sync point
+    def make(n_inner):
+        def run(*a):
+            def body(i, carry):
+                a0, chk = carry
+                a2, contrib = step_fn(a0, *a[1:])
+                return a2, chk + contrib
 
-    run_k(8)
-    best = 1e9
-    for _ in range(3):
+            _, chk = jax.lax.fori_loop(0, n_inner, body, (a[0], jnp.uint32(0)))
+            return chk
+
+        return jax.jit(run)
+
+    f1, fn = make(1), make(n_long)
+    _ = _np.asarray(f1(*args))
+    _ = _np.asarray(fn(*args))
+    t1s, tns = [], []
+    for _ in range(5):
         t0 = time.perf_counter()
-        run_k(1)
-        t1 = time.perf_counter() - t0
+        _ = _np.asarray(f1(*args))
+        t1s.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        run_k(9)
-        t9 = time.perf_counter() - t0
-        best = min(best, (t9 - t1) / 8)
-    return best
+        _ = _np.asarray(fn(*args))
+        tns.append(time.perf_counter() - t0)
+    return max(
+        (statistics.median(tns) - statistics.median(t1s)) / (n_long - 1), 1e-9
+    )
 
 
 def main() -> None:
@@ -110,8 +129,13 @@ def main() -> None:
         w2 = jax.device_put(pc._pad_stream2d(stream, R))
         out = np.asarray(dec(st2, w2)[0]).reshape(-1)[:total]
         assert np.array_equal(out, symbols), f"rANS decode mismatch ({kind})"
-        g = jax.jit(lambda s, w: dec(s, w)[0][0, 0, 0])
-        dt_dec = _pipelined_time(g, (st2, w2), total)
+
+        def _sdec(s, w):
+            syms, _ = dec(s, w)
+            dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+            return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+        dt_dec = _chain_time(_sdec, (st2, w2))
 
         cap_rows = T * R + 1
         enc = pc._build_encoder(
@@ -122,8 +146,12 @@ def main() -> None:
                 [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - total, jnp.int32)]
             ).reshape(T, R, 128)
         )
-        ge = jax.jit(lambda s: enc(s)[2][0])
-        dt_enc = _pipelined_time(ge, (syms3d,), total)
+        def _senc(s3):
+            buf, states, end = enc(s3)
+            dep = ((states[0, 0] >> 31) & 1).astype(jnp.int32)
+            return s3 ^ dep, end[0].astype(jnp.uint32)
+
+        dt_enc = _chain_time(_senc, (syms3d,))
 
         name = f"rANS {kind}-entropy categorical (K={alphabet}, P=12)"
         row = {
@@ -166,8 +194,13 @@ def main() -> None:
         w2 = jax.device_put(pc._pad_stream2d(stream, R))
         out = np.asarray(dec(pts2, w2)[0]).reshape(-1)[:total]
         assert np.array_equal(out, symbols), "range decode mismatch"
-        g = jax.jit(lambda s, w: dec(s, w)[0][0, 0, 0])
-        dt = _pipelined_time(g, (pts2, w2), total)
+
+        def _srdec(s, w):
+            syms, _, _bad = dec(s, w)
+            dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+            return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+        dt = _chain_time(_srdec, (pts2, w2))
         # range encode (two Pallas phases; time each, sum)
         from constriction_tpu.ops import pallas_range_enc as pre
 
@@ -181,14 +214,22 @@ def main() -> None:
                 [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - total, jnp.int32)]
             ).reshape(T, R, 128)
         )
-        genc = jax.jit(lambda s: rec_fn(s)[1][0, 0])
-        dt_enc_a = _pipelined_time(genc, (syms3d,), total)
+        def _sra(s3):
+            rec, lf, rf = rec_fn(s3)
+            dep = ((lf[0, 0] >> 31) & 1).astype(jnp.int32)
+            return s3.at[0, 0, 0].add(dep), lf[0, 0]
+
+        dt_enc_a = _chain_time(_sra, (syms3d,))
         records, low_f, rng_f = rec_fn(syms3d)
         res_fn = pre._build_range_resolver(T, L, not on_tpu)
         s0 = jnp.where(rng_f != jnp.uint32(0xFFFFFFFF), (low_f + jnp.uint32(65535)) >> 16, jnp.uint32(0))
         pinit = jnp.where((low_f + jnp.uint32(65535)) < low_f, jnp.uint32(1), jnp.uint32(0))
-        gres = jax.jit(lambda r, a, b: res_fn(r, a, b)[2][0])
-        dt_enc_b = _pipelined_time(gres, (jax.device_put(records), s0, pinit), total)
+        def _srb(r, a, b):
+            buf, hdr, end = res_fn(r, a, b)
+            dep = (end[0] >> 31).astype(jnp.uint32)
+            return r, end[0].astype(jnp.uint32) + dep
+
+        dt_enc_b = _chain_time(_srb, (jax.device_put(records), s0, pinit))
         enc_gbps = round(total / (dt_enc_a + dt_enc_b) / 1e9, 2)
 
         row = {
@@ -234,8 +275,13 @@ def main() -> None:
     w2 = jax.device_put(pf._pad_stream2d(stream, R))
     out = np.asarray(fdec(st2, params, w2)[0]).reshape(-1)[:n_fam]
     assert np.array_equal(out, symbols), "family decode mismatch"
-    g = jax.jit(lambda s, p_, w: fdec(s, p_, w)[0][0, 0, 0])
-    dt = _pipelined_time(g, (st2, params, w2), n_fam)
+
+    def _sfdec(s, p_, w):
+        syms, _ = fdec(s, p_, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+    dt = _chain_time(_sfdec, (st2, params, w2))
     row = {
         "workload": "per-symbol quantized Gaussian (device family)",
         "entropy_bits": round(info_bits / n_fam, 3),
