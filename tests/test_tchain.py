@@ -66,7 +66,7 @@ def test_tchain_symbol_locality():
     assert np.all((diff >= L) & (diff < 2 * L))
 
 
-@pytest.mark.parametrize("family", ("gaussian", "laplace", "logistic"))
+@pytest.mark.parametrize("family", ("gaussian", "laplace", "logistic", "cauchy"))
 def test_tchain12_family_roundtrip(family):
     """Neural bits-back: per-symbol continuous models at P=12."""
     from constriction_tpu.ops.interleaved import LaneConfig
