@@ -211,18 +211,35 @@ def _u32_to_f32(x: jax.Array) -> jax.Array:
     return hi * np.float32(65536.0) + lo
 
 
-def _exact_div(diff: jax.Array, scale: jax.Array) -> jax.Array:
-    """Exact floor(diff / scale) for u32 diff, u32 scale in [1, 2^20),
-    true quotient < 2^21: f32 divide then +-1 integer correction.
+def _exact_div(diff: jax.Array, scale: jax.Array, qbits: int = 21) -> jax.Array:
+    """Exact floor(diff / scale) for u32 inputs via f32 divide + correction.
 
-    The f32 estimate's relative error is ~2^-23 (inputs rounded to f32,
-    division correctly rounded), so its absolute error on a quotient below
-    2^21 is < 1/2 and the truncated estimate is off by at most one; the
-    integer remainder check fixes the direction exactly.
+    Default envelope (``qbits <= 21``): true quotient < 2^21.  The f32
+    estimate's relative error is ~2^-23 (inputs rounded to f32, division
+    correctly rounded), so its absolute error on such a quotient is < 1/2
+    and a single +-1 integer remainder correction recovers the floor.
+
+    For ``qbits`` in (21, 32] (the rANS encoders' ``state // prob`` has
+    quotients up to 2^(S-P), e.g. 2^24 at precision 8) the estimate can be
+    off by up to E = 2^(qbits-23) + 1, beyond +-1's reach.  This path
+    additionally requires ``scale < 2^16`` (f32-exact; holds for entropy
+    model probabilities, scale < 2^P <= 2^16) and recovers the floor with a
+    second f32 division of the small signed remainder, shifted by B*scale
+    so the numerator is non-negative and < 2^13 (hence f32-exact): the
+    shifted quotient is <= 2B+1 < 2^10, so its f32 error is < 2^-14 while
+    any nonzero fractional part is >= 1/scale > 2^-P with 2^(10-P)-bounded
+    B*scale products keeping the two separated -- truncation is exact.
     """
     qf = _u32_to_f32(diff) / _u32_to_f32(scale)
     qh = qf.astype(jnp.int32)
     r = (diff - qh.astype(jnp.uint32) * scale).astype(jnp.int32)
+    if qbits > 21:
+        scale_i = scale.astype(jnp.int32)
+        B = (1 << max(qbits - 23, 0)) + 1
+        r2 = r + np.int32(B) * scale_i
+        corr = (r2.astype(jnp.float32) / scale_i.astype(jnp.float32))
+        qh = qh + corr.astype(jnp.int32) - np.int32(B)
+        r = (diff - qh.astype(jnp.uint32) * scale).astype(jnp.int32)
     qh = qh + jnp.where(r >= scale.astype(jnp.int32), 1, 0)
     qh = qh - jnp.where(r < 0, 1, 0)
     return qh.astype(jnp.uint32)
@@ -492,7 +509,7 @@ def _encode_kernel_body(
 
         # state update (reference rANS encode algebra, stack.rs:1035-1046)
         shifted = jnp.where(renorm, states >> W, states)
-        q = _exact_div(shifted, prob)
+        q = _exact_div(shifted, prob, qbits=S - P)
         rem = shifted - q * prob
         new_states = (q << P) | (cum + rem)
         if active is not None:

@@ -417,7 +417,7 @@ def _family_encode_kernel_body(
         )
 
         shifted = jnp.where(renorm, states >> W, states)
-        qd = _exact_div(shifted, prob)
+        qd = _exact_div(shifted, prob, qbits=S - P)
         rem = shifted - qd * prob
         new_states = (qd << P) | (cum + rem)
         if active is not None:

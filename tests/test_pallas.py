@@ -318,3 +318,79 @@ def test_pallas_decode_large_alphabet():
         pc.decode_shared_pallas(ref_states, ref_stream, cdf, cfg, n)
     )
     np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.parametrize("precision", [8, 10, 14, 16])
+def test_pallas_precision_range(precision):
+    """The kernels cover the full precision range at W=16/S=32 (wide
+    compare-sum beyond the packed budget; P=16 uses S = W + P exactly)."""
+    rng = np.random.RandomState(precision)
+    alphabet = min(50, (1 << precision) - 2)
+    n, L = 3000, 128
+    probs = rng.dirichlet(np.full(alphabet, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=precision)
+    cdf64 = cdf.astype(np.uint64)
+    ref_st, ref_w = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    st, w = pc.encode_iid_pallas(symbols, cdf, cfg)
+    np.testing.assert_array_equal(np.asarray(st), ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out = np.asarray(pc.decode_shared_pallas(ref_st, ref_w, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.skipif(not _native_available(), reason="needs native codec")
+@pytest.mark.parametrize("precision", [8, 16])
+def test_pallas_range_precision_range(precision):
+    rng = np.random.RandomState(precision + 50)
+    alphabet = min(40, (1 << precision) - 2)
+    n, L = 2000, 128
+    probs = rng.dirichlet(np.full(alphabet, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=precision)
+    points, stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+    out = np.asarray(pc.decode_shared_range_pallas(points, stream, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
+
+@pytest.mark.parametrize("precision", [1, 4, 8, 9, 10, 12, 16])
+def test_exact_div_wide_quotient(precision):
+    """_exact_div must be exact over the rANS encoder's full envelope:
+    scale = prob < 2^P, quotient up to 2^(32-P) (states < prob << (S-P)).
+    At P < 11 the quotient exceeds the default 2^21 bound and the wide
+    two-stage correction path must take over (this was a real encoder bug
+    at precision 8: off-by-one quotients corrupted emitted words)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(precision)
+    qbits = 32 - precision
+    fn = jax.jit(lambda d, s: pc._exact_div(d, s, qbits=qbits))
+    hi = 1 << precision
+    scales = np.unique(
+        np.concatenate([
+            rng.randint(1, hi, size=2000),
+            np.arange(1, min(hi, 257)),
+            np.array([hi - 1, max(hi - 2, 1), 1]),
+        ])
+    ).astype(np.uint32)
+    s = scales[rng.randint(0, len(scales), size=100000)]
+    lim = s.astype(np.uint64) << np.uint64(qbits)
+    d = (rng.randint(0, 1 << 62, size=s.size).astype(np.uint64) % lim).astype(
+        np.uint32
+    )
+    q0 = d // s
+    edge = rng.randint(0, 3, size=s.size)
+    d = np.where(edge == 1, (q0 * s).astype(np.uint32), d)
+    d = np.where((edge == 2) & (q0 > 0), (q0 * s - 1).astype(np.uint32), d)
+    got = np.asarray(fn(jnp.asarray(d), jnp.asarray(s)))
+    np.testing.assert_array_equal(got, (d // s).astype(np.uint32))
