@@ -33,14 +33,16 @@ def main() -> None:
     t_end = time.time() + minutes * 60
     while time.time() < t_end:
         L = 128 * int(rng.choice([1, 2, 4, 8]))
-        cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
         kind = rng.randint(3)
+        # sweep the full supported precision range (families are P=12-only)
+        P = 12 if kind == 2 else int(rng.choice([8, 9, 10, 11, 12, 14, 16]))
+        cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
         ok = True
         if kind == 0:  # rANS
-            K = int(rng.randint(2, 300))
+            K = int(rng.randint(2, min(300, (1 << P) - 1)))
             w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
             try:
-                model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, 12)
+                model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, P)
             except ValueError:
                 continue
             cdf = model.cdf
@@ -54,9 +56,11 @@ def main() -> None:
             ok = ok and np.array_equal(out, symbols)
         elif kind == 1:  # range
             K = int(rng.choice([2, 3, 17, 100, 255]))
+            if K >= (1 << P) - 1:
+                K = (1 << P) - 2
             w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
             try:
-                model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, 12)
+                model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, P)
             except ValueError:
                 continue
             cdf = model.cdf
@@ -83,7 +87,7 @@ def main() -> None:
         trials += 1
         if not ok:
             fails += 1
-            print(f"FAIL trial {trials}: kind={kind} L={L}")
+            print(f"FAIL trial {trials}: kind={kind} L={L} P={P}")
     print(f"soak: {trials} random configs, {fails} failures")
     sys.exit(1 if fails else 0)
 

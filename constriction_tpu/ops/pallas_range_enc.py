@@ -50,7 +50,7 @@ from .pallas_coder import LANES, _emit_words, _lane_iota, _row_iota
 
 def _cum_prob_packed_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
     """(cum, prob) for known symbols via the packed compare-sum (encode
-    side; 3 vector ops per boundary, P <= 12)."""
+    side; 3 vector ops per boundary, P <= 16: 2P packed bits)."""
     c = [int(v) for v in np.asarray(cdf)]
     K = len(c) - 1
     P = precision
@@ -241,7 +241,10 @@ def encode_iid_range_pallas(
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
-    assert L % LANES == 0 and (S, W) == (32, 16) and P <= 12
+    # P <= 16: the encode-side packed accumulator carries (cum << P) | prob
+    # in 2P <= 32 bits, both fields genuine sub-2^P interval values at every
+    # partial sum.
+    assert L % LANES == 0 and (S, W) == (32, 16) and P <= 16
     symbols = np.asarray(symbols, dtype=np.int64)
     n = len(symbols)
     T = -(-n // L) if n else 0

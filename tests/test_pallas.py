@@ -346,8 +346,12 @@ def test_pallas_precision_range(precision):
 
 
 @pytest.mark.skipif(not _native_available(), reason="needs native codec")
-@pytest.mark.parametrize("precision", [8, 16])
+@pytest.mark.parametrize("precision", [8, 14, 16])
 def test_pallas_range_precision_range(precision):
+    """Range encode kernel covers P <= 16 (2P packed accumulator bits) and
+    the decode kernel inverts it across the precision range."""
+    from constriction_tpu.ops import pallas_range_enc as pre
+
     rng = np.random.RandomState(precision + 50)
     alphabet = min(40, (1 << precision) - 2)
     n, L = 2000, 128
@@ -359,6 +363,9 @@ def test_pallas_range_precision_range(precision):
     symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
     cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=precision)
     points, stream = il2.encode_iid_categorical_range(symbols, cdf, cfg)
+    gp, gw = pre.encode_iid_range_pallas(symbols, cdf, cfg)
+    np.testing.assert_array_equal(gp, points)
+    np.testing.assert_array_equal(gw, stream)
     out = np.asarray(pc.decode_shared_range_pallas(points, stream, cdf, cfg, n))
     np.testing.assert_array_equal(out, symbols)
 
