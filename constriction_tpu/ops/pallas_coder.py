@@ -195,12 +195,120 @@ def _compare_sum_wide(q: jax.Array, cdf: np.ndarray, precision: int):
     return sym, cum, prob.astype(jnp.uint32)
 
 
+def _seg_cost(K: int, B2: int) -> int:
+    """Static vector-op estimate for _compare_sum_segmented at segment
+    size B2 (used to pick B2; mirrors the op structure below)."""
+    Kp = -(-K // B2) * B2
+    B1 = Kp // B2
+    n_accs = (B2 + 2) // 2
+    return (
+        3 * (B1 - 1)            # coarse compares + cb accumulation
+        + 2 * n_accs * (B1 - 1)  # boundary materialization (paired)
+        + 2 * (B2 + 1)           # unpack
+        + B2                     # d1
+        + 5 * (B2 - 1)           # level-2 compare + cum/off + cumnext
+    )
+
+
+def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
+                           B2: int | None = None):
+    """(sym, cum, prob) via a two-level segmented compare-sum for large
+    alphabets: the flat compare-sum costs O(K) ops per symbol with a
+    constant of 3 (packed) or 5 (wide); segmenting drops the constant to
+    ~1 for K beyond the packed budget.
+
+    Level 1 compares q against the B1-1 coarse boundaries cdf[s*B2]
+    (ge-masks e_s double as the segment selector).  The B2+1 fine
+    boundaries of the selected segment are then *materialized per lane*
+    without any gather: b_i = cdf[i] + sum_s e_s * (cdf[s*B2+i] -
+    cdf[(s-1)*B2+i]) -- every increment is a nonnegative host constant, and
+    every partial sum is a genuine CDF value <= 2^P, so for P <= 15 two
+    boundaries ride one u32 accumulator (16-bit fields, no cross-field
+    carry), halving the dominant cost.  Level 2 is a flat compare-sum
+    against the materialized per-lane boundaries, accumulating the offset
+    and cum in one packed register (cum < 2^16) plus cumnext for prob.
+    Bitstream-identical to the flat forms: same (sym, cum, prob).
+    """
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    top = 1 << P
+    if B2 is None:
+        B2 = min((b for b in (8, 16, 32, 64, 128) if b < K),
+                 key=lambda b: _seg_cost(K, b))
+    B1 = -(-K // B2)
+    cpad = c + [top] * (B1 * B2 + 1 - len(c))
+
+    qi = q.astype(jnp.int32)
+    zero_u = jnp.zeros(q.shape, jnp.uint32)
+    es = [qi >= np.int32(cpad[s * B2]) for s in range(1, B1)]
+
+    # materialize absolute fine boundaries b_0..b_B2, two per accumulator
+    vals = []
+    if P <= 15:
+        for t in range(0, B2 + 1, 2):
+            u = min(t + 1, B2)
+            acc = jnp.full(
+                q.shape, np.uint32((cpad[t] << 16) | cpad[u]), jnp.uint32
+            )
+            for s in range(1, B1):
+                dhi = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
+                dlo = cpad[s * B2 + u] - cpad[(s - 1) * B2 + u]
+                dd = (dhi << 16) | dlo
+                if dd:
+                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
+            vals.append((acc >> 16).astype(jnp.int32))
+            if u == t + 1:
+                vals.append((acc & np.uint32(0xFFFF)).astype(jnp.int32))
+    else:  # P == 16: boundary values reach 2^16, one per accumulator
+        for t in range(B2 + 1):
+            acc = jnp.full(q.shape, np.uint32(cpad[t]), jnp.uint32)
+            for s in range(1, B1):
+                dd = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
+                if dd:
+                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
+            vals.append(acc.astype(jnp.int32))
+
+    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
+    # level 2: acc2 = off << 16 | cum (cum < 2^16 always); cumnext for prob
+    acc2 = vals[0].astype(jnp.uint32)
+    cn = vals[1].astype(jnp.uint32)
+    for i in range(1, B2):
+        e = qi >= vals[i]
+        acc2 = acc2 + jnp.where(
+            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << 16), zero_u
+        )
+        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+
+    cb = jnp.zeros(q.shape, jnp.int32)
+    one_i = jnp.ones(q.shape, jnp.int32)
+    zero_i = jnp.zeros(q.shape, jnp.int32)
+    for e in es:
+        cb = cb + jnp.where(e, one_i, zero_i)
+
+    cum = acc2 & np.uint32(0xFFFF)
+    off = (acc2 >> 16).astype(jnp.int32)
+    prob = cn - cum
+    sym = cb * np.int32(B2) + off
+    return sym, cum, prob
+
+
 def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
     """Packed single-accumulator form when the field budget allows (3 ops
-    per boundary), wide two-accumulator form otherwise (5 ops)."""
+    per boundary), segmented two-level form for large alphabets, wide
+    two-accumulator form otherwise (5 ops)."""
     K = len(cdf) - 1
     if 2 * precision + max(K - 1, 1).bit_length() <= 32:
+        # measured: packed beats segmented whenever it fits (better ILP --
+        # one accumulator chain vs many dependent materializations)
         return _compare_sum_packed(q, cdf, precision)
+    if K > 16:
+        seg = _seg_cost(K, min(
+            (b for b in (8, 16, 32, 64, 128) if b < K),
+            key=lambda b: _seg_cost(K, b),
+        ))
+        if seg < 5 * (K - 1):  # measured ~2.7x at K=1000
+            return _compare_sum_segmented(q, cdf, precision)
     return _compare_sum_wide(q, cdf, precision)
 
 

@@ -296,8 +296,8 @@ def test_pallas_range_encode_bit_exact(L, n, alphabet, seed):
 
 
 def test_pallas_decode_large_alphabet():
-    """K > 255 exceeds the packed compare-sum field budget; the wide
-    two-accumulator path must take over transparently."""
+    """K > 255 exceeds the packed compare-sum field budget; the segmented
+    two-level path must take over transparently (bitstream unchanged)."""
     rng = np.random.RandomState(12)
     alphabet, n, L = 1000, 3000, 128
     probs = rng.dirichlet(np.full(alphabet, 0.5))
@@ -401,3 +401,44 @@ def test_exact_div_wide_quotient(precision):
     d = np.where((edge == 2) & (q0 > 0), (q0 * s - 1).astype(np.uint32), d)
     got = np.asarray(fn(jnp.asarray(d), jnp.asarray(s)))
     np.testing.assert_array_equal(got, (d // s).astype(np.uint32))
+
+@pytest.mark.parametrize(
+    "K,precision", [(17, 12), (100, 12), (256, 12), (300, 12), (1000, 12),
+                    (5000, 14), (1000, 16), (100, 8), (33, 16)]
+)
+def test_compare_sum_segmented_oracle(K, precision):
+    """The segmented two-level compare-sum must return (sym, cum, prob)
+    identical to a searchsorted oracle at every boundary quantile, its
+    neighbours, and random quantiles, for all segment sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K + precision)
+    probs = rng.dirichlet(np.full(K, 0.5))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    c = model.cdf.astype(np.int64)
+    qs = np.unique(
+        np.clip(
+            np.concatenate([
+                c[:-1], c[1:] - 1, c[:-1] + 1,
+                rng.randint(0, 1 << precision, size=2000),
+                [0, (1 << precision) - 1],
+            ]),
+            0, (1 << precision) - 1,
+        )
+    ).astype(np.uint32)
+    want_sym = np.searchsorted(c, qs, side="right") - 1
+    want_cum = c[want_sym]
+    want_prob = c[want_sym + 1] - c[want_sym]
+    for B2 in (8, 16, 64, None):
+        if B2 is not None and B2 >= K:
+            continue
+        fn = jax.jit(
+            lambda q: pc._compare_sum_segmented(q, c, precision, B2=B2)
+        )
+        sym, cum, prob = (np.asarray(x) for x in fn(jnp.asarray(qs)))
+        np.testing.assert_array_equal(sym, want_sym)
+        np.testing.assert_array_equal(cum, want_cum)
+        np.testing.assert_array_equal(prob, want_prob)
