@@ -240,37 +240,12 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     cpad = c + [top] * (B1 * B2 + 1 - len(c))
 
     qi = q.astype(jnp.int32)
-    zero_u = jnp.zeros(q.shape, jnp.uint32)
     es = [qi >= np.int32(cpad[s * B2]) for s in range(1, B1)]
-
-    # materialize absolute fine boundaries b_0..b_B2, two per accumulator
-    vals = []
-    if P <= 15:
-        for t in range(0, B2 + 1, 2):
-            u = min(t + 1, B2)
-            acc = jnp.full(
-                q.shape, np.uint32((cpad[t] << 16) | cpad[u]), jnp.uint32
-            )
-            for s in range(1, B1):
-                dhi = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
-                dlo = cpad[s * B2 + u] - cpad[(s - 1) * B2 + u]
-                dd = (dhi << 16) | dlo
-                if dd:
-                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
-            vals.append((acc >> 16).astype(jnp.int32))
-            if u == t + 1:
-                vals.append((acc & np.uint32(0xFFFF)).astype(jnp.int32))
-    else:  # P == 16: boundary values reach 2^16, one per accumulator
-        for t in range(B2 + 1):
-            acc = jnp.full(q.shape, np.uint32(cpad[t]), jnp.uint32)
-            for s in range(1, B1):
-                dd = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
-                if dd:
-                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
-            vals.append(acc.astype(jnp.int32))
+    vals = _materialize_boundaries(es, cpad, B1, B2, P, q.shape)
 
     d1 = [vals[i + 1] - vals[i] for i in range(B2)]
     # level 2: acc2 = off << 16 | cum (cum < 2^16 always); cumnext for prob
+    zero_u = jnp.zeros(q.shape, jnp.uint32)
     acc2 = vals[0].astype(jnp.uint32)
     cn = vals[1].astype(jnp.uint32)
     for i in range(1, B2):
@@ -291,6 +266,41 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     prob = cn - cum
     sym = cb * np.int32(B2) + off
     return sym, cum, prob
+
+
+def _materialize_boundaries(es, cpad, B1, B2, precision, shape):
+    """Per-lane absolute fine boundaries b_0..b_B2 of the segment selected
+    by the coarse ge-masks ``es``, gather-free: b_i = cpad[i] +
+    sum_s es[s-1] * (cpad[s*B2+i] - cpad[(s-1)*B2+i]).  Every increment is
+    a non-negative host constant and every partial sum a genuine CDF value
+    <= 2^precision, so for precision <= 15 two boundaries share one u32
+    accumulator (16-bit fields, no cross-field carry)."""
+    zero_u = jnp.zeros(shape, jnp.uint32)
+    vals = []
+    if precision <= 15:
+        for t in range(0, B2 + 1, 2):
+            u = min(t + 1, B2)
+            acc = jnp.full(
+                shape, np.uint32((cpad[t] << 16) | cpad[u]), jnp.uint32
+            )
+            for s in range(1, B1):
+                dhi = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
+                dlo = cpad[s * B2 + u] - cpad[(s - 1) * B2 + u]
+                dd = (dhi << 16) | dlo
+                if dd:
+                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
+            vals.append((acc >> 16).astype(jnp.int32))
+            if u == t + 1:
+                vals.append((acc & np.uint32(0xFFFF)).astype(jnp.int32))
+    else:  # precision 16: boundary values reach 2^16, one per accumulator
+        for t in range(B2 + 1):
+            acc = jnp.full(shape, np.uint32(cpad[t]), jnp.uint32)
+            for s in range(1, B1):
+                dd = cpad[s * B2 + t] - cpad[(s - 1) * B2 + t]
+                if dd:
+                    acc = acc + jnp.where(es[s - 1], np.uint32(dd), zero_u)
+            vals.append(acc.astype(jnp.int32))
+    return vals
 
 
 def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
@@ -479,7 +489,7 @@ def _compact_monotone_2d(pltpu, vals: jax.Array, d: jax.Array) -> jax.Array:
     return ex
 
 
-def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
+def _cum_prob_from_sym_flat(sym: jax.Array, cdf: np.ndarray, precision: int):
     """(cum, prob) for known symbols via the packed compare-sum (encode
     side): acc = cum << P | prob, 3 vector ops per CDF boundary."""
     c = [int(v) for v in cdf]
@@ -495,6 +505,60 @@ def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
         acc = acc + jnp.where(e, packed, zero)
     mask = np.uint32((1 << P) - 1)
     return (acc >> P) & mask, acc & mask
+
+
+def _cum_prob_from_sym_segmented(sym: jax.Array, cdf: np.ndarray,
+                                 precision: int, B2: int | None = None):
+    """(cum, prob) for known symbols via the segmented two-level lookup
+    (encode-side twin of _compare_sum_segmented): the segment selector is
+    the symbol itself (e_s = sym >= s*B2, host-constant thresholds), the
+    segment's boundaries are materialized per lane gather-free, and the
+    in-segment offset masks (off >= i) accumulate cum and cumnext.
+    ~1 op per boundary instead of 3 for large alphabets."""
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    top = 1 << P
+    if B2 is None:
+        B2 = min((b for b in (8, 16, 32, 64, 128) if b < K),
+                 key=lambda b: _seg_cost(K, b))
+    B1 = -(-K // B2)
+    cpad = c + [top] * (B1 * B2 + 1 - len(c))
+
+    si = sym.astype(jnp.int32)
+    es = [si >= np.int32(s * B2) for s in range(1, B1)]
+    vals = _materialize_boundaries(es, cpad, B1, B2, P, sym.shape)
+
+    cb = jnp.zeros(sym.shape, jnp.int32)
+    one_i = jnp.ones(sym.shape, jnp.int32)
+    zero_i = jnp.zeros(sym.shape, jnp.int32)
+    for e in es:
+        cb = cb + jnp.where(e, one_i, zero_i)
+    off = si - cb * np.int32(B2)
+
+    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
+    zero_u = jnp.zeros(sym.shape, jnp.uint32)
+    cum = vals[0].astype(jnp.uint32)
+    cn = vals[1].astype(jnp.uint32)
+    for i in range(1, B2):
+        e = off >= np.int32(i)
+        cum = cum + jnp.where(e, d1[i - 1].astype(jnp.uint32), zero_u)
+        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+    return cum, cn - cum
+
+
+def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
+    """Encode-side (cum, prob) lookup: flat packed form for small
+    alphabets (better ILP), segmented two-level form for large ones."""
+    K = len(cdf) - 1
+    if K > 255:
+        seg = _seg_cost(K, min(
+            (b for b in (8, 16, 32, 64, 128) if b < K),
+            key=lambda b: _seg_cost(K, b),
+        ))
+        if seg < 3 * (K - 1):
+            return _cum_prob_from_sym_segmented(sym, cdf, precision)
+    return _cum_prob_from_sym_flat(sym, cdf, precision)
 
 
 

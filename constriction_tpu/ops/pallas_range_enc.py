@@ -45,25 +45,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from .interleaved import LaneConfig
-from .pallas_coder import LANES, _emit_words, _lane_iota, _row_iota
-
-
-def _cum_prob_packed_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
-    """(cum, prob) for known symbols via the packed compare-sum (encode
-    side; 3 vector ops per boundary, P <= 16: 2P packed bits)."""
-    c = [int(v) for v in np.asarray(cdf)]
-    K = len(c) - 1
-    P = precision
-    acc = jnp.full(sym.shape, np.uint32(c[1] - c[0]), dtype=jnp.uint32)
-    zero = jnp.zeros_like(acc)
-    for j in range(1, K):
-        e = sym >= np.int32(j)
-        d1 = c[j] - c[j - 1]
-        w = (c[j + 1] - c[j]) - d1
-        packed = np.uint32(((d1 << P) + w) & 0xFFFFFFFF)
-        acc = acc + jnp.where(e, packed, zero)
-    mask = np.uint32((1 << P) - 1)
-    return (acc >> P) & mask, acc & mask
+from .pallas_coder import (
+    LANES,
+    _cum_prob_from_sym,
+    _emit_words,
+    _lane_iota,
+    _row_iota,
+)
 
 
 def _range_record_kernel(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
@@ -83,7 +71,7 @@ def _range_record_kernel(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
 
         lows, rngs = lows_s[:], rngs_s[:]
         sym = syms_in[0]
-        cum, prob = _cum_prob_packed_from_sym(sym, cdf, P)
+        cum, prob = _cum_prob_from_sym(sym, cdf, P)
 
         scale = rngs >> P
         new_rngs = scale * prob

@@ -442,3 +442,27 @@ def test_compare_sum_segmented_oracle(K, precision):
         np.testing.assert_array_equal(sym, want_sym)
         np.testing.assert_array_equal(cum, want_cum)
         np.testing.assert_array_equal(prob, want_prob)
+
+@pytest.mark.parametrize("K,precision", [(300, 12), (1000, 12), (5000, 14), (1000, 16)])
+def test_cum_prob_from_sym_segmented_oracle(K, precision):
+    """Encode-side segmented (cum, prob) lookup must match the CDF exactly
+    for every symbol, at multiple segment sizes."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K)
+    probs = rng.dirichlet(np.full(K, 0.5))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision
+    )
+    c = model.cdf.astype(np.int64)
+    syms = np.concatenate(
+        [np.arange(K), rng.randint(0, K, size=2000)]
+    ).astype(np.int32)
+    for B2 in (8, 64, None):
+        fn = jax.jit(
+            lambda s: pc._cum_prob_from_sym_segmented(s, c, precision, B2=B2)
+        )
+        cum, prob = (np.asarray(x) for x in fn(jnp.asarray(syms)))
+        np.testing.assert_array_equal(cum, c[syms])
+        np.testing.assert_array_equal(prob, c[syms + 1] - c[syms])
