@@ -161,43 +161,22 @@ from .pallas_coder import (
 
 
 def _cs16(q, cdf):
-    """Compare-sum at P=16: (sym, cum, prob); two u32 accumulators (the
-    packed single-accumulator trick needs 2P + log2 K <= 32, which P=16
-    exceeds)."""
-    c = [int(v) for v in np.asarray(cdf)]
-    K = len(c) - 1
-    qi = q.astype(jnp.int32)
-    acc = jnp.zeros(q.shape, jnp.uint32)  # sym << 16 | cum
-    prob = jnp.full(q.shape, np.int32(c[1] - c[0]), jnp.int32)
-    zero_u = jnp.zeros(q.shape, jnp.uint32)
-    zero_i = jnp.zeros(q.shape, jnp.int32)
-    for j in range(1, K):
-        e = qi >= np.int32(c[j])
-        d1 = c[j] - c[j - 1]
-        w = (c[j + 1] - c[j]) - d1
-        acc = acc + jnp.where(e, np.uint32((1 << 16) | d1), zero_u)
-        prob = prob + jnp.where(e, np.int32(w), zero_i)
-    sym = (acc >> 16).astype(jnp.int32)
-    cum = acc & np.uint32(0xFFFF)
-    return sym, cum, prob.astype(jnp.uint32)
+    """Compare-sum at P=16: (sym, cum, prob) via the shared dispatcher
+    (wide two-accumulator form for small alphabets, segmented two-level
+    form past the flat-cost crossover)."""
+    from .pallas_coder import _compare_sum_auto
+
+    c = np.asarray(cdf).astype(np.int64)
+    return _compare_sum_auto(q, c, 16)
 
 
 def _cs16_from_sym(sym_i32, cdf):
-    """(cum, prob) for known symbols (encode side): compares against symbol
-    indices instead of CDF boundaries."""
-    c = [int(v) for v in np.asarray(cdf)]
-    K = len(c) - 1
-    acc = jnp.zeros(sym_i32.shape, jnp.uint32)
-    prob = jnp.full(sym_i32.shape, np.int32(c[1] - c[0]), jnp.int32)
-    zero_u = jnp.zeros(sym_i32.shape, jnp.uint32)
-    zero_i = jnp.zeros(sym_i32.shape, jnp.int32)
-    for j in range(1, K):
-        e = sym_i32 >= np.int32(j)
-        d1 = c[j] - c[j - 1]
-        w = (c[j + 1] - c[j]) - d1
-        acc = acc + jnp.where(e, np.uint32(d1), zero_u)
-        prob = prob + jnp.where(e, np.int32(w), zero_i)
-    return acc, prob.astype(jnp.uint32)
+    """(cum, prob) for known symbols (encode side) via the shared
+    dispatcher (flat packed form or segmented two-level form)."""
+    from .pallas_coder import _cum_prob_from_sym
+
+    c = np.asarray(cdf).astype(np.int64)
+    return _cum_prob_from_sym(sym_i32, c, 16)
 
 
 def _tchain_decode_kernel(pltpu, pl, *, cdf, T: int, R: int, cap_rows: int):
