@@ -628,19 +628,52 @@ int64_t ctpu_ilans2_encode(
     uint32_t* chunk = new uint32_t[L];
     for (int32_t l = 0; l < L; l++) st[l] = seed;
 
+    // Round-up magic reciprocals (Granlund-Montgomery): for d <= 2^16 and
+    // dividends < 2^32, m = ceil(2^48 / d) satisfies 2^48 <= m*d < 2^48 + d
+    // <= 2^48 + 2^16, so floor(s*m >> 48) == s/d exactly.  One 128-bit
+    // multiply replaces the hardware divide in the hot loop; the table
+    // build (one divide per possible prob value) amortizes over the
+    // message.  Only used when states are 64-bit-safe (state_bits <= 32
+    // keeps dividends < 2^32) and the message is long enough to amortize.
+    uint64_t* magic = nullptr;
+    const int64_t tab = (1ll << precision) + 1;
+    if (state_bits <= 32 && precision <= 16 && num_symbols >= tab) {
+        magic = new uint64_t[tab];
+        magic[0] = 0;
+        for (int64_t d = 1; d < tab; d++)
+            magic[d] = (uint64_t)((((__uint128_t)1 << 48) + d - 1) / d);
+    }
+
     int64_t end = cap;
     for (int64_t t = num_steps - 1; t >= 0; t--) {
+        const int64_t base = t * L;
+        const int32_t lmax =
+            (int32_t)(base + L <= num_symbols ? L : (num_symbols > base ? num_symbols - base : 0));
         int32_t k = 0;
-        for (int32_t l = 0; l < L; l++) {
-            int64_t idx = t * L + l;
-            if (idx >= num_symbols) continue;
-            uint64_t prob = probs[idx];
-            uint64_t s = st[l];
-            if ((s >> shift) >= prob) {
-                chunk[k++] = (uint32_t)(s & word_mask);
-                s >>= word_bits;
+        if (magic) {
+            for (int32_t l = 0; l < lmax; l++) {
+                uint64_t prob = probs[base + l];
+                uint64_t s = st[l];
+                // branchless renormalization (emission is data-dependent
+                // ~50/50 at high entropy; a mispredicting branch costs more
+                // than the always-executed store)
+                uint64_t c = (s >> shift) >= prob;
+                chunk[k] = (uint32_t)(s & word_mask);
+                k += (int32_t)c;
+                s >>= (word_bits & (-(int32_t)c));
+                uint64_t q = (uint64_t)(((__uint128_t)s * magic[prob]) >> 48);
+                st[l] = (q << precision) | ((uint64_t)cums[base + l] + (s - q * prob));
             }
-            st[l] = ((s / prob) << precision) | ((uint64_t)cums[idx] + s % prob);
+        } else {
+            for (int32_t l = 0; l < lmax; l++) {
+                uint64_t prob = probs[base + l];
+                uint64_t s = st[l];
+                if ((s >> shift) >= prob) {
+                    chunk[k++] = (uint32_t)(s & word_mask);
+                    s >>= word_bits;
+                }
+                st[l] = ((s / prob) << precision) | ((uint64_t)cums[base + l] + s % prob);
+            }
         }
         end -= k;
         for (int32_t j = 0; j < k; j++) buf[end + j] = chunk[j];
@@ -649,6 +682,7 @@ int64_t ctpu_ilans2_encode(
     int64_t len = cap - end;
     delete[] st;
     delete[] chunk;
+    delete[] magic;
     return len;
 }
 
