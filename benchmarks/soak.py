@@ -38,8 +38,8 @@ def main() -> None:
         P = 12 if kind == 2 else int(rng.choice([8, 9, 10, 11, 12, 14, 16]))
         cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
         ok = True
-        if kind == 0:  # rANS
-            K = int(rng.randint(2, min(300, (1 << P) - 1)))
+        if kind == 0:  # rANS (K beyond 255 exercises the segmented compare-sum)
+            K = int(rng.randint(2, min(1500, (1 << P) - 1)))
             w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
             try:
                 model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, P)
@@ -55,7 +55,7 @@ def main() -> None:
             out = np.asarray(pc.decode_shared_pallas(rst, rwd, cdf, cfg, n))
             ok = ok and np.array_equal(out, symbols)
         elif kind == 1:  # range
-            K = int(rng.choice([2, 3, 17, 100, 255]))
+            K = int(rng.choice([2, 3, 17, 100, 255, 400, 1200]))
             if K >= (1 << P) - 1:
                 K = (1 << P) - 2
             w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
