@@ -56,7 +56,8 @@ def decode_iid(container, cdf) -> np.ndarray:
 def encode_family(symbols, means, scales, family: str, min_sym: int,
                   max_sym: int, cfg: LaneConfig | None = None):
     """On-device encode with per-symbol (mean, scale) models (gaussian /
-    laplace / logistic; exact-integer CDF, bit-identical across backends).
+    laplace / logistic / cauchy; exact-integer CDF, bit-identical across
+    backends).
     Returns ``(init_states, stream)``."""
     symbols = np.asarray(symbols)
     cfg = _pick_cfg(len(symbols), cfg)
