@@ -50,10 +50,22 @@ class ChainState(ctypes.Structure):
     ]
 
 
+def _stale() -> bool:
+    """Rebuild when codec.cpp is newer than the .so (source edits must not be
+    silently shadowed by an old binary)."""
+    if not os.path.exists(_SO):
+        return True
+    src = os.path.join(_HERE, "codec.cpp")
+    try:
+        return os.path.getmtime(src) > os.path.getmtime(_SO)
+    except OSError:
+        return True
+
+
 def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("CTPU_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO):
+    if _stale():
         try:
             from . import build
 
@@ -61,7 +73,8 @@ def _load() -> Optional[ctypes.CDLL]:
         except Exception:
             if os.environ.get("CTPU_NATIVE") == "1":
                 raise
-            return None
+            if not os.path.exists(_SO):
+                return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

@@ -18,7 +18,8 @@ def build(verbose: bool = True) -> str:
     cmd = [
         "g++",
         "-O3",
-        "-march=native",
+        # portable ISA baseline: the .so is built on first import, and a
+        # -march=native binary copied between machines can SIGILL
         "-fopenmp",
         "-shared",
         "-fPIC",

@@ -43,9 +43,20 @@ from typing import Tuple
 
 import numpy as np
 
+from functools import lru_cache
+
 from .interleaved import LaneConfig
 
 MAGIC2 = 0x494C4E32
+
+
+@lru_cache(maxsize=16)
+def _lookup_table_cached(cdf_bytes: bytes, precision: int) -> np.ndarray:
+    """quantile -> symbol table for the native O(1) decoder, memoized so
+    repeated decodes with the same model skip the O(2^P) host build."""
+    cdf = np.frombuffer(cdf_bytes, dtype=np.uint32).astype(np.uint64)
+    qs = np.arange(1 << precision, dtype=np.uint64)
+    return (np.searchsorted(cdf, qs, side="right") - 1).astype(np.uint32)
 
 
 def encode_shared(
@@ -65,7 +76,9 @@ def encode_shared(
 
     from .. import native
 
-    if native.LIB is not None and n >= 256 and S <= 64:
+    # native path passes/returns lane states as u32: gate on S <= 32 (the
+    # ILANS2 container stores u32 states anyway; S in (32, 64] would truncate)
+    if native.LIB is not None and n >= 256 and S <= 32:
         cap = T * L + 8
         buf = np.empty(cap, dtype=np.uint32)
         states_out = np.empty(L, dtype=np.uint32)
@@ -123,12 +136,9 @@ def decode_shared_cdf(
 
     from .. import native
 
-    if native.LIB is not None and num_symbols >= 256 and S <= 64 and P <= 20:
+    if native.LIB is not None and num_symbols >= 256 and S <= 32 and P <= 20:
         cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
-        qs = np.arange(1 << P, dtype=np.uint64)
-        lookup = (
-            np.searchsorted(cdf32.astype(np.uint64), qs, side="right") - 1
-        ).astype(np.uint32)
+        lookup = _lookup_table_cached(cdf32.tobytes(), P)
         st32 = np.ascontiguousarray(init_states, dtype=np.uint32)
         stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
         out = np.empty(num_symbols, dtype=np.int32)

@@ -539,6 +539,10 @@ def encode_family_pallas(
     L = cfg.num_lanes
     assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
     assert family in FAMILIES
+    assert max_sym > min_sym, (
+        "degenerate single-symbol support: _invert_family's min-pin breaks "
+        "when min_sym == max_sym (the only symbol needs no bits anyway)"
+    )
     assert (1 << cfg.precision) - 1 - (max_sym - min_sym) >= max_sym - min_sym + 1, \
         "support too wide for precision (free weight must cover leakiness)"
     n = int(np.asarray(symbols).shape[0])
@@ -572,6 +576,10 @@ def decode_family_pallas(
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
     assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    assert max_sym > min_sym, (
+        "degenerate single-symbol support: _invert_family's min-pin breaks "
+        "when min_sym == max_sym"
+    )
     T = -(-num_symbols // L) if num_symbols else 0
     if T == 0:
         return jnp.zeros((0,), jnp.int32)

@@ -40,17 +40,35 @@ def _pick_cfg(n: int, cfg: LaneConfig | None) -> LaneConfig:
     return LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
 
 
+def _check_cdf(cdf, cfg: LaneConfig) -> None:
+    """The device preset is precision-12 by default while the host preset is
+    precision-24; a mismatched CDF would silently produce a corrupt
+    container, so validate the fixed-point contract at the facade."""
+    top = int(np.asarray(cdf)[-1])
+    if top != 1 << cfg.precision:
+        raise ValueError(
+            f"cdf[-1] == {top} but the lane config uses precision "
+            f"{cfg.precision} (expected {1 << cfg.precision}); rebuild the "
+            f"model with precision={cfg.precision} or pass a matching "
+            f"LaneConfig"
+        )
+
+
 def encode_iid(symbols, cdf, cfg: LaneConfig | None = None) -> np.ndarray:
     """Encode i.i.d. categorical symbols into a self-describing ILANS2
     container (u32 array) using the Pallas encoder."""
     symbols = np.asarray(symbols, dtype=np.int64)
     cfg = _pick_cfg(len(symbols), cfg)
+    _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
 
 
 def decode_iid(container, cdf) -> np.ndarray:
     """Decode an ILANS2 container with the Pallas kernel."""
-    return _il2.decode_iid_categorical2(np.asarray(container), cdf, device=True)
+    container = np.asarray(container)
+    _, _, _, cfg = _il2.unpack_container2(container)
+    _check_cdf(cdf, cfg)
+    return _il2.decode_iid_categorical2(container, cdf, device=True)
 
 
 def encode_family(symbols, means, scales, family: str, min_sym: int,
@@ -93,6 +111,7 @@ def encode_iid_range(symbols, cdf, cfg: LaneConfig | None = None):
     (ILANS2-R), encoded on-device; decode with :func:`decode_iid_range`."""
     symbols = np.asarray(symbols)
     cfg = _pick_cfg(len(symbols), cfg)
+    _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical_range(symbols, cdf, cfg, device=True)
 
 
@@ -100,6 +119,7 @@ def decode_iid_range(points, stream, cdf, num_symbols: int,
                      cfg: LaneConfig | None = None):
     """Decode an ILANS2-R stream with the Pallas range decoder."""
     cfg = _pick_cfg(num_symbols, cfg)
+    _check_cdf(cdf, cfg)
     return _pc.decode_shared_range_pallas(
         np.asarray(points), np.asarray(stream), cdf, cfg, num_symbols
     )
