@@ -169,47 +169,53 @@ def main() -> None:
             f"| {row['decode_GBps']} | {row['encode_GBps']} |"
         )
 
-    # large alphabet: exercises the segmented two-level compare-sum
-    K_big = 1000
-    p = rng.dirichlet(np.full(K_big, 2.0))
-    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 12)
-    cdf = model.cdf
-    symbols = rng.choice(K_big, size=total, p=p).astype(np.int64)
-    cdf64 = cdf.astype(np.uint64)
-    probs_fix = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.float64)
-    info_bits = -np.sum(np.log2(probs_fix / 4096.0))
-    init_states, stream = il2.encode_shared(
-        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
-    )
-    overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
-    T = -(-total // L)
-    tail = total - (T - 1) * L
-    dec = pc._build_decoder(tuple(int(x) for x in cdf), cfg, T, tail, L, not on_tpu)
-    st2 = jax.device_put(jnp.asarray(init_states, jnp.uint32).reshape(R, 128))
-    w2 = jax.device_put(pc._pad_stream2d(stream, R))
-    out = np.asarray(dec(st2, w2)[0]).reshape(-1)[:total]
-    assert np.array_equal(out, symbols), "rANS decode mismatch (K=1000)"
+    # large alphabets: exercise the K-independent bitmap-rank inversion
+    for K_big in (1000, 4096):
+        if K_big == 1000:
+            p = rng.dirichlet(np.full(K_big, 2.0))
+            model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 12)
+            cdf = model.cdf
+        else:  # dense alphabet: every prob >= 1 by direct construction
+            cdf = np.concatenate(
+                [[0], np.cumsum(np.ones(K_big, np.int64))]
+            ).astype(np.uint32)
+            p = np.full(K_big, 1.0 / K_big)
+        symbols = rng.choice(K_big, size=total, p=p).astype(np.int64)
+        cdf64 = cdf.astype(np.uint64)
+        probs_fix = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.float64)
+        info_bits = -np.sum(np.log2(probs_fix / 4096.0))
+        init_states, stream = il2.encode_shared(
+            cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+        )
+        overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
+        T = -(-total // L)
+        tail = total - (T - 1) * L
+        dec = pc._build_decoder(tuple(int(x) for x in cdf), cfg, T, tail, L, not on_tpu)
+        st2 = jax.device_put(jnp.asarray(init_states, jnp.uint32).reshape(R, 128))
+        w2 = jax.device_put(pc._pad_stream2d(stream, R))
+        out = np.asarray(dec(st2, w2)[0]).reshape(-1)[:total]
+        assert np.array_equal(out, symbols), f"rANS decode mismatch (K={K_big})"
 
-    def _sdec_big(s, w):
-        syms, _ = dec(s, w)
-        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
-        return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+        def _sdec_big(s, w, dec=dec):
+            syms, _ = dec(s, w)
+            dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+            return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
 
-    dt_dec = _chain_time(_sdec_big, (st2, w2))
-    name = f"rANS large-alphabet categorical (K={K_big}, segmented compare-sum)"
-    row = {
-        "workload": name,
-        "entropy_bits": round(info_bits / total, 3),
-        "overhead_pct": round(overhead * 100, 3),
-        "marginal_overhead_pct": None,
-        "decode_GBps": round(total / dt_dec / 1e9, 2),
-        "encode_GBps": None,
-    }
-    rows.append(row)
-    print(
-        f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| — | {row['decode_GBps']} | — |"
-    )
+        dt_dec = _chain_time(_sdec_big, (st2, w2))
+        name = f"rANS large-alphabet categorical (K={K_big}, bitmap-rank inversion)"
+        row = {
+            "workload": name,
+            "entropy_bits": round(info_bits / total, 3),
+            "overhead_pct": round(overhead * 100, 3),
+            "marginal_overhead_pct": None,
+            "decode_GBps": round(total / dt_dec / 1e9, 2),
+            "encode_GBps": None,
+        }
+        rows.append(row)
+        print(
+            f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+            f"| — | {row['decode_GBps']} | — |"
+        )
 
     # range coder decode (encode is host C++)
     from constriction_tpu import native

@@ -303,15 +303,194 @@ def _materialize_boundaries(es, cpad, B1, B2, precision, shape):
     return vals
 
 
+# ---------------------------------------------------------------------------
+# Bitmap-rank model inversion: K-INDEPENDENT large-alphabet decode
+# ---------------------------------------------------------------------------
+
+
+def _popc_bytes(x: jax.Array) -> jax.Array:
+    """SWAR popcount, stopped at the per-byte-counts stage so several words'
+    counts can be summed before one shared multiply-fold (byte fields stay
+    < 256 for <= 28 words)."""
+    m1 = np.uint32(0x55555555)
+    m2 = np.uint32(0x33333333)
+    m4 = np.uint32(0x0F0F0F0F)
+    x = x - ((x >> 1) & m1)
+    x = (x & m2) + ((x >> 2) & m2)
+    return (x + (x >> 4)) & m4
+
+
+def _popc_fold(byte_counts: jax.Array) -> jax.Array:
+    return ((byte_counts * np.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _popcount32(x: jax.Array) -> jax.Array:
+    return _popc_fold(_popc_bytes(x))
+
+
+def _select_tree(bits, leaves):
+    """Gather-free table select: value = leaves[u] where u's bits are the
+    boolean arrays ``bits`` (LSB first) and ``leaves`` are host constants.
+    Log-depth tree of constant selects -- len(leaves)-1 `where` ops worst
+    case, pruned wherever both subtrees are equal constants (common for
+    sparse CDFs: empty tail buckets collapse to one constant)."""
+    n = len(leaves)
+    if n == 1:
+        return np.uint32(leaves[0])
+    half = n // 2
+    lo = _select_tree(bits[:-1], leaves[:half])
+    hi = _select_tree(bits[:-1], leaves[half:])
+    if isinstance(lo, np.uint32) and isinstance(hi, np.uint32) and lo == hi:
+        return lo
+    return jnp.where(bits[-1], hi, lo)
+
+
+def _bitmap_cost(precision: int, b: int) -> int:
+    """Static vector-op estimate for _compare_sum_bitmap at bucket width
+    2^b (used to pick b)."""
+    nb = 1 << (precision - b)
+    wpb = 1 << (b - 5)
+    naccs = wpb + 2
+    return naccs * (nb - 1) + 40 * wpb + 60
+
+
+def _compare_sum_bitmap(q: jax.Array, cdf: np.ndarray, precision: int,
+                        bucket_bits: int | None = None):
+    """(sym, cum, prob) with cost INDEPENDENT of the alphabet size K.
+
+    The decode map q -> (sym, cum, prob) is fully determined by the set of
+    CDF boundary positions, i.e. a 2^P-bit bitmap over quantile space
+    (boundaries are distinct: the models are leaky, every prob >= 1).
+    Split quantile space into 2^(P-b) buckets of 2^b quantiles.  Per lane:
+
+    1. select the bucket's constants -- 2^(b-5) bitmap words, the bucket's
+       base boundary count, and the prev/next boundary positions outside the
+       bucket -- via :func:`_select_tree` over the bucket-index bits of
+       ``q >> b`` (pure constant selects, no gathers);
+    2. mask the bitmap at ``q``:  sym  = basecount + popcount(bits <= q) - 1,
+       cum = position of the highest boundary bit <= q (bit-smear +
+       popcount), next = position of the lowest boundary bit > q (isolate
+       LSB + popcount), prob = next - cum; empty in-bucket cases fall back
+       to the selected prev/next constants.
+
+    ~(2^(b-5)+2) * 2^(P-b) selects + ~100 bit ops total: ~350 ops at P=12
+    vs the segmented compare-sum's THETA(K) (~1400 ops at K=1000, ~4900 at
+    K=4096).  For q >= 2^P (possible for the range coder on invalid data)
+    the result equals the table at q mod 2^P -- a valid entry with
+    prob >= 1, so downstream arithmetic stays defined and the invalid-data
+    flag does the rejecting.  Bitstream-identical to the other forms.
+    Requires cdf[0] == 0 and P <= 15 (prev/next pack into one u32).
+    Replaces the reference's O(1) RAM lookup (lookup_contiguous.rs:564-595)
+    with an O(log K)-depth in-register scheme -- the TPU has no per-lane
+    gather, but constant selects are one VPU op each.
+    """
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    assert c[0] == 0 and P <= 15
+    if bucket_bits is None:
+        bucket_bits = min(range(5, P), key=lambda bb: _bitmap_cost(P, bb))
+    b = bucket_bits
+    NB = 1 << (P - b)
+    WPB = 1 << (b - 5)
+
+    # host-side per-bucket tables
+    import bisect
+
+    cb = c[:K]
+    wtab = [[0] * NB for _ in range(WPB)]
+    for v in cb:
+        wtab[(v >> 5) & (WPB - 1)][v >> b] |= 1 << (v & 31)
+    basec, aux = [], []
+    for u_ in range(NB):
+        i = bisect.bisect_left(cb, u_ << b)
+        basec.append(i)
+        prev = cb[i - 1] if i > 0 else 0
+        i2 = bisect.bisect_left(cb, (u_ + 1) << b)
+        nxt = cb[i2] if i2 < K else (1 << P)
+        aux.append(prev | (nxt << 16))
+
+    qu = q.astype(jnp.uint32)
+    u = (qu >> b).astype(jnp.int32)
+    bits = [(u & np.int32(1 << k)) != 0 for k in range(P - b)]
+    words = [_select_tree(bits, wtab[w]) for w in range(WPB)]
+    auxv = _select_tree(bits, aux)
+    basev = _select_tree(bits, basec)
+
+    # split each word at q: le = boundary bits <= q, gt = bits > q
+    q_lo = (qu & np.uint32((1 << b) - 1)).astype(jnp.int32)
+    les, gts = [], []
+    for w in range(WPB):
+        rel = q_lo - np.int32(32 * w)
+        sh = jnp.clip(rel, 0, 31).astype(jnp.uint32)
+        m = (jnp.full(q.shape, 2, jnp.uint32) << sh) - np.uint32(1)
+        if w > 0:
+            m = jnp.where(rel < 0, np.uint32(0), m)
+        wv = words[w] + jnp.zeros(q.shape, jnp.uint32)  # broadcast constants
+        le = wv & m
+        les.append(le)
+        gts.append(wv ^ le)
+
+    pcb = _popc_bytes(les[0])
+    for le in les[1:]:
+        pcb = pcb + _popc_bytes(le)
+    pc = _popc_fold(pcb)
+    sym = (basev + jnp.zeros(q.shape, jnp.uint32)).astype(jnp.int32) + pc - 1
+
+    bucket_base = (u << b)
+
+    # cum: highest boundary bit <= q (prev-boundary constant if none)
+    sel = les[0]
+    base_w = jnp.zeros(q.shape, jnp.int32)
+    for w in range(1, WPB):
+        nz = les[w] != 0
+        sel = jnp.where(nz, les[w], sel)
+        base_w = jnp.where(nz, np.int32(32 * w), base_w)
+    sm = sel | (sel >> 1)
+    sm = sm | (sm >> 2)
+    sm = sm | (sm >> 4)
+    sm = sm | (sm >> 8)
+    sm = sm | (sm >> 16)
+    msb = _popcount32(sm) - 1
+    prevv = (auxv & np.uint32(0xFFFF)).astype(jnp.int32) + jnp.zeros(
+        q.shape, jnp.int32
+    )
+    cum = jnp.where(pc > 0, bucket_base + base_w + msb, prevv)
+
+    # next: lowest boundary bit > q (next-boundary constant if none)
+    selg = gts[WPB - 1]
+    gbase = jnp.full(q.shape, np.int32(32 * (WPB - 1)), jnp.int32)
+    for w in range(WPB - 2, -1, -1):
+        nz = gts[w] != 0
+        selg = jnp.where(nz, gts[w], selg)
+        gbase = jnp.where(nz, np.int32(32 * w), gbase)
+    iso = selg & (np.uint32(0) - selg)
+    lsb = _popcount32(iso - np.uint32(1))
+    nextv = (auxv >> 16).astype(jnp.int32) + jnp.zeros(q.shape, jnp.int32)
+    nxt = jnp.where(selg != 0, bucket_base + gbase + lsb, nextv)
+
+    prob = (nxt - cum).astype(jnp.uint32)
+    return sym, cum.astype(jnp.uint32), prob
+
+
 def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
     """Packed single-accumulator form when the field budget allows (3 ops
-    per boundary), segmented two-level form for large alphabets, wide
-    two-accumulator form otherwise (5 ops)."""
+    per boundary), K-independent bitmap-rank form for large alphabets at
+    P <= 15, segmented/wide compare-sums otherwise."""
     K = len(cdf) - 1
     if 2 * precision + max(K - 1, 1).bit_length() <= 32:
         # measured: packed beats segmented whenever it fits (better ILP --
         # one accumulator chain vs many dependent materializations)
         return _compare_sum_packed(q, cdf, precision)
+    if precision <= 15 and int(cdf[0]) == 0:
+        seg = min(
+            (_seg_cost(K, bb) for bb in (8, 16, 32, 64, 128) if bb < K),
+            default=5 * (K - 1),
+        )
+        if _bitmap_cost(precision, min(
+            range(5, precision), key=lambda bb: _bitmap_cost(precision, bb)
+        )) < min(seg, 5 * (K - 1)):
+            return _compare_sum_bitmap(q, cdf, precision)
     if K > 16:
         seg = _seg_cost(K, min(
             (b for b in (8, 16, 32, 64, 128) if b < K),

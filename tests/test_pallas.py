@@ -466,3 +466,61 @@ def test_cum_prob_from_sym_segmented_oracle(K, precision):
         cum, prob = (np.asarray(x) for x in fn(jnp.asarray(syms)))
         np.testing.assert_array_equal(cum, c[syms])
         np.testing.assert_array_equal(prob, c[syms + 1] - c[syms])
+
+
+def _leaky_cdf(rng, K, precision):
+    """Random strictly-increasing fixed-point CDF (every prob >= 1) that,
+    unlike the _fast constructor, also covers dense alphabets K ~ 2^P."""
+    extra = rng.multinomial((1 << precision) - K, rng.dirichlet(np.full(K, 0.3)))
+    return np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.int64)
+
+
+@pytest.mark.parametrize(
+    "K,precision",
+    [(300, 12), (1000, 12), (4095, 12), (4096, 12), (1000, 13), (2000, 11),
+     (500, 15), (257, 10), (256, 9)],
+)
+def test_compare_sum_bitmap_oracle(K, precision):
+    """The K-independent bitmap-rank inversion must match the searchsorted
+    oracle on EVERY quantile in [0, 2^P)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K * 31 + precision)
+    c = _leaky_cdf(rng, K, precision)
+    qs = np.arange(1 << precision, dtype=np.uint32)
+    want_sym = np.searchsorted(c, qs, side="right") - 1
+    want_cum = c[want_sym]
+    want_prob = c[want_sym + 1] - c[want_sym]
+    for bb in (None, 5, 6):
+        if bb is not None and bb >= precision:
+            continue
+        fn = jax.jit(
+            lambda q, bb=bb: pc._compare_sum_bitmap(q, c, precision,
+                                                    bucket_bits=bb)
+        )
+        sym, cum, prob = (np.asarray(x) for x in fn(jnp.asarray(qs)))
+        np.testing.assert_array_equal(sym, want_sym)
+        np.testing.assert_array_equal(cum, want_cum)
+        np.testing.assert_array_equal(prob, want_prob)
+
+
+@pytest.mark.parametrize("K", [1000, 4096])
+def test_pallas_decode_bitmap_roundtrip(K):
+    """End-to-end Pallas decode at large K routes through the bitmap-rank
+    inversion (P=12 <= 15 gate) and must stay bitstream-identical to the
+    host oracle."""
+    rng = np.random.RandomState(K)
+    n, L, P = 5000, 256, 12
+    cdf = _leaky_cdf(rng, K, P)
+    probs = (cdf[1:] - cdf[:-1]) / float(1 << P)
+    symbols = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
+    cdf64 = cdf.astype(np.uint64)
+    states, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    ref = il2.decode_shared_cdf(states, stream, n, cdf, cfg)
+    np.testing.assert_array_equal(ref, symbols)
+    out = np.asarray(pc.decode_shared_pallas(states, stream, cdf, cfg, n))
+    np.testing.assert_array_equal(out, symbols)
