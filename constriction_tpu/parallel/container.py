@@ -1,0 +1,323 @@
+"""Sharded ILANS2 container: one mesh-independent format, one-call codec.
+
+The message is padded to ``num_blocks`` equal blocks and every block is an
+ordinary ILANS2 unit (shared-stream interleaved rANS,
+:mod:`constriction_tpu.ops.interleaved2`).  Because the block geometry lives
+in the header -- NOT in the mesh -- a container encoded on one mesh shape
+decodes bit-identically on any other (1 device, 8 devices, or the host
+loop), as long as the device count divides the block count; the reference's
+closest analog is the Pos/Seek jump-table design
+(/root/reference/src/lib.rs:425-580): per-block (stream offset, lane states)
+are exactly coder snapshots.
+
+All blocks share one static kernel shape (the message is zero-padded to
+``num_blocks * block_len`` symbols; the true length is in the header), so the
+whole mesh runs a single SPMD program: `shard_map` over the block axis, each
+device encoding/decoding ``num_blocks / D`` blocks with the Pallas kernels,
+followed by an in-order `all_gather` of per-block stream lengths, states and
+payloads over ICI/DCN so every device (and the host, with one transfer)
+holds the complete container.
+
+Container layout (u32 words):
+
+    [0] magic 0x494C4E53 ("ILNS")   [1] version=1
+    [2] word_bits | precision << 8 | state_bits << 16
+    [3] num_symbols lo  [4] num_symbols hi
+    [5] num_lanes L     [6] num_blocks B    [7] block_len (symbols)
+    [8 .. 8+B)          per-block stream length (in W-bit words)
+    [8+B .. 8+B+B*L)    per-block initial lane states (u32)
+    [...]               per-block payloads, each u32-aligned
+                        (W-bit words packed little-endian as in ILANS2)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..ops import interleaved2 as il2
+from ..ops.interleaved import LaneConfig
+
+MAGIC_S = 0x494C4E53
+
+_HDR = 8
+
+
+def _pack_words(stream: np.ndarray, word_bits: int) -> np.ndarray:
+    """Pack W-bit words (one per u32 element) into dense u32 payload."""
+    if word_bits == 32:
+        return stream.astype(np.uint32)
+    per = 32 // word_bits
+    pad = (-len(stream)) % per
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, np.uint32)])
+    out = stream[0::per].astype(np.uint32)
+    for k in range(1, per):
+        out = out | (stream[k::per].astype(np.uint32) << (word_bits * k))
+    return out
+
+
+def _unpack_words(payload: np.ndarray, word_bits: int, count: int) -> np.ndarray:
+    if word_bits == 32:
+        return payload[:count]
+    per = 32 // word_bits
+    mask = np.uint32((1 << word_bits) - 1)
+    out = np.empty(len(payload) * per, dtype=np.uint32)
+    for k in range(per):
+        out[k::per] = (payload >> np.uint32(word_bits * k)) & mask
+    return out[:count]
+
+
+def pack_sharded(
+    states: np.ndarray,  # [B, L] u32
+    streams: list,  # B arrays of W-bit words (u32 elements)
+    num_symbols: int,
+    block_len: int,
+    cfg: LaneConfig,
+) -> np.ndarray:
+    B = len(streams)
+    L = cfg.num_lanes
+    header = np.array(
+        [
+            MAGIC_S,
+            1,
+            cfg.word_bits | (cfg.precision << 8) | (cfg.state_bits << 16),
+            num_symbols & 0xFFFFFFFF,
+            (num_symbols >> 32) & 0xFFFFFFFF,
+            L,
+            B,
+            block_len,
+        ],
+        dtype=np.uint32,
+    )
+    lens = np.array([len(s) for s in streams], dtype=np.uint32)
+    payloads = [_pack_words(s, cfg.word_bits) for s in streams]
+    return np.concatenate(
+        [header, lens, states.astype(np.uint32).reshape(-1)] + payloads
+    )
+
+
+def unpack_sharded(
+    data: np.ndarray,
+) -> Tuple[np.ndarray, list, int, int, LaneConfig]:
+    """-> (states [B, L], streams (list of B word arrays), num_symbols,
+    block_len, cfg)"""
+    data = np.asarray(data, dtype=np.uint32)
+    if int(data[0]) != MAGIC_S or int(data[1]) != 1:
+        raise ValueError("not a sharded ILANS2 container")
+    flags = int(data[2])
+    W = flags & 0xFF
+    P = (flags >> 8) & 0xFF
+    S = (flags >> 16) & 0xFF
+    num_symbols = int(data[3]) | (int(data[4]) << 32)
+    L, B, block_len = int(data[5]), int(data[6]), int(data[7])
+    cfg = LaneConfig(L, W, S, P)
+    lens = data[_HDR : _HDR + B].astype(np.int64)
+    off = _HDR + B
+    states = data[off : off + B * L].reshape(B, L)
+    off += B * L
+    per = 32 // W
+    streams = []
+    for b in range(B):
+        nwords = int(lens[b])
+        n_u32 = -(-nwords // per)
+        streams.append(_unpack_words(data[off : off + n_u32], W, nwords))
+        off += n_u32
+    return states, streams, num_symbols, block_len, cfg
+
+
+def _pick_device_count(B: int, mesh=None) -> int:
+    import jax
+
+    n = len(mesh.devices.reshape(-1)) if mesh is not None else len(jax.devices())
+    d = min(n, B)
+    while B % d:
+        d -= 1
+    return d
+
+
+def encode(
+    symbols,
+    cdf,
+    cfg: Optional[LaneConfig] = None,
+    num_blocks: int = 8,
+    mesh=None,
+    device: Optional[bool] = None,
+) -> np.ndarray:
+    """Encode ``symbols`` into a sharded container in ONE call.
+
+    ``device=True`` (default on TPU / when a mesh is given) runs the Pallas
+    encoder data-parallel over the mesh with an in-order all_gather of the
+    per-block results; ``device=False`` runs the bit-identical host loop.
+    The container bytes do not depend on the mesh shape.
+    """
+    symbols = np.asarray(symbols, dtype=np.int64)
+    n = len(symbols)
+    if cfg is None:
+        from ..tpu import _pick_cfg
+
+        cfg = _pick_cfg(max(n // max(num_blocks, 1), 1), None)
+    B = num_blocks
+    L = cfg.num_lanes
+    block_len = max(-(-n // B), 1)
+    # one static kernel shape for every block: pad the message with zeros
+    padded = np.zeros(B * block_len, dtype=np.int64)
+    padded[:n] = symbols
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+
+    if device is None:
+        import jax
+
+        device = jax.default_backend() == "tpu" or mesh is not None
+    if device and il2._pallas_eligible(cfg, len(cdf) - 1):
+        states, streams = _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh)
+    else:
+        states = np.empty((B, L), np.uint32)
+        streams = []
+        for b in range(B):
+            blk = padded[b * block_len : (b + 1) * block_len]
+            st, sw = il2.encode_shared(
+                cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg
+            )
+            states[b] = st
+            streams.append(sw)
+    return pack_sharded(states, streams, n, block_len, cfg)
+
+
+def decode(
+    container,
+    cdf,
+    mesh=None,
+    device: Optional[bool] = None,
+) -> np.ndarray:
+    """Decode a sharded container in ONE call; mesh-shape independent."""
+    states, streams, n, block_len, cfg = unpack_sharded(container)
+    B = len(streams)
+    if device is None:
+        import jax
+
+        device = jax.default_backend() == "tpu" or mesh is not None
+    if device and il2._pallas_eligible(cfg, len(cdf) - 1):
+        out = _decode_blocks_device(
+            states, streams, cdf, cfg, block_len, mesh
+        )
+    else:
+        out = np.concatenate(
+            [
+                il2.decode_shared_cdf(states[b], streams[b], block_len, cdf, cfg)
+                for b in range(B)
+            ]
+        )
+    return out[:n]
+
+
+# ---------------------------------------------------------------------------
+# Device (shard_map + Pallas) block codecs
+# ---------------------------------------------------------------------------
+
+
+def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from .sharding import BLOCK_AXIS, make_mesh
+
+    D = _pick_device_count(B, mesh)
+    if mesh is None or len(mesh.devices.reshape(-1)) != D:
+        mesh = make_mesh(D)
+    interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    cap_rows = T * R + 1
+    fn_k = pc._build_encoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    pad = T * L - block_len
+    bpd = B // D  # blocks per device
+
+    def per_device(syms_b):
+        outs = []
+        for i in range(bpd):
+            s = syms_b[0, i]
+            if pad:
+                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+            buf, states, end = fn_k(s.reshape(T, R, pc.LANES))
+            outs.append((states.reshape(-1), buf.reshape(-1), end))
+        states = jnp.stack([o[0] for o in outs])
+        bufs = jnp.stack([o[1] for o in outs])
+        ends = jnp.stack([o[2] for o in outs])
+        # in-order collective gather: every device ends up with the full
+        # container pieces (rides ICI in a slice / DCN across hosts)
+        return (
+            jax.lax.all_gather(states, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
+            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+        )
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
+    states, bufs, ends = (np.asarray(x) for x in fn(syms))
+    streams = [
+        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
+    ]
+    return states, streams
+
+
+def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from .sharding import BLOCK_AXIS, make_mesh
+
+    B = len(streams)
+    D = _pick_device_count(B, mesh)
+    if mesh is None or len(mesh.devices.reshape(-1)) != D:
+        mesh = make_mesh(D)
+    interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pc._build_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
+    rows = max(a.shape[0] for a in aligned)
+    streams_arr = np.zeros((B, rows, pc.LANES), np.uint32)
+    for b, a in enumerate(aligned):
+        streams_arr[b, : a.shape[0]] = a
+    bpd = B // D
+
+    def per_device(st_b, stream_b):
+        outs = []
+        for i in range(bpd):
+            syms, _ = fn_k(st_b[0, i].reshape(R, pc.LANES), stream_b[0, i])
+            outs.append(syms.reshape(-1)[:block_len])
+        return jnp.stack(outs)[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    out = fn(
+        jnp.asarray(states.reshape(D, bpd, L)),
+        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
+    )
+    return np.asarray(out).reshape(-1)

@@ -301,3 +301,121 @@ def prepare_blocks(
         lens,
         T,
     )
+
+
+def shard_decode_range_pallas(
+    mesh: Mesh,
+    points: jax.Array,  # [D, L] u32
+    streams2d: jax.Array,  # [D, rows, 128] u32
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    block_len: int,
+    interpret: Optional[bool] = None,
+):
+    """ILANS2-R twin of :func:`shard_decode2_pallas`: D equal-length range
+    blocks in parallel.  Returns (symbols [D, block_len] i32,
+    invalid [D] i32)."""
+    from ..ops import pallas_coder as pc
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pc._build_range_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+
+    def per_block(pt_b, stream_b):
+        syms, _pts, bad = fn_k(pt_b[0].reshape(R, pc.LANES), stream_b[0])
+        return syms.reshape(-1)[None, :block_len], bad[None, :1]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return fn(points, streams2d)
+
+
+def shard_decode_family_pallas(
+    mesh: Mesh,
+    init_states: jax.Array,  # [D, L] u32
+    params: jax.Array,  # [D, T, 2, R, 128] f32 (mean, scale)
+    streams2d: jax.Array,  # [D, rows, 128] u32
+    family: str,
+    min_sym: int,
+    max_sym: int,
+    cfg: LaneConfig,
+    block_len: int,
+    interpret: Optional[bool] = None,
+):
+    """Per-symbol continuous-family decode, data-parallel over blocks
+    (each block has its own per-symbol (mean, scale) streams)."""
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_family as pf
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pf._build_family_decoder(
+        family, int(min_sym), int(max_sym), cfg, T, tail, L, interpret
+    )
+
+    def per_block(st_b, params_b, stream_b):
+        syms, _ = fn_k(st_b[0].reshape(R, pc.LANES), params_b[0], stream_b[0])
+        return syms.reshape(-1)[None, :block_len]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    return fn(init_states, params, streams2d)
+
+
+def shard_tchain_decode_pallas(
+    mesh: Mesh,
+    qwords: jax.Array,  # [D, T, R/2, 128] u32 packed quantiles
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: Optional[bool] = None,
+):
+    """TChain-16 bits-back decode, one block per device.  Returns
+    (symbols [D, T*L] i32, remainder buffers [D, cap_rows+R+2, 128] u32,
+    heads [D, L] u32, ends [D, 2] i32)."""
+    from ..ops import tchain as tc
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    T = int(qwords.shape[1])
+    fn_k = tc._build_tchain_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), T, L, interpret
+    )
+
+    def per_block(qw_b):
+        syms, buf, heads, end = fn_k(qw_b[0])
+        return (
+            syms.reshape(-1)[None],
+            buf[None],
+            heads.reshape(-1)[None],
+            end[None],
+        )
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(BLOCK_AXIS),) * 4,
+        check_vma=False,
+    )
+    return fn(qwords)

@@ -1,0 +1,83 @@
+"""Sharded container: one-call mesh encode/decode, mesh-shape independence.
+
+VERDICT item: `parallel.encode(symbols, model, mesh)` / `parallel.decode`
+must round-trip on any mesh shape including ragged tails, and the container
+bytes must not depend on the mesh.  Runs on the 8-device CPU mesh
+(conftest sets xla_force_host_platform_device_count).
+"""
+
+import numpy as np
+import pytest
+
+from constriction_tpu import parallel
+from constriction_tpu.models.categorical import (
+    ContiguousCategoricalEntropyModel,
+)
+from constriction_tpu.ops.interleaved import LaneConfig
+
+
+def _workload(n, alphabet=37, seed=5):
+    rng = np.random.RandomState(seed)
+    probs = rng.dirichlet(np.ones(alphabet))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    return symbols, model.cdf
+
+
+CFG = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+
+
+@pytest.mark.parametrize("n", [1, 777, 4096, 10007])
+def test_container_roundtrip_host(n):
+    symbols, cdf = _workload(n)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=8, device=False)
+    out = parallel.decode(cont, cdf, device=False)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_mesh_independent():
+    """Same bytes from host and device encode; decodes on any D | B."""
+    import jax
+
+    symbols, cdf = _workload(6000)
+    cont_host = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=8, device=False)
+    mesh8 = parallel.make_mesh(min(8, len(jax.devices())))
+    cont_dev = parallel.encode(
+        symbols, cdf, cfg=CFG, num_blocks=8, mesh=mesh8, device=True
+    )
+    np.testing.assert_array_equal(cont_host, cont_dev)
+
+    for d in (1, 2, 8):
+        if d > len(jax.devices()):
+            continue
+        mesh = parallel.make_mesh(d)
+        out = parallel.decode(cont_host, cdf, mesh=mesh, device=True)
+        np.testing.assert_array_equal(out, symbols)
+    out = parallel.decode(cont_dev, cdf, device=False)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_ragged_tail():
+    """A message whose tail block is mostly padding still round-trips and
+    records the true length."""
+    symbols, cdf = _workload(8 * 513 - 311)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=8, device=False)
+    states, streams, n, block_len, cfg = parallel.unpack_sharded(cont)
+    assert n == len(symbols) and len(streams) == 8
+    out = parallel.decode(cont, cdf, device=True)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_large_alphabet_bitmap():
+    """Container + bitmap-rank inversion compose (K > 255)."""
+    rng = np.random.RandomState(11)
+    K = 600
+    extra = rng.multinomial((1 << 12) - K, rng.dirichlet(np.full(K, 2.0)))
+    cdf = np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.uint32)
+    p = (cdf[1:] - cdf[:-1]) / 4096.0
+    symbols = rng.choice(K, size=5000, p=p).astype(np.int64)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=4, device=True)
+    out = parallel.decode(cont, cdf, device=True)
+    np.testing.assert_array_equal(out, symbols)
