@@ -15,7 +15,9 @@ from typing import Optional
 import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
-_SO = os.path.join(_HERE, "libctpu.so")
+# CTPU_NATIVE_SO overrides the library path (used by the sanitizer job to
+# load the ASan/UBSan build; see tests/test_sanitizer.py)
+_SO = os.environ.get("CTPU_NATIVE_SO") or os.path.join(_HERE, "libctpu.so")
 
 u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
 i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
@@ -65,7 +67,7 @@ def _stale() -> bool:
 def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("CTPU_NATIVE", "1") == "0":
         return None
-    if _stale():
+    if not os.environ.get("CTPU_NATIVE_SO") and _stale():
         try:
             from . import build
 

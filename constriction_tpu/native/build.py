@@ -14,24 +14,36 @@ SRC = os.path.join(HERE, "codec.cpp")
 OUT = os.path.join(HERE, "libctpu.so")
 
 
-def build(verbose: bool = True) -> str:
+SAN_OUT = os.path.join(HERE, "libctpu_san.so")
+
+
+def build(verbose: bool = True, sanitize: bool = False) -> str:
+    """``sanitize=True`` builds the ASan+UBSan twin (the Miri analog for
+    this runtime, reference CI: test.yaml:97-160); run it via
+    ``CTPU_NATIVE_SO=libctpu_san.so LD_PRELOAD=<libasan.so>`` -- see
+    tests/test_sanitizer.py."""
+    out = SAN_OUT if sanitize else OUT
     cmd = [
         "g++",
-        "-O3",
+        "-O2" if sanitize else "-O3",
         # portable ISA baseline: the .so is built on first import, and a
         # -march=native binary copied between machines can SIGILL
         "-fopenmp",
         "-shared",
         "-fPIC",
         "-std=c++17",
-        "-o",
-        OUT,
-        SRC,
     ]
+    if sanitize:
+        cmd += [
+            "-g",
+            "-fsanitize=address,undefined",
+            "-fno-sanitize-recover=all",
+        ]
+    cmd += ["-o", out, SRC]
     if verbose:
         print(" ".join(cmd))
     subprocess.run(cmd, check=True)
-    return OUT
+    return out
 
 
 if __name__ == "__main__":
