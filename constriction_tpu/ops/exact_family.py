@@ -1,0 +1,651 @@
+"""Reference-exact per-symbol continuous families on device.
+
+The fast on-device family kernels (ops/pallas_family.py) use an exact
+INTEGER CDF -- self-consistent across backends but not bit-compatible with
+the reference's ``LeakyQuantizer`` over f64 float CDFs
+(/root/reference/src/stream/model/quantize.rs:525-568).  This module is the
+bit-compatible path: the model tables are computed on the host with the
+exact f64 formulas (models/quantized.py, golden-verified against the
+reference), and the TPU runs the full rANS coding loop against them.
+
+- Encode: the host evaluates 2 CDFs per symbol -> per-symbol ``(cum, prob)``
+  planes are DMA'd per step into a stream-table encoder kernel.
+- Decode: the host cannot know the symbols, so it precomputes, per symbol
+  position, a COMPACT exact description of the whole quantile partition:
+  the LeakyQuantizer table is exactly LINEAR in both tails (where
+  ``trunc(free * CDF(x - 1/2))`` is pinned at 0 / free-1, the boundary is
+  ``b(s) = s - min`` resp. ``free - 1 + s - min``), so only the CORE
+  boundaries (at most ``cmax`` of them, clamped analytically and verified
+  exactly) are materialized and DMA'd; the kernel inverts the quantile with
+  ~7 vector ops per core boundary plus closed-form tail handling.
+
+Both directions are bit-identical to the host twins (`encode_shared` /
+the numpy oracle below), hence to a reference-produced model: a
+constriction stream re-coded per-lane round-trips on TPU with zero rate
+change.  The price of exactness is host-side table generation (erf in f64
+has no TPU equivalent); the fast integer family remains the performance
+path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils import special
+from .interleaved import LaneConfig
+from .pallas_coder import (
+    LANES,
+    _emit_words,
+    _exact_div,
+    _init_stream_window,
+    _lane_iota,
+    _pad_stream2d,
+    _refill_words,
+    _row_iota,
+)
+
+EXACT_FAMILIES = ("gaussian", "laplace", "cauchy")
+
+
+def _cdf(family: str, x, mean, scale):
+    if family == "gaussian":
+        return special.gaussian_cdf(x, mean, scale)
+    if family == "laplace":
+        return special.laplace_cdf(x, mean, scale)
+    if family == "cauchy":
+        return special.cauchy_cdf(x, mean, scale)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def _ppf_guess(family: str, p: float, mean, scale):
+    """Approximate inverse CDF -- only a WINDOW GUESS; exactness comes from
+    verifying the trunc values at the window edges."""
+    mean = np.asarray(mean, dtype=np.float64)
+    scale = np.asarray(scale, dtype=np.float64)
+    if family == "gaussian":
+        from scipy.special import ndtri
+
+        return mean + scale * ndtri(p)
+    if family == "laplace":
+        if p < 0.5:
+            return mean + scale * np.log(2.0 * p)
+        return mean - scale * np.log(2.0 * (1.0 - p))
+    if family == "cauchy":
+        return mean + scale * np.tan(np.pi * (p - 0.5))
+    raise ValueError(family)
+
+
+def _trunc(x: np.ndarray) -> np.ndarray:
+    """Truncating f64 -> u32 cast with Rust `as` semantics (saturating,
+    NaN -> 0); twin of models/quantized._trunc_to_uint."""
+    hi = float((1 << 32) - 1)
+    with np.errstate(invalid="ignore"):
+        clipped = np.clip(x, 0.0, hi)
+        clipped = np.where(np.isnan(x), 0.0, clipped)
+    return np.trunc(clipped).astype(np.int64)
+
+
+def exact_ecp(
+    symbols, means, scales, family: str, min_sym: int, max_sym: int,
+    precision: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-symbol (cum, prob) with the exact reference formulas
+    (quantize.rs:525-568), vectorized over per-symbol (mean, scale)."""
+    s = np.asarray(symbols, dtype=np.int64)
+    if np.any((s < min_sym) | (s > max_sym)):
+        raise ValueError("symbol outside support")
+    mean = np.asarray(means, dtype=np.float64)
+    scale = np.asarray(scales, dtype=np.float64)
+    free = float((1 << precision) - 1 - (max_sym - min_sym))
+    if free < 1.0:
+        raise ValueError("support too large for precision")
+    slack = s - min_sym
+    sf = s.astype(np.float64)
+    left = _trunc(free * _cdf(family, sf - 0.5, mean, scale)) + slack
+    left = np.where(s == min_sym, 0, left)
+    right = _trunc(free * _cdf(family, sf + 0.5, mean, scale)) + slack + 1
+    right = np.where(s == max_sym, 1 << precision, right)
+    prob = right - left
+    if np.any(prob <= 0):
+        raise ValueError("invalid underlying continuous distribution")
+    return left.astype(np.uint32), prob.astype(np.uint32)
+
+
+def exact_boundary_tables(
+    means, scales, family: str, min_sym: int, max_sym: int, precision: int,
+    cmax: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Compact exact decode tables: per symbol position, the core boundary
+    values ``b(s) = trunc(free * CDF(s - 1/2)) + (s - min)`` for s in
+    [core_lo, core_hi], where the core is the maximal range outside which
+    the trunc value is exactly 0 (left tail) or free-1 (right tail).
+
+    Returns ``(aux u32[n], core u16->u32[n, cmax])`` with
+    ``aux = (core_lo - min) | ncore << 16`` and core entries beyond ncore
+    padded with 0xFFFF.  Raises if any symbol's core exceeds ``cmax``
+    (increase cmax; a very flat distribution can make the whole support
+    non-linear).
+    """
+    mean = np.asarray(means, dtype=np.float64).reshape(-1)
+    scale = np.asarray(scales, dtype=np.float64).reshape(-1)
+    n = len(mean)
+    P = precision
+    free = float((1 << P) - 1 - (max_sym - min_sym))
+    if free < 2.0:
+        raise ValueError("support too large for precision")
+    span = max_sym - min_sym
+
+    # window guess from the approximate PPF, with margin; exactness is then
+    # verified on the evaluated trunc values at the window edges
+    margin = 4
+    wwin = min(cmax + 2 * margin, span + 1)
+    lo_g = np.floor(_ppf_guess(family, 1.0 / free, mean, scale))
+    lo_g = np.where(np.isfinite(lo_g), lo_g, float(min_sym))
+    a = np.clip(
+        lo_g.astype(np.int64) - margin, min_sym + 1, max(min_sym + 1, max_sym - wwin + 1)
+    )
+    grid = a[:, None] + np.arange(wwin)[None, :]  # [n, wwin] symbol values
+    valid = grid <= max_sym
+    gridc = np.minimum(grid, max_sym)
+    tv = _trunc(
+        free * _cdf(family, gridc.astype(np.float64) - 0.5,
+                    mean[:, None], scale[:, None])
+    )
+    # cdf rounds to exactly 1.0 in f64 well inside heavy right tails, so
+    # trunc(free * cdf) takes the value free there (NOT free-1); the single
+    # right-linear regime is b(s) = free + s - min, and everything below
+    # saturation (including the trunc == free-1 stretch) belongs to the core
+    pos = (tv >= 1) & valid
+    nonsat = (tv <= int(free) - 1) & valid
+
+    any_pos = pos.any(axis=1)
+    lo_w = np.where(any_pos, pos.argmax(axis=1), wwin - 1)
+    # window-edge verification: the first positive trunc must be INSIDE the
+    # window (edge value 0) unless the window starts at the support edge
+    edge_ok = (~any_pos) | (lo_w > 0) | (a == min_sym + 1)
+    if not np.all(edge_ok):
+        raise ValueError(
+            "core window missed the left edge (distribution wider than "
+            f"cmax={cmax}? increase cmax)"
+        )
+    any_ns = nonsat.any(axis=1)
+    hi_w = np.where(any_ns, wwin - 1 - nonsat[:, ::-1].argmax(axis=1), lo_w)
+    # the right edge is covered when the last non-saturated value is inside
+    # the window (something saturated/invalid follows it) OR the window
+    # already reaches the end of the support (a core touching max is fine)
+    hi_ok = (hi_w < wwin - 1) | (grid[:, wwin - 1] >= max_sym)
+    if not np.all(hi_ok):
+        raise ValueError(
+            "core window missed the right edge (distribution wider than "
+            f"cmax={cmax}? increase cmax)"
+        )
+    # clamp to a non-empty core (all-linear / sharp-step cases)
+    lo_w = np.where(any_pos, lo_w, np.minimum(max_sym - a, wwin - 1))
+    hi_w = np.maximum(hi_w, lo_w)
+    ncore = hi_w - lo_w + 1
+    if np.any(ncore > cmax):
+        raise ValueError(
+            f"core needs {int(ncore.max())} boundaries > cmax={cmax}; "
+            "increase cmax (flat distributions make the whole support "
+            "non-linear)"
+        )
+
+    b = tv + (gridc - min_sym)  # boundary values on the window grid
+    idx = lo_w[:, None] + np.arange(cmax)[None, :]
+    take = np.take_along_axis(
+        np.concatenate([b, np.full((n, cmax), 0xFFFF, np.int64)], axis=1),
+        np.minimum(idx, wwin + cmax - 1),
+        axis=1,
+    )
+    core = np.where(np.arange(cmax)[None, :] < ncore[:, None], take, 0xFFFF)
+    core_lo_rel = (np.take_along_axis(grid, lo_w[:, None], 1)[:, 0] - min_sym)
+    aux = (core_lo_rel.astype(np.uint32) | (ncore.astype(np.uint32) << 16))
+    return aux, core.astype(np.uint32)
+
+
+# ---------------------------------------------------------------------------
+# Numpy oracle decode (twin of the kernel, used for verification)
+# ---------------------------------------------------------------------------
+
+
+def _invert_with_tables(q, aux, core, min_sym, max_sym, precision):
+    """Vectorized quantile inversion from (aux, core) tables; exact twin of
+    the kernel's region logic.  q, aux: [L]; core: [L, cmax]."""
+    P = precision
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    span = max_sym - min_sym
+    q = q.astype(np.int64)
+    cl = (aux & 0xFFFF).astype(np.int64)
+    nc = (aux >> 16).astype(np.int64)
+    c = core.astype(np.int64)  # pads 0xFFFF
+    le = c <= q[:, None]
+    cnt = le.sum(axis=1)
+    cumc = np.where(le, c, 0).max(axis=1)
+    nxtc = np.where(le, 0xFFFF, c).min(axis=1)
+    core_hi_rel = cl + nc - 1
+    rstart = np.where(
+        core_hi_rel >= span, 1 << P, free + core_hi_rel + 1
+    )
+    # left-linear region
+    s_rel_l = np.minimum(q, cl - 1)
+    next_l = np.where(s_rel_l >= cl - 1, nxtc, s_rel_l + 1)
+    # core region
+    sym_c = cl + cnt - 1
+    next_c = np.minimum(nxtc, rstart)
+    # right-linear region (saturated: b(s) = free + s - min)
+    s_rel_r = np.minimum(q - free, span)
+    cum_r = free + s_rel_r
+    next_r = np.where(s_rel_r >= span, 1 << P, cum_r + 1)
+
+    right = q >= rstart
+    leftr = cnt == 0
+    s_rel = np.where(right, s_rel_r, np.where(leftr, s_rel_l, sym_c))
+    cum = np.where(right, cum_r, np.where(leftr, s_rel_l, cumc))
+    nxt = np.where(right, next_r, np.where(leftr, next_l, next_c))
+    return (
+        (s_rel + min_sym).astype(np.int64),
+        cum.astype(np.uint64),
+        (nxt - cum).astype(np.uint64),
+    )
+
+
+def decode_family_exact_host(
+    init_states, stream, means, scales, family: str, min_sym: int,
+    max_sym: int, cfg: LaneConfig, num_symbols: int, cmax: int = 64,
+) -> np.ndarray:
+    """Numpy oracle for the exact-family decoder (same schedule as
+    ops/interleaved2.decode_shared_cdf, per-symbol tables)."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    lower = np.uint64(1 << (S - W))
+    aux_all, core_all = exact_boundary_tables(
+        _pad_to(means, T * L), _pad_to(scales, T * L, 1.0), family,
+        min_sym, max_sym, P, cmax,
+    )
+    states = np.asarray(init_states).astype(np.uint64)
+    base = 0
+    out = np.empty(T * L, dtype=np.int64)
+    lanes = np.arange(L)
+    stream = np.asarray(stream)
+    for t in range(T):
+        idx = t * L + lanes
+        active = idx < num_symbols
+        q = states & np.uint64((1 << P) - 1)
+        sym, cum, prob = _invert_with_tables(
+            q.astype(np.int64), aux_all[idx], core_all[idx],
+            min_sym, max_sym, P,
+        )
+        new_states = (states >> np.uint64(P)) * prob + (q - cum)
+        states = np.where(active, new_states, states)
+        m = states < lower
+        k = int(m.sum())
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base : base + k]
+            words[: len(avail)] = avail
+            states[m] = (states[m] << np.uint64(W)) | words
+            base += k
+        out[idx] = sym
+    return out[:num_symbols]
+
+
+def _pad_to(arr, n, fill=0.0):
+    arr = np.asarray(arr, dtype=np.float64).reshape(-1)
+    if len(arr) >= n:
+        return arr[:n]
+    out = np.full(n, fill, np.float64)
+    out[: len(arr)] = arr
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _exact_decode_kernel_body(
+    pltpu, pl, *, min_sym: int, max_sym: int, cfg: LaneConfig,
+    T: int, tail: int, R: int, cmax: int,
+):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    lower = np.uint32(1 << (S - W))
+    qmask = np.uint32((1 << P) - 1)
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    span = max_sym - min_sym
+    CP1 = cmax // 2 + 1  # aux plane + packed core pairs
+
+    def kernel(states_in, tabs_hbm, stream_hbm,
+               syms_out, states_out, states_s, win, tbuf, base_s, sem, tsem):
+        # tabs_hbm: [T, CP1, R, 128] u32; plane 0 = aux, 1.. = core pairs
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = states_in[:]
+            base_s[0] = 0
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+            d = pltpu.make_async_copy(tabs_hbm.at[0], tbuf.at[0], tsem.at[0])
+            d.start()
+            d.wait()
+
+        @pl.when(t + 1 < T)
+        def _prefetch_tabs():
+            pltpu.make_async_copy(
+                tabs_hbm.at[t + 1], tbuf.at[1 - slot], tsem.at[1 - slot]
+            ).start()
+
+        @pl.when(t > 0)
+        def _wait_tabs():
+            pltpu.make_async_copy(
+                tabs_hbm.at[t], tbuf.at[slot], tsem.at[slot]
+            ).wait()
+
+        states = states_s[:]
+        q = (states & qmask).astype(jnp.int32)
+
+        aux = tbuf[slot, 0]
+        cl = (aux & np.uint32(0xFFFF)).astype(jnp.int32)
+        nc = (aux >> 16).astype(jnp.int32)
+
+        # core scan: count, max boundary <= q, min boundary > q
+        top = np.int32(0xFFFF)
+        cnt = jnp.zeros((R, LANES), jnp.int32)
+        cumc = jnp.zeros((R, LANES), jnp.int32)
+        nxtc = jnp.full((R, LANES), top, jnp.int32)
+        for w in range(cmax // 2):
+            pairs = tbuf[slot, 1 + w]
+            for half in range(2):
+                b = ((pairs >> (16 * half)) & np.uint32(0xFFFF)).astype(
+                    jnp.int32
+                )
+                le = b <= q  # pads 0xFFFF never <= q (q < 2^16)
+                cnt = cnt + jnp.where(le, 1, 0)
+                cumc = jnp.maximum(cumc, jnp.where(le, b, 0))
+                nxtc = jnp.minimum(nxtc, jnp.where(le, top, b))
+
+        core_hi_rel = cl + nc - 1
+        rstart = jnp.where(
+            core_hi_rel >= np.int32(span),
+            np.int32(1 << P),
+            np.int32(free + 1) + core_hi_rel,  # free + core_hi_rel + 1
+        )
+        # left-linear
+        s_rel_l = jnp.minimum(q, cl - 1)
+        next_l = jnp.where(s_rel_l >= cl - 1, nxtc, s_rel_l + 1)
+        # core
+        sym_c = cl + cnt - 1
+        next_c = jnp.minimum(nxtc, rstart)
+        # right-linear (saturated: b(s) = free + s - min)
+        s_rel_r = jnp.minimum(q - np.int32(free), np.int32(span))
+        cum_r = np.int32(free) + s_rel_r
+        next_r = jnp.where(
+            s_rel_r >= np.int32(span), np.int32(1 << P), cum_r + 1
+        )
+
+        right = q >= rstart
+        leftr = cnt == 0
+        s_rel = jnp.where(right, s_rel_r, jnp.where(leftr, s_rel_l, sym_c))
+        cum = jnp.where(
+            right, cum_r, jnp.where(leftr, s_rel_l, cumc)
+        ).astype(jnp.uint32)
+        nxt = jnp.where(right, next_r, jnp.where(leftr, next_l, next_c))
+        prob = nxt.astype(jnp.uint32) - cum
+        sym = s_rel + np.int32(min_sym)
+
+        qf = (states & qmask)
+        new_states = (states >> P) * prob + (qf - cum)
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            new_states = jnp.where(active, new_states, states)
+        states = new_states
+
+        m = states < lower
+        ex, nxt_b = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        states_s[:] = jnp.where(
+            m, (states << W) | (ex & np.uint32(cfg.word_mask)), states
+        )
+        base_s[0] = nxt_b
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            states_out[:] = states_s[:]
+
+    return kernel
+
+
+def _exact_encode_kernel_body(
+    pltpu, pl, *, cfg: LaneConfig, T: int, tail: int, R: int, cap_rows: int,
+):
+    """Stream-table encoder: per-symbol (cum, prob) planes as inputs, the
+    standard rANS encode algebra + right-to-left emission."""
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    seed = np.uint32(1 << (S - W))
+    wmask = np.uint32(cfg.word_mask)
+
+    def kernel(cums_in, probs_in, stream_out, states_out, end_out,
+               states_s, img, arow_s, sem):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        states = states_s[:]
+        cum = cums_in[0]
+        prob = probs_in[0]
+
+        if tail < L:
+            active = jnp.logical_or(t > 0, lane_flat < tail)
+        else:
+            active = None
+
+        renorm = (states >> (S - P)) >= prob
+        if active is not None:
+            renorm = jnp.logical_and(renorm, active)
+        vals = jnp.where(renorm, states & wmask, np.uint32(0))
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+
+        shifted = jnp.where(renorm, states >> W, states)
+        qd = _exact_div(shifted, prob, qbits=S - P)
+        rem = shifted - qd * prob
+        new_states = (qd << P) | (cum + rem)
+        if active is not None:
+            new_states = jnp.where(active, new_states, shifted)
+        states_s[:] = new_states
+
+        @pl.when(t == T - 1)
+        def _final():
+            states_out[:] = states_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_exact_decoder(min_sym, max_sym, cfg, T, tail, L, cmax, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    CP1 = cmax // 2 + 1
+    kernel = _exact_decode_kernel_body(
+        pltpu, pl, min_sym=min_sym, max_sym=max_sym, cfg=cfg,
+        T=T, tail=tail, R=R, cmax=cmax,
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tables [T, CP1, R, 128]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.VMEM((2, CP1, R, LANES), jnp.uint32),  # table double buffer
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_exact_encoder(cfg, T, tail, L, cap_rows, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _exact_encode_kernel_body(
+        pltpu, pl, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    )
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# Entry points
+# ---------------------------------------------------------------------------
+
+
+def encode_tables_pallas(
+    cums, probs, cfg: LaneConfig, interpret: bool | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """ILANS2 encode of explicit per-symbol (cum, prob) tables on TPU;
+    bit-exact with ops/interleaved2.encode_shared on the same tables."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    cums = np.asarray(cums, dtype=np.uint32).reshape(-1)
+    n = len(cums)
+    T = -(-n // L) if n else 0
+    if T == 0:
+        return (jnp.full(L, np.uint32(1 << (cfg.state_bits - cfg.word_bits)),
+                         jnp.uint32), jnp.zeros((0,), jnp.uint32))
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = T * R + 1
+    cpad = np.zeros(T * L, np.uint32)
+    ppad = np.ones(T * L, np.uint32)
+    cpad[:n] = cums
+    ppad[:n] = np.asarray(probs, dtype=np.uint32).reshape(-1)
+    fn = _build_exact_encoder(cfg, T, tail, L, cap_rows, interpret)
+    buf, states, end = fn(
+        jnp.asarray(cpad).reshape(T, R, LANES),
+        jnp.asarray(ppad).reshape(T, R, LANES),
+    )
+    e = int(end[0])
+    return states.reshape(-1), buf.reshape(-1)[e : cap_rows * LANES]
+
+
+def encode_family_exact(
+    symbols, means, scales, family: str, min_sym: int, max_sym: int,
+    cfg: LaneConfig, interpret: bool | None = None,
+):
+    """Reference-exact family encode: host f64 tables, device coding."""
+    assert family in EXACT_FAMILIES
+    cums, probs = exact_ecp(
+        symbols, means, scales, family, min_sym, max_sym, cfg.precision
+    )
+    return encode_tables_pallas(cums, probs, cfg, interpret)
+
+
+def decode_family_exact(
+    init_states, stream, means, scales, family: str, min_sym: int,
+    max_sym: int, cfg: LaneConfig, num_symbols: int, cmax: int = 64,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Reference-exact family decode: host f64 boundary tables, device
+    inversion + rANS state machine.  Matches decode_family_exact_host."""
+    assert family in EXACT_FAMILIES
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    assert cfg.precision <= 16 and cmax % 2 == 0
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+    aux, core = exact_boundary_tables(
+        _pad_to(means, T * L), _pad_to(scales, T * L, 1.0), family,
+        min_sym, max_sym, cfg.precision, cmax,
+    )
+    # pack: plane 0 aux, planes 1.. core pairs (even | odd << 16)
+    CP1 = cmax // 2 + 1
+    tabs = np.empty((T * L, CP1), np.uint32)
+    tabs[:, 0] = aux
+    tabs[:, 1:] = core[:, 0::2] | (core[:, 1::2] << 16)
+    tabs4 = np.ascontiguousarray(
+        tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
+    )
+    fn = _build_exact_decoder(
+        int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
+    )
+    syms, _ = fn(
+        jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, LANES),
+        jnp.asarray(tabs4),
+        _pad_stream2d(stream, R),
+    )
+    return syms.reshape(-1)[:num_symbols]

@@ -95,6 +95,39 @@ def decode_family(init_states, stream, means, scales, family: str,
     )
 
 
+def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
+                        max_sym: int, cfg: LaneConfig | None = None):
+    """REFERENCE-EXACT per-symbol family encode: the model tables are the
+    host f64 LeakyQuantizer's (bit-identical to constriction's
+    QuantizedGaussian/Laplace/Cauchy, quantize.rs:525-568); the rANS coding
+    loop runs on-device.  Slower than :func:`encode_family` (host CDF evals)
+    but bit-compatible with reference-produced models."""
+    from .ops import exact_family as _ef
+
+    symbols = np.asarray(symbols)
+    cfg = _pick_cfg(len(symbols), cfg)
+    return _ef.encode_family_exact(
+        symbols, means, scales, family, min_sym, max_sym, cfg
+    )
+
+
+def decode_family_exact(init_states, stream, means, scales, family: str,
+                        min_sym: int, max_sym: int, num_symbols: int,
+                        cfg: LaneConfig | None = None, cmax: int = 128):
+    """REFERENCE-EXACT per-symbol family decode (twin of
+    :func:`encode_family_exact`): compact exact boundary tables from the
+    host f64 quantizer, quantile inversion + state machine on-device.
+    ``cmax`` bounds the non-linear core per symbol; heavy-tailed families
+    (cauchy) over wide supports need ``cmax >= support size``."""
+    from .ops import exact_family as _ef
+
+    cfg = _pick_cfg(num_symbols, cfg)
+    return _ef.decode_family_exact(
+        np.asarray(init_states), np.asarray(stream), means, scales,
+        family, min_sym, max_sym, cfg, num_symbols, cmax=cmax,
+    )
+
+
 def decode_chain_iid(data, num_symbols: int, cdf):
     """Fully-parallel chain-coder decode (host chain format, default
     preset); see ops/chain_jax.py."""

@@ -88,8 +88,10 @@ def laplace_cdf(x, mean, b):
     `0.5 * exp((x - mu)/b)` for `x < mu`, else `1 - 0.5 * exp((mu - x)/b)`.
     """
     x = np.asarray(x, dtype=np.float64)
-    lo = 0.5 * np.exp((x - mean) / b)
-    hi = 1.0 - 0.5 * np.exp((mean - x) / b)
+    # the branch not selected by the where may overflow to inf harmlessly
+    with np.errstate(over="ignore"):
+        lo = 0.5 * np.exp((x - mean) / b)
+        hi = 1.0 - 0.5 * np.exp((mean - x) / b)
     return np.where(x < mean, lo, hi)
 
 

@@ -1,0 +1,169 @@
+"""Reference-exact device families (ops/exact_family.py).
+
+The VERDICT golden contract: device tables must equal the host f64
+LeakyQuantizer's bit-for-bit over random (mean, scale), and an on-device
+round trip must be flagged reference-exact.  The host quantizer itself is
+golden-verified against the reference (tests/test_golden_reference.py), so
+equality here chains to quantize.rs:525-568.
+
+The (mean, scale) sample count scales with CTPU_EXACT_SOAK_N (default
+2000 per family; the full 10^6 VERDICT soak: CTPU_EXACT_SOAK_N=1000000
+python -m pytest tests/test_exact_family.py -k golden -v).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from constriction_tpu.models.quantized import (
+    Cauchy,
+    Gaussian,
+    Laplace,
+    LeakyQuantizer,
+)
+from constriction_tpu.ops import exact_family as ef
+from constriction_tpu.ops import interleaved2 as il2
+from constriction_tpu.ops.interleaved import LaneConfig
+
+P, MIN, MAX = 12, -100, 100
+DIST = {"gaussian": Gaussian, "laplace": Laplace, "cauchy": Cauchy}
+CMAX = {"gaussian": 128, "laplace": 202, "cauchy": 202}
+SOAK_N = int(os.environ.get("CTPU_EXACT_SOAK_N", "2000"))
+
+
+def _params(rng, n):
+    means = rng.uniform(-110, 110, n)
+    scales = np.exp(rng.uniform(np.log(0.02), np.log(8.0), n))
+    return means, scales
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_golden_tables_vs_host_quantizer(family):
+    """Full-table equality: every (sym, cum, prob) the compact device
+    tables produce equals the host f64 LeakyQuantizer's quantile_function,
+    over random (mean, scale) and a quantile sample per model."""
+    rng = np.random.RandomState(hash(family) % (1 << 31))
+    n = SOAK_N
+    means, scales = _params(rng, n)
+    aux, core = ef.exact_boundary_tables(
+        means, scales, family, MIN, MAX, P, CMAX[family]
+    )
+    quant = LeakyQuantizer(MIN, MAX, P)
+    # spot-verify a subsample per model against the scalar qf oracle (the
+    # scalar oracle is slow; the table *construction* above is the full
+    # 2-eval-per-boundary exact computation for all n models)
+    check = rng.choice(n, size=min(n, 300), replace=False)
+    qs = np.unique(
+        np.concatenate([rng.randint(0, 1 << P, 40), [0, (1 << P) - 1]])
+    )
+    for i in check:
+        m = quant.quantize(DIST[family](means[i], scales[i]))
+        sym, cum, prob = ef._invert_with_tables(
+            qs,
+            np.repeat(aux[i : i + 1], len(qs)),
+            np.repeat(core[i : i + 1], len(qs), axis=0),
+            MIN, MAX, P,
+        )
+        for j, q in enumerate(qs):
+            ws, wc, wp = m.qf(int(q))
+            assert (sym[j], cum[j], prob[j]) == (ws, wc, wp), (
+                family, i, q, means[i], scales[i]
+            )
+    # ecp twin over the full sample
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), MIN, MAX
+    ).astype(np.int64)
+    cums, probs = ef.exact_ecp(syms, means, scales, family, MIN, MAX, P)
+    for i in check:
+        m = quant.quantize(DIST[family](means[i], scales[i]))
+        wc, wp = m.ecp(int(syms[i]))
+        assert (int(cums[i]), int(probs[i])) == (wc, wp), (family, i)
+    # table-level consistency for ALL n models: the boundary tables and the
+    # ecp tables must agree (cum from inversion at q=cum equals ecp's)
+    sym2, cum2, prob2 = ef._invert_with_tables(
+        cums.astype(np.int64), aux, core, MIN, MAX, P
+    )
+    np.testing.assert_array_equal(sym2, syms)
+    np.testing.assert_array_equal(cum2, cums.astype(np.uint64))
+    np.testing.assert_array_equal(prob2, probs.astype(np.uint64))
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_exact_roundtrip_device(family):
+    """On-device (interpreter on CPU) encode + decode, bit-exact with the
+    host twins -- the 'reference-exact' round trip."""
+    rng = np.random.RandomState(5)
+    cfg = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=P)
+    n = 4000
+    means = rng.uniform(-60, 60, n)
+    scales = np.exp(rng.uniform(np.log(0.2), np.log(6.0), n))
+    syms = np.clip(np.round(means + rng.randn(n) * scales), MIN, MAX).astype(
+        np.int64
+    )
+    cums, probs = ef.exact_ecp(syms, means, scales, family, MIN, MAX, P)
+    ref_st, ref_w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), cfg
+    )
+    st, w = ef.encode_family_exact(syms, means, scales, family, MIN, MAX, cfg)
+    np.testing.assert_array_equal(np.asarray(st), ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out_h = ef.decode_family_exact_host(
+        ref_st, ref_w, means, scales, family, MIN, MAX, cfg, n,
+        cmax=CMAX[family],
+    )
+    np.testing.assert_array_equal(out_h, syms)
+    out_d = np.asarray(
+        ef.decode_family_exact(
+            ref_st, ref_w, means, scales, family, MIN, MAX, cfg, n,
+            cmax=CMAX[family],
+        )
+    )
+    np.testing.assert_array_equal(out_d, syms)
+
+
+def test_edge_cases():
+    """Means far outside the support, near-delta scales, and the cmax
+    guard."""
+    rng = np.random.RandomState(9)
+    quant = LeakyQuantizer(MIN, MAX, P)
+    means = np.array([-1e4, 1e4, -100.0, 100.0, 0.0, 3.25])
+    scales = np.array([1.0, 1.0, 0.02, 0.02, 1e-6, 5.0])
+    aux, core = ef.exact_boundary_tables(
+        means, scales, "gaussian", MIN, MAX, P, 128
+    )
+    qs = np.unique(np.concatenate([rng.randint(0, 1 << P, 200),
+                                   [0, 1, (1 << P) - 2, (1 << P) - 1]]))
+    for i in range(len(means)):
+        m = quant.quantize(Gaussian(means[i], scales[i]))
+        sym, cum, prob = ef._invert_with_tables(
+            qs, np.repeat(aux[i : i + 1], len(qs)),
+            np.repeat(core[i : i + 1], len(qs), axis=0), MIN, MAX, P,
+        )
+        for j, q in enumerate(qs):
+            assert (sym[j], cum[j], prob[j]) == m.qf(int(q)), (i, q)
+    # a flat distribution makes the whole support non-linear: cmax guard
+    with pytest.raises(ValueError, match="cmax"):
+        ef.exact_boundary_tables(
+            np.zeros(4), np.full(4, 500.0), "gaussian", MIN, MAX, P, 64
+        )
+
+
+def test_facade_entry_points():
+    import constriction_tpu.tpu as ctpu
+
+    rng = np.random.RandomState(2)
+    n = 3000
+    means = rng.uniform(-40, 40, n)
+    scales = np.exp(rng.uniform(np.log(0.3), np.log(5.0), n))
+    syms = np.clip(np.round(means + rng.randn(n) * scales), MIN, MAX).astype(
+        np.int64
+    )
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=P)
+    st, w = ctpu.encode_family_exact(syms, means, scales, "gaussian",
+                                     MIN, MAX, cfg)
+    out = np.asarray(
+        ctpu.decode_family_exact(st, w, means, scales, "gaussian",
+                                 MIN, MAX, n, cfg)
+    )
+    np.testing.assert_array_equal(out, syms)

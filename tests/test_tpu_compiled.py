@@ -199,3 +199,35 @@ def test_sharded_container_on_chip(tpu, workload):
     np.testing.assert_array_equal(out, symbols)
     cont_h = parallel.encode(symbols, cdf, cfg=cfg_c, num_blocks=4, device=False)
     np.testing.assert_array_equal(cont, cont_h)
+
+
+def test_exact_family_reference_exact(tpu, workload):
+    """Reference-exact family path: host f64 LeakyQuantizer tables, device
+    coding (ops/exact_family.py) -- encode bit-exact vs the host encoder,
+    decode recovers the symbols."""
+    from constriction_tpu.ops import exact_family as ef
+    from constriction_tpu.ops import interleaved2 as il2
+
+    rng, L, n, cfg, cdf, symbols = workload
+    means = rng.uniform(-60, 60, n)
+    scales = np.exp(rng.uniform(np.log(0.3), np.log(5.0), n))
+    fsyms = np.clip(
+        np.round(means + rng.randn(n) * scales), -100, 100
+    ).astype(np.int64)
+    cums, probs = ef.exact_ecp(fsyms, means, scales, "gaussian", -100, 100,
+                               cfg.precision)
+    ref_st, ref_w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), cfg
+    )
+    st, w = ef.encode_family_exact(
+        fsyms, means, scales, "gaussian", -100, 100, cfg
+    )
+    np.testing.assert_array_equal(np.asarray(st), ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out = np.asarray(
+        ef.decode_family_exact(
+            ref_st, ref_w, means, scales, "gaussian", -100, 100, cfg, n,
+            cmax=128,
+        )
+    )
+    np.testing.assert_array_equal(out, fsyms)
