@@ -25,6 +25,7 @@ from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from ..backends import StackIterReader, WordBuffer
 from ..models.base import EntropyModel, ModelFamily
 from ..utils.bits import chunks_truncated_msb_first
 
@@ -39,7 +40,41 @@ class AnsCoderCore:
         self.S = state_bits
         self.word_mask = (1 << word_bits) - 1
         self.state = 0
-        self.bulk: List[int] = []
+        self.bulk = WordBuffer()
+
+    @classmethod
+    def with_write_backend(
+        cls, backend, word_bits: int = 32, state_bits: int = 64
+    ) -> "AnsCoderCore":
+        """Empty coder emitting bulk words into ``backend`` -- a
+        fixed-capacity WordBuffer (Cursor analog, errors on overflow) or a
+        CallbackSink (stack.rs:380-399 / backends.rs:1061,1824)."""
+        self = cls(word_bits, state_bits)
+        self.bulk = backend
+        return self
+
+    @classmethod
+    def from_reversed_compressed_iterator(
+        cls, reversed_words, word_bits: int = 32, state_bits: int = 64
+    ) -> "AnsCoderCore":
+        """Lazy decoder over a reversed word iterator (last compressed
+        word first; iterator-source analog of backends.rs:1681).  Only
+        decoding operations are supported."""
+        self = cls(word_bits, state_bits)
+        src = StackIterReader(reversed_words)
+        state = 0
+        if src:
+            state = src.pop()
+            if state == 0:
+                raise ValueError(
+                    "Invalid compressed data: ANS compressed data never ends in a zero word."
+                )
+            threshold = 1 << (self.S - self.W)
+            while state < threshold and src:
+                state = (state << self.W) | src.pop()
+        self.state = state
+        self.bulk = src
+        return self
 
     # -- constructors ---------------------------------------------------------
 
@@ -48,9 +83,9 @@ class AnsCoderCore:
         cls, compressed: Sequence[int], word_bits: int = 32, state_bits: int = 64
     ) -> "AnsCoderCore":
         self = cls(word_bits, state_bits)
-        bulk = list(int(w) for w in compressed)
+        bulk = WordBuffer(np.asarray(compressed, dtype=np.uint64))
         if bulk:
-            if bulk[-1] == 0:
+            if bulk[len(bulk) - 1] == 0:
                 raise ValueError(
                     "Invalid compressed data: ANS compressed data never ends in a zero word."
                 )
@@ -67,7 +102,7 @@ class AnsCoderCore:
         cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64
     ) -> "AnsCoderCore":
         self = cls(word_bits, state_bits)
-        bulk = list(int(w) for w in data)
+        bulk = WordBuffer(np.asarray(data, dtype=np.uint64))
         state = 1
         threshold = 1 << (self.S - self.W)
         while state < threshold and bulk:
@@ -81,14 +116,14 @@ class AnsCoderCore:
         cls, bulk: Sequence[int], state: int, word_bits: int = 32, state_bits: int = 64
     ) -> "AnsCoderCore":
         self = cls(word_bits, state_bits)
-        self.bulk = list(int(w) for w in bulk)
+        self.bulk = WordBuffer(np.asarray(bulk, dtype=np.uint64))
         self.state = int(state)
         return self
 
     def clone(self) -> "AnsCoderCore":
         out = AnsCoderCore(self.W, self.S)
         out.state = self.state
-        out.bulk = list(self.bulk)
+        out.bulk = self.bulk.copy() if isinstance(self.bulk, WordBuffer) else list(self.bulk)
         return out
 
     # -- introspection ----------------------------------------------------------
@@ -112,17 +147,18 @@ class AnsCoderCore:
 
     def clear(self) -> None:
         self.state = 0
-        self.bulk = []
+        self.bulk = WordBuffer()
 
     # -- compressed data access ---------------------------------------------------
 
     def get_compressed(self) -> np.ndarray:
-        words = self.bulk + list(reversed(self._state_chunks()))
-        return np.array(words, dtype=_dtype_for(self.W))
+        dt = _dtype_for(self.W)
+        chunks = np.array(list(reversed(self._state_chunks())), dtype=dt)
+        return np.concatenate([np.asarray(self.bulk, dtype=dt), chunks])
 
     def into_compressed(self) -> np.ndarray:
         out = self.get_compressed()
-        self.bulk = []
+        self.bulk = WordBuffer()
         self.state = 0
         return out
 
@@ -136,8 +172,9 @@ class AnsCoderCore:
                 "integer number of words. Did you create the encoder with "
                 "`seal=True` and restore its original state?"
             )
-        words = self.bulk + list(reversed(chunks[1:]))
-        return np.array(words, dtype=_dtype_for(self.W))
+        dt = _dtype_for(self.W)
+        rest = np.array(list(reversed(chunks[1:])), dtype=dt)
+        return np.concatenate([np.asarray(self.bulk, dtype=dt), rest])
 
     def into_binary(self) -> np.ndarray:
         """Rust `into_binary` (stack.rs:944-983): clears the leading 1 bit and
@@ -150,8 +187,11 @@ class AnsCoderCore:
                 "into an integer number of words"
             )
         truncated = self.state ^ (1 << valid_bits)
-        words = self.bulk + list(reversed(chunks_truncated_msb_first(truncated, self.W)))
-        return np.array(words, dtype=_dtype_for(self.W))
+        dt = _dtype_for(self.W)
+        rest = np.array(
+            list(reversed(chunks_truncated_msb_first(truncated, self.W))), dtype=dt
+        )
+        return np.concatenate([np.asarray(self.bulk, dtype=dt), rest])
 
     # -- random access ---------------------------------------------------------------
 
@@ -161,7 +201,7 @@ class AnsCoderCore:
     def seek(self, position: int, state: int) -> None:
         if position > len(self.bulk):
             raise ValueError("Tried to seek past end of stream.")
-        del self.bulk[position:]
+        self.bulk.truncate(position)
         self.state = int(state)
 
     # -- coding -------------------------------------------------------------------------
@@ -199,14 +239,15 @@ class AnsCoderCore:
         self, cums: np.ndarray, probs: np.ndarray, precision: int
     ) -> None:
         """Encode per-symbol (cum, prob) tables, iterating in reverse order."""
-        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+        if (len(cums) >= 64 and self.W <= 32 and self.S <= 64
+                and isinstance(self.bulk, WordBuffer)):
             from .. import native
 
             if native.LIB is not None:
                 import ctypes
 
                 words = np.empty(len(self.bulk) + len(cums) + 8, dtype=np.uint32)
-                words[: len(self.bulk)] = self.bulk
+                words[: len(self.bulk)] = self.bulk.view()
                 state = ctypes.c_uint64(self.state)
                 n = native.LIB.ctpu_ans_encode_reverse(
                     ctypes.byref(state),
@@ -219,7 +260,7 @@ class AnsCoderCore:
                     self.S,
                     precision,
                 )
-                self.bulk = words[:n].tolist()
+                self.bulk.set_content(words[:n])
                 self.state = state.value
                 return
         cums_l = [int(c) for c in cums]
@@ -248,6 +289,8 @@ class AnsCoderCore:
         model is available."""
         if amt < 64 or self.W > 32 or self.S > 64:
             return None
+        if not isinstance(self.bulk, WordBuffer):
+            return None
         from .. import native
 
         if native.LIB is None:
@@ -267,7 +310,7 @@ class AnsCoderCore:
         ):
             return None
         cdf32 = np.ascontiguousarray(cdf, dtype=np.uint32)
-        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        words = np.ascontiguousarray(self.bulk.view(), dtype=np.uint32)
         out = np.empty(amt, dtype=np.int32)
         state = ctypes.c_uint64(self.state)
         if lookup is not None and model.precision <= 16:
@@ -281,7 +324,7 @@ class AnsCoderCore:
                 ctypes.byref(state), words, len(words), cdf32, len(cdf32) - 1,
                 out, amt, self.W, self.S, model.precision,
             )
-        self.bulk = words[:remaining].tolist()
+        self.bulk.set_content(words[:remaining])
         self.state = state.value
         symbols = getattr(model, "symbols", None)
         if symbols is not None:  # non-contiguous alphabets
@@ -302,7 +345,7 @@ class AnsCoderCore:
 
         if not isinstance(family, QuantizedFamily) or family.size < 64:
             return None
-        if self.W > 32 or self.S > 64:
+        if self.W > 32 or self.S > 64 or not isinstance(self.bulk, WordBuffer):
             return None
         from .. import native
 
@@ -311,7 +354,7 @@ class AnsCoderCore:
         import ctypes
 
         q = family.quantizer
-        words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
+        words = np.ascontiguousarray(self.bulk.view(), dtype=np.uint32)
         out = np.empty(family.size, dtype=np.int32)
         state = ctypes.c_uint64(self.state)
         remaining = native.LIB.ctpu_ans_decode_quantized(
@@ -320,7 +363,7 @@ class AnsCoderCore:
             np.ascontiguousarray(family.param_a), np.ascontiguousarray(family.param_b),
             out, family.size, self.W, self.S, q.precision,
         )
-        self.bulk = words[:remaining].tolist()
+        self.bulk.set_content(words[:remaining])
         self.state = state.value
         return out.astype(np.int64)
 

@@ -44,20 +44,38 @@ class ChainCoderCore:
         self.S = state_bits
         self.P = precision
         self.word_mask = (1 << word_bits) - 1
-        self.compressed: List[int] = []  # written by encoder, read (popped) by decoder
-        self.remainders: List[int] = []  # written by decoder, read (popped) by encoder
+        from ..backends import WordBuffer
+
+        # pluggable word buffers (growable by default; pass fixed-capacity
+        # WordBuffers via with_backends for preallocated encoding)
+        self.compressed = WordBuffer()  # written by encoder, popped by decoder
+        self.remainders = WordBuffer()  # written by decoder, popped by encoder
         self.head_compressed = 1
         self.head_remainders = 0
 
     # -- constructors (chain.rs:269-303, 326-377, 430-470) ----------------------
 
     @classmethod
-    def _init_heads(cls, self: "ChainCoderCore", source: List[int], push_one: bool) -> None:
+    def with_backends(
+        cls, compressed_backend=None, remainders_backend=None,
+        word_bits: int = 32, state_bits: int = 64, precision: int = 24,
+    ) -> "ChainCoderCore":
+        """Fresh coder with caller-provided word buffers (fixed-capacity
+        WordBuffers for preallocated encode, CallbackSinks, ...)."""
+        self = cls(word_bits, state_bits, precision)
+        if compressed_backend is not None:
+            self.compressed = compressed_backend
+        if remainders_backend is not None:
+            self.remainders = remainders_backend
+        return self
+
+    @classmethod
+    def _init_heads(cls, self: "ChainCoderCore", source, push_one: bool) -> None:
         threshold = 1 << (self.S - self.W - self.P)
         if push_one:
             rem = 1
         else:
-            if not source or source[-1] == 0:
+            if not source or source[len(source) - 1] == 0:
                 raise ValueError("Too little data provided, or data ends in zero word.")
             rem = source.pop()
         while rem < threshold:
@@ -71,8 +89,10 @@ class ChainCoderCore:
     def from_binary(
         cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
     ) -> "ChainCoderCore":
+        from ..backends import WordBuffer
+
         self = cls(word_bits, state_bits, precision)
-        src = [int(w) for w in data]
+        src = WordBuffer(np.asarray(data, dtype=np.uint64))
         cls._init_heads(self, src, push_one=True)
         self.compressed = src
         return self
@@ -81,8 +101,10 @@ class ChainCoderCore:
     def from_compressed(
         cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
     ) -> "ChainCoderCore":
+        from ..backends import WordBuffer
+
         self = cls(word_bits, state_bits, precision)
-        src = [int(w) for w in data]
+        src = WordBuffer(np.asarray(data, dtype=np.uint64))
         cls._init_heads(self, src, push_one=False)
         self.compressed = src
         return self
@@ -91,9 +113,11 @@ class ChainCoderCore:
     def from_remainders(
         cls, data: Sequence[int], word_bits: int = 32, state_bits: int = 64, precision: int = 24
     ) -> "ChainCoderCore":
+        from ..backends import WordBuffer
+
         self = cls(word_bits, state_bits, precision)
-        src = [int(w) for w in data]
-        if not src or src[-1] == 0:
+        src = WordBuffer(np.asarray(data, dtype=np.uint64))
+        if not src or src[len(src) - 1] == 0:
             raise ValueError("Too little data provided, or data ends in zero word.")
         compressed_head = src.pop()
         cls._init_heads(self, src, push_one=False)
@@ -102,9 +126,15 @@ class ChainCoderCore:
         return self
 
     def clone(self) -> "ChainCoderCore":
+        from ..backends import WordBuffer
+
         out = ChainCoderCore(self.W, self.S, self.P)
-        out.compressed = list(self.compressed)
-        out.remainders = list(self.remainders)
+        out.compressed = (self.compressed.copy()
+                          if isinstance(self.compressed, WordBuffer)
+                          else list(self.compressed))
+        out.remainders = (self.remainders.copy()
+                          if isinstance(self.remainders, WordBuffer)
+                          else list(self.remainders))
         out.head_compressed = self.head_compressed
         out.head_remainders = self.head_remainders
         return out
@@ -123,7 +153,7 @@ class ChainCoderCore:
             rem >>= self.W
         remainders.append(self.head_compressed)
         dt = _dtype_for(self.W)
-        return np.array(self.compressed, dtype=dt), np.array(remainders, dtype=dt)
+        return np.asarray(self.compressed, dtype=dt), np.array(remainders, dtype=dt)
 
     def into_compressed(self) -> Tuple[np.ndarray, np.ndarray]:
         """(remainders_prefix, compressed_suffix); chain.rs:487-516."""
@@ -135,7 +165,7 @@ class ChainCoderCore:
             compressed.append(rem & self.word_mask)
             rem >>= self.W
         dt = _dtype_for(self.W)
-        return np.array(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
+        return np.asarray(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
 
     def into_binary(self) -> Tuple[np.ndarray, np.ndarray]:
         """Like into_compressed but drops the virtual seal bit (chain.rs:516-546)."""
@@ -148,7 +178,7 @@ class ChainCoderCore:
             compressed.append(rem & self.word_mask)
             rem >>= self.W
         dt = _dtype_for(self.W)
-        return np.array(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
+        return np.asarray(self.remainders, dtype=dt), np.array(compressed, dtype=dt)
 
     # -- coding (chain.rs:1044-1206) --------------------------------------------------
 
@@ -230,9 +260,14 @@ class ChainCoderCore:
             return None
         if self.P > 16:
             return None
-        comp = np.ascontiguousarray(self.compressed, dtype=np.uint32)
+        from ..backends import WordBuffer
+
+        if not (isinstance(self.compressed, WordBuffer)
+                and isinstance(self.remainders, WordBuffer)):
+            return None
+        comp = np.ascontiguousarray(self.compressed.view(), dtype=np.uint32)
         rem = np.empty(len(self.remainders) + amt + 8, dtype=np.uint32)
-        rem[: len(self.remainders)] = self.remainders
+        rem[: len(self.remainders)] = self.remainders.view()
         out = np.empty(amt, dtype=np.int32)
         st = native.ChainState(
             self.head_compressed, self.head_remainders, len(comp), len(self.remainders)
@@ -245,8 +280,8 @@ class ChainCoderCore:
         )
         if done < amt:
             raise OutOfCompressedData("out of compressed data")
-        self.compressed = comp[: st.compressed_len].tolist()
-        self.remainders = rem[: st.remainders_len].tolist()
+        self.compressed.set_content(comp[: st.compressed_len])
+        self.remainders.set_content(rem[: st.remainders_len])
         self.head_compressed = st.head_compressed
         self.head_remainders = st.head_remainders
         symbols = getattr(model, "symbols", None)
@@ -265,15 +300,19 @@ class ChainCoderCore:
         self.encode_reverse_tables(cums, probs)
 
     def encode_reverse_tables(self, cums: np.ndarray, probs: np.ndarray) -> None:
-        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+        from ..backends import WordBuffer
+
+        if (len(cums) >= 64 and self.W <= 32 and self.S <= 64
+                and isinstance(self.compressed, WordBuffer)
+                and isinstance(self.remainders, WordBuffer)):
             from .. import native
 
             if native.LIB is not None:
                 import ctypes
 
                 comp = np.empty(len(self.compressed) + len(cums) + 8, dtype=np.uint32)
-                comp[: len(self.compressed)] = self.compressed
-                rem = np.ascontiguousarray(self.remainders, dtype=np.uint32)
+                comp[: len(self.compressed)] = self.compressed.view()
+                rem = np.ascontiguousarray(self.remainders.view(), dtype=np.uint32)
                 st = native.ChainState(
                     self.head_compressed, self.head_remainders,
                     len(self.compressed), len(rem),
@@ -286,8 +325,8 @@ class ChainCoderCore:
                 )
                 if done < len(cums):
                     raise OutOfRemainders("out of remainders data")
-                self.compressed = comp[: st.compressed_len].tolist()
-                self.remainders = rem[: st.remainders_len].tolist()
+                self.compressed.set_content(comp[: st.compressed_len])
+                self.remainders.set_content(rem[: st.remainders_len])
                 self.head_compressed = st.head_compressed
                 self.head_remainders = st.head_remainders
                 return

@@ -31,6 +31,9 @@ class InvalidData(ValueError):
     pass
 
 
+from ..backends import QueueIterReader, WordBuffer  # noqa: E402
+
+
 class RangeEncoderCore:
     def __init__(self, word_bits: int = 32, state_bits: int = 64):
         assert state_bits >= 2 * word_bits and state_bits % word_bits == 0
@@ -42,7 +45,17 @@ class RangeEncoderCore:
         self.range = self.state_mask  # State::max_value()
         # Inverted situation: (num_inverted, first_word) or None for Normal.
         self.inverted: Optional[Tuple[int, int]] = None
-        self.bulk: List[int] = []
+        self.bulk = WordBuffer()
+
+    @classmethod
+    def with_write_backend(
+        cls, backend, word_bits: int = 32, state_bits: int = 64
+    ) -> "RangeEncoderCore":
+        """Empty encoder emitting bulk words into ``backend`` (fixed-capacity
+        WordBuffer / CallbackSink; Cursor analog backends.rs:1061-1466)."""
+        self = cls(word_bits, state_bits)
+        self.bulk = backend
+        return self
 
     # -- introspection ----------------------------------------------------------
 
@@ -80,12 +93,12 @@ class RangeEncoderCore:
         self.lower = 0
         self.range = self.state_mask
         self.inverted = None
-        self.bulk = []
+        self.bulk = WordBuffer()
 
     def clone(self) -> "RangeEncoderCore":
         out = RangeEncoderCore(self.W, self.S)
         out.lower, out.range, out.inverted = self.lower, self.range, self.inverted
-        out.bulk = list(self.bulk)
+        out.bulk = self.bulk.copy() if isinstance(self.bulk, WordBuffer) else list(self.bulk)
         return out
 
     def pos(self) -> Tuple[int, Tuple[int, int]]:
@@ -95,7 +108,9 @@ class RangeEncoderCore:
         return len(self.bulk) + num_inverted, (self.lower, self.range)
 
     def get_compressed(self) -> np.ndarray:
-        return np.array(self.bulk + self._seal_words(), dtype=_dtype_for(self.W))
+        dt = _dtype_for(self.W)
+        seal = np.array(self._seal_words(), dtype=dt)
+        return np.concatenate([np.asarray(self.bulk, dtype=dt), seal])
 
     # -- coding -------------------------------------------------------------------
 
@@ -151,7 +166,7 @@ class RangeEncoderCore:
                 import ctypes
 
                 words = np.empty(len(self.bulk) + len(cums) + 8, dtype=np.uint32)
-                words[: len(self.bulk)] = self.bulk
+                words[: len(self.bulk)] = self.bulk.view()
                 st = native.RangeEncState(
                     self.lower,
                     self.range,
@@ -164,7 +179,7 @@ class RangeEncoderCore:
                     np.ascontiguousarray(probs, dtype=np.uint32),
                     len(cums), self.W, self.S, precision,
                 )
-                self.bulk = words[:n].tolist()
+                self.bulk.set_content(words[:n])
                 self.lower, self.range = st.lower, st.range
                 self.inverted = (
                     (st.num_inverted, st.first_inverted) if st.num_inverted else None
@@ -191,7 +206,7 @@ class RangeDecoderCore:
         self.lower = 0
         self.range = self.state_mask
         self.point = 0
-        self.bulk: List[int] = []
+        self.bulk = np.zeros(0, dtype=np.uint64)
         self.cursor = 0  # read position into bulk
 
     @classmethod
@@ -199,13 +214,30 @@ class RangeDecoderCore:
         cls, compressed: Sequence[int], word_bits: int = 32, state_bits: int = 64
     ) -> "RangeDecoderCore":
         self = cls(word_bits, state_bits)
-        self.bulk = [int(w) for w in compressed]
+        self.bulk = np.asarray(compressed, dtype=np.uint64).reshape(-1)
         self.point = self._read_point()
         return self
 
+    @classmethod
+    def from_word_iterator(
+        cls, words, word_bits: int = 32, state_bits: int = 64
+    ) -> "RangeDecoderCore":
+        """Lazy decoder over a forward word iterator (iterator-source
+        analog of backends.rs:1681): words are pulled on demand and
+        memoized, so pos/seek within the consumed prefix still work."""
+        self = cls(word_bits, state_bits)
+        self.bulk = QueueIterReader(words)
+        self.point = self._read_point()
+        return self
+
+    def _has_word(self, i: int) -> bool:
+        if isinstance(self.bulk, QueueIterReader):
+            return self.bulk.length_at_least(i + 1)
+        return i < len(self.bulk)
+
     def _read_word(self) -> Optional[int]:
-        if self.cursor < len(self.bulk):
-            w = self.bulk[self.cursor]
+        if self._has_word(self.cursor):
+            w = int(self.bulk[self.cursor])
             self.cursor += 1
             return w
         return None
@@ -228,7 +260,7 @@ class RangeDecoderCore:
     def maybe_exhausted(self) -> bool:
         # queue.rs:868-898
         max_difference = ((1 << (self.S - self.W)) << 1) - 1
-        exhausted = self.cursor >= len(self.bulk)
+        exhausted = not self._has_word(self.cursor)
         in_tail = ((self.point - self.lower) & self.state_mask) <= max_difference
         return exhausted and (self.range == self.state_mask or in_tail)
 
@@ -244,7 +276,10 @@ class RangeDecoderCore:
 
     def seek(self, position: int, state: Tuple[int, int]) -> None:
         lower, range_ = state
-        if position < 0 or position > len(self.bulk):
+        if position < 0 or (
+            not isinstance(self.bulk, QueueIterReader)
+            and position > len(self.bulk)
+        ):
             raise ValueError("seek out of range")
         self.cursor = position
         self.point = self._read_point()
@@ -297,6 +332,8 @@ class RangeDecoderCore:
                 cdf = getattr(model.inner, "cdf", None)
         if not isinstance(cdf, np.ndarray) or not isinstance(lookup, np.ndarray):
             return None
+        if isinstance(self.bulk, QueueIterReader):
+            return None
         st = native.RangeDecState(self.lower, self.range, self.point, self.cursor)
         words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
         out = np.empty(amt, dtype=np.int32)
@@ -342,6 +379,8 @@ class RangeDecoderCore:
             return None
         import ctypes
 
+        if isinstance(self.bulk, QueueIterReader):
+            return None
         q = family.quantizer
         st = native.RangeDecState(self.lower, self.range, self.point, self.cursor)
         words = np.ascontiguousarray(self.bulk, dtype=np.uint32)
