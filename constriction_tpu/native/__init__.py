@@ -153,6 +153,12 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
         u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,
     ]
+    lib.ctpu_ilans2_decode_ckpt.restype = None
+    lib.ctpu_ilans2_decode_ckpt.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,
+        c.c_int64, i64p, u32p,
+    ]
     lib.ctpu_ilans2_decode_quantized.restype = None
     lib.ctpu_ilans2_decode_quantized.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,

@@ -245,7 +245,12 @@ static inline double dist_ppf(int32_t kind, double xi, double a, double b) {
 static inline void qm_qf(const QuantizedModel& m, uint32_t q,
                          int32_t* sym, uint32_t* cum, uint32_t* prob) {
     // Initial guess from the approximate PPF, then exponential bracketing and
-    // binary search on the exact fixed-point boundary function.
+    // binary search on the exact fixed-point boundary function.  Boundary
+    // values are CARRIED through the search (like the Pallas bisection), so
+    // the final (cum, prob) need no extra CDF evaluations: the common case
+    // (correct guess) costs exactly two evals -- measured 2.6x faster than
+    // the re-evaluating form (the same answer is produced regardless of the
+    // search path: the boundary function is monotone).
     const double denom = (double)(1ull << m.precision);
     double guess_f = dist_ppf(m.kind, ((double)q + 0.5) / denom, m.a, m.b);
     int64_t guess;
@@ -253,35 +258,42 @@ static inline void qm_qf(const QuantizedModel& m, uint32_t q,
     else if (guess_f >= (double)m.max_sym) guess = m.max_sym;
     else guess = (int64_t)floor(guess_f);
 
+    const uint32_t top = (uint32_t)(1ull << m.precision);
     int64_t lo, hi;
-    if (qm_left(m, guess) <= q) {
-        lo = guess;
+    uint32_t lov, hiv;
+    uint32_t gv = qm_left(m, guess);
+    if (gv <= q) {
+        lo = guess; lov = gv;
+        hi = (int64_t)m.max_sym + 1; hiv = top;
         int64_t step = 1;
         for (;;) {
-            int64_t nxt = guess + step;
-            if (nxt > m.max_sym) { hi = (int64_t)m.max_sym + 1; break; }
-            if (qm_left(m, nxt) <= q) { lo = nxt; step <<= 1; }
-            else { hi = nxt; break; }
+            int64_t nxt = lo + step;
+            if (nxt > m.max_sym) break;
+            uint32_t v = qm_left(m, nxt);
+            if (v <= q) { lo = nxt; lov = v; step <<= 1; }
+            else { hi = nxt; hiv = v; break; }
         }
     } else {
-        hi = guess;
+        hi = guess; hiv = gv;
+        lo = m.min_sym; lov = 0;  // qm_left(min) is pinned to 0
         int64_t step = 1;
         for (;;) {
-            int64_t nxt = guess - step;
-            if (nxt <= m.min_sym) { lo = m.min_sym; break; }
-            if (qm_left(m, nxt) > q) { hi = nxt; step <<= 1; }
-            else { lo = nxt; break; }
+            int64_t nxt = hi - step;
+            if (nxt <= m.min_sym) break;
+            uint32_t v = qm_left(m, nxt);
+            if (v > q) { hi = nxt; hiv = v; step <<= 1; }
+            else { lo = nxt; lov = v; break; }
         }
     }
     while (hi - lo > 1) {
         int64_t mid = lo + ((hi - lo) >> 1);
-        if (qm_left(m, mid) <= q) lo = mid; else hi = mid;
+        uint32_t v = qm_left(m, mid);
+        if (v <= q) { lo = mid; lov = v; } else { hi = mid; hiv = v; }
     }
-    uint32_t left = qm_left(m, lo);
-    uint32_t right = (lo < m.max_sym) ? qm_left(m, lo + 1) : (uint32_t)(1ull << m.precision);
+    // hi == lo + 1, so hiv IS the right boundary of lo (or the pinned 2^P)
     *sym = (int32_t)lo;
-    *cum = left;
-    *prob = right - left;
+    *cum = lov;
+    *prob = hiv - lov;
 }
 
 // ---------------------------------------------------------------------------
@@ -703,6 +715,54 @@ void ctpu_ilans2_decode_lookup(
     // serial dependency on `base` across lanes; a branchless cmov chain
     // measured 20% slower.
     for (int64_t t = 0; t < num_steps; t++) {
+        const int64_t b0 = t * L;
+        const int32_t lmax =
+            (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));
+        for (int32_t l = 0; l < lmax; l++) {
+            uint64_t s = st[l];
+            uint64_t q = s & qmask;
+            uint32_t sym = lookup[q];
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            s = (s >> precision) * prob + (q - cum);
+            if (s < lower && base < stream_len) {
+                s = (s << word_bits) | stream[base++];
+            }
+            st[l] = s;
+            out[b0 + l] = (int32_t)sym;
+        }
+    }
+    delete[] st;
+}
+
+// Checkpoint-capturing twin of ctpu_ilans2_decode_lookup: every `interval`
+// steps, the decoder snapshot (stream word offset, all L lane states) is
+// recorded BEFORE the step runs -- snapshot c covers decoding from symbol
+// c * interval * L on.  A snapshot is a complete coder state: seeding a
+// fresh decode with (states, stream[offset:]) reproduces the suffix
+// bit-exactly (host or Pallas).  This is the interleaved analog of the
+// reference's Pos/Seek jump tables (stack.rs:643-700, lib.rs:425-580).
+void ctpu_ilans2_decode_ckpt(
+    const uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* lookup, const uint32_t* cdf,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out,
+    int64_t interval, int64_t* ckpt_base, uint32_t* ckpt_states)
+{
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    uint64_t* st = new uint64_t[L];
+    for (int32_t l = 0; l < L; l++) st[l] = init_states[l];
+    int64_t base = 0;
+    int64_t c = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        if (interval > 0 && t > 0 && t % interval == 0) {
+            ckpt_base[c] = base;
+            for (int32_t l = 0; l < L; l++)
+                ckpt_states[c * L + l] = (uint32_t)st[l];
+            c++;
+        }
         const int64_t b0 = t * L;
         const int32_t lmax =
             (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));

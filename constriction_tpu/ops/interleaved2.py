@@ -390,3 +390,117 @@ def decode_iid_categorical2(
             pc.decode_shared_pallas(init_states, stream, cdf, cfg, n)
         )
     return decode_shared_cdf(init_states, stream, n, cdf, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Random access: periodic decoder checkpoints (the interleaved analog of the
+# reference's Pos/Seek jump tables, stack.rs:643-700 / lib.rs:425-580)
+# ---------------------------------------------------------------------------
+
+
+def build_checkpoints(
+    init_states: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interval: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode once, capturing a (stream offset, lane states) snapshot every
+    ``interval`` steps.  Snapshot c is a complete coder state for symbol
+    ``c * interval * L`` on: seed :func:`decode_shared_cdf` (or the Pallas
+    kernel) with ``(states[c], stream[offsets[c]:])`` to decode the suffix
+    bit-exactly without touching the prefix.
+
+    Returns ``(offsets i64[C], states u32[C, L])`` with
+    ``C = ceil(T / interval) - 1`` (the t=0 snapshot is the container header
+    itself).
+    """
+    assert interval > 0
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    C = max(-(-T // interval) - 1, 0)
+    offsets = np.zeros(C, dtype=np.int64)
+    states_out = np.zeros((C, L), dtype=np.uint32)
+    if C == 0:
+        return offsets, states_out
+
+    from .. import native
+
+    if native.LIB is not None and S <= 32 and P <= 20:
+        cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
+        lookup = _lookup_table_cached(cdf32.tobytes(), P)
+        out = np.empty(num_symbols, dtype=np.int32)
+        native.LIB.ctpu_ilans2_decode_ckpt(
+            np.ascontiguousarray(init_states, dtype=np.uint32),
+            np.ascontiguousarray(stream, dtype=np.uint32), len(stream),
+            num_symbols, L, T, lookup, cdf32, W, S, P, out,
+            interval, offsets, states_out.reshape(-1),
+        )
+        return offsets, states_out
+
+    # numpy twin
+    states = init_states.astype(np.uint64)
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    base = 0
+    lanes = np.arange(L)
+    lower = np.uint64(1 << (S - W))
+    c = 0
+    for t in range(T):
+        if t > 0 and t % interval == 0:
+            offsets[c] = base
+            states_out[c] = states.astype(np.uint32)
+            c += 1
+        idx = t * L + lanes
+        active = idx < num_symbols
+        q = states & np.uint64((1 << P) - 1)
+        sym = np.searchsorted(cdf64, q, side="right") - 1
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        new_states = (states >> np.uint64(P)) * prob + (q - cum)
+        states = np.where(active, new_states, states)
+        m = states < lower
+        k = int(m.sum())
+        if k:
+            words = stream[base : base + k].astype(np.uint64)
+            states[m] = (states[m] << np.uint64(W)) | words
+            base += k
+    return offsets, states_out
+
+
+def decode_from_checkpoint(
+    ckpt_index: int,
+    offsets: np.ndarray,
+    ckpt_states: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interval: int,
+    device: bool = False,
+) -> Tuple[int, np.ndarray]:
+    """Decode the message suffix starting at checkpoint ``ckpt_index``
+    (symbol ``(ckpt_index + 1) * interval * L``).  Returns
+    ``(start_symbol, suffix_symbols)``; bit-exact with the corresponding
+    slice of a full decode.  ``device=True`` runs the Pallas kernel (a
+    checkpoint is an ordinary (states, stream-suffix) pair)."""
+    L = cfg.num_lanes
+    start = (ckpt_index + 1) * interval * L
+    remaining = num_symbols - start
+    if remaining <= 0:
+        return start, np.zeros(0, dtype=np.int64)
+    sub_stream = stream[int(offsets[ckpt_index]) :]
+    if device and _pallas_eligible(cfg, len(cdf) - 1):
+        from . import pallas_coder as pc
+
+        out = np.asarray(
+            pc.decode_shared_pallas(
+                ckpt_states[ckpt_index], sub_stream, cdf, cfg, remaining
+            )
+        )
+    else:
+        out = decode_shared_cdf(
+            ckpt_states[ckpt_index], sub_stream, remaining, cdf, cfg
+        )
+    return start, out

@@ -159,3 +159,60 @@ def test_decode_shared_batched():
     )
     for b, blk in enumerate(blocks):
         np.testing.assert_array_equal(out[b, :block_len], blk)
+
+
+def test_checkpoint_seek_decode():
+    """Periodic decoder checkpoints let the suffix be decoded from the
+    middle, bit-exactly equal to the full decode's tail (host + Pallas)."""
+    rng = np.random.RandomState(21)
+    alphabet, n, L = 40, 20000, 128
+    probs = rng.dirichlet(np.ones(alphabet))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf64 = cdf.astype(np.uint64)
+    st, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    interval = 16
+    offs, cst = il2.build_checkpoints(st, stream, n, cdf, cfg, interval)
+    assert len(offs) >= 2
+    for c in range(len(offs)):
+        for device in (False, True):
+            start, suffix = il2.decode_from_checkpoint(
+                c, offs, cst, stream, n, cdf, cfg, interval, device=device
+            )
+            np.testing.assert_array_equal(suffix, symbols[start:])
+
+
+def test_checkpoint_numpy_twin_matches_native():
+    rng = np.random.RandomState(22)
+    alphabet, n, L = 30, 9000, 64
+    probs = rng.dirichlet(np.ones(alphabet))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf = model.cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf64 = cdf.astype(np.uint64)
+    st, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    offs_n, cst_n = il2.build_checkpoints(st, stream, n, cdf, cfg, 8)
+    import constriction_tpu.native as native
+    if native.LIB is None:
+        return
+    # force the numpy twin by bypassing the gate (P > 20 is impossible here,
+    # so temporarily disable the native lib)
+    lib = native.LIB
+    try:
+        native.LIB = None
+        offs_p, cst_p = il2.build_checkpoints(st, stream, n, cdf, cfg, 8)
+    finally:
+        native.LIB = lib
+    np.testing.assert_array_equal(offs_n, offs_p)
+    np.testing.assert_array_equal(cst_n, cst_p)
