@@ -1,4 +1,10 @@
-"""Lane-interleaved rANS: the TPU-native product format ("ILANS").
+"""Lane-interleaved rANS v1 ("ILANS", per-lane streams) -- SUPERSEDED.
+
+STATUS: v1 is kept as a reference implementation and test fixture only
+(its per-lane word cursors force XLA gathers, measured 0.024 GB/s on TPU).
+The product format is ILANS v2 (ops/interleaved2.py: one shared stream,
+gather-free decode) with the Pallas kernels in ops/pallas_coder.py;
+`LaneConfig` defined here remains the shared configuration type.
 
 The reference's rANS coder is intrinsically sequential: each symbol's state
 update depends on the previous one (/root/reference/src/stream/stack.rs:
