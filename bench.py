@@ -5,10 +5,12 @@ Workload mirrors the reference's published benchmark setup (README.md:173-182
 the "small" preset (precision 12), decoded TPU-first with the ILANS v2
 shared-stream format (constriction_tpu.ops.interleaved2): 2^16 interleaved
 rANS lanes in lockstep, decoded by the Pallas kernel
-(constriction_tpu.ops.pallas_coder): packed compare-sum model inversion
-(3 vector ops per CDF boundary for sym+cum+prob together), monotone
-butterfly refill distribution via pltpu.roll, lane states resident in VMEM,
-double-buffered stream-window DMA from HBM.
+(constriction_tpu.ops.pallas_coder): segtree model inversion (coarse
+compares select the CDF segment, the segment index bits steer
+constant-select trees that materialize its boundaries, a short flat
+compare-sum finishes), monotone butterfly refill distribution via
+pltpu.roll, lane states resident in VMEM, double-buffered stream-window
+DMA from HBM.
 
 Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
