@@ -120,6 +120,11 @@ class AnsCoderCore:
         self.state = int(state)
         return self
 
+    def into_raw_parts(self):
+        """(bulk words, state) -- exact coder internals (stack.rs:418-474
+        analog); `from_raw_parts` restores them verbatim."""
+        return np.asarray(self.bulk, dtype=_dtype_for(self.W)), self.state
+
     def clone(self) -> "AnsCoderCore":
         out = AnsCoderCore(self.W, self.S)
         out.state = self.state

@@ -101,6 +101,29 @@ class RangeEncoderCore:
         out.bulk = self.bulk.copy() if isinstance(self.bulk, WordBuffer) else list(self.bulk)
         return out
 
+    @classmethod
+    def from_raw_parts(cls, bulk, state, word_bits: int = 32,
+                       state_bits: int = 64) -> "RangeEncoderCore":
+        """Restore exact encoder internals (queue.rs:420-455 analog);
+        ``state`` is the (lower, range) pair.  Only a Normal-situation
+        encoder round-trips through raw parts (held-back inverted words are
+        internal)."""
+        from ..backends import WordBuffer as _WB
+
+        self = cls(word_bits, state_bits)
+        self.bulk = _WB(np.asarray(bulk, dtype=np.uint64))
+        self.lower, self.range = (int(state[0]) & self.state_mask,
+                                  int(state[1]) & self.state_mask)
+        return self
+
+    def into_raw_parts(self):
+        if self.inverted is not None:
+            raise ValueError(
+                "cannot expose raw parts while carry resolution is pending"
+            )
+        return (np.asarray(self.bulk, dtype=_dtype_for(self.W)),
+                (self.lower, self.range))
+
     def pos(self) -> Tuple[int, Tuple[int, int]]:
         """(position, (lower, range)); position counts words incl. held-back
         inverted words (queue.rs:182-196)."""

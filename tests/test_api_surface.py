@@ -140,3 +140,40 @@ def test_native_selftest_binary():
         )
         out = subprocess.run([exe], capture_output=True, text=True, check=True)
         assert "OK" in out.stdout
+
+
+def test_raw_parts_roundtrip():
+    """from_raw_parts/into_raw_parts expose exact coder internals
+    (stack.rs:418-474, queue.rs:420-455 analogs)."""
+    import numpy as np
+
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops.ans import AnsCoderCore
+    from constriction_tpu.ops.range import RangeEncoderCore
+
+    rng = np.random.RandomState(0)
+    probs = rng.dirichlet(np.ones(20))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    )
+    syms = rng.choice(20, size=300, p=probs).astype(np.int64)
+
+    enc = AnsCoderCore()
+    enc.encode_iid_symbols_reverse(syms, model)
+    bulk, state = enc.into_raw_parts()
+    enc2 = AnsCoderCore.from_raw_parts(bulk, state)
+    np.testing.assert_array_equal(enc2.get_compressed(), enc.get_compressed())
+    np.testing.assert_array_equal(
+        enc2.decode_iid_symbols(len(syms), model), syms
+    )
+
+    renc = RangeEncoderCore()
+    renc.encode_iid_symbols(syms, model)
+    if renc.inverted is None:
+        rb, rs = renc.into_raw_parts()
+        renc2 = RangeEncoderCore.from_raw_parts(rb, rs)
+        np.testing.assert_array_equal(
+            renc2.get_compressed(), renc.get_compressed()
+        )
