@@ -33,12 +33,27 @@ def main() -> None:
     t_end = time.time() + minutes * 60
     while time.time() < t_end:
         L = 128 * int(rng.choice([1, 2, 4, 8]))
-        kind = rng.randint(3)
+        kind = rng.randint(4)
         # sweep the full supported precision range (families are P=12-only)
         P = 12 if kind == 2 else int(rng.choice([8, 9, 10, 11, 12, 14, 16]))
         cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
         ok = True
-        if kind == 0:  # rANS (K beyond 255 exercises the segmented compare-sum)
+        if kind == 3:  # rANS, dense alphabet (bitmap-rank / segtree paths)
+            K = int(rng.randint(256, min(4000, 1 << P) + 1)) if P >= 9 else 2
+            extra = rng.multinomial(
+                (1 << P) - K, rng.dirichlet(np.full(K, 0.7))
+            )
+            cdf = np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.int64)
+            w = (cdf[1:] - cdf[:-1]) / float(1 << P)
+            n = int(rng.randint(1, 15 * L))
+            symbols = rng.choice(K, size=n, p=w).astype(np.int64)
+            st, wd = pc.encode_iid_pallas(symbols, cdf, cfg)
+            cdf64 = cdf.astype(np.uint64)
+            rst, rwd = il2.encode_shared(cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg)
+            ok = np.array_equal(np.asarray(st), rst) and np.array_equal(np.asarray(wd), rwd)
+            out = np.asarray(pc.decode_shared_pallas(rst, rwd, cdf, cfg, n))
+            ok = ok and np.array_equal(out, symbols)
+        elif kind == 0:  # rANS (K beyond 255 exercises the large-K paths)
             K = int(rng.randint(2, min(1500, (1 << P) - 1)))
             w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
             try:
