@@ -85,6 +85,10 @@ def _load() -> Optional[ctypes.CDLL]:
         return None
 
     c = ctypes
+    lib.ctpu_erf_array.restype = None
+    lib.ctpu_erf_array.argtypes = [f64p, f64p, c.c_int64]
+    lib.ctpu_erfc_array.restype = None
+    lib.ctpu_erfc_array.argtypes = [f64p, f64p, c.c_int64]
     lib.ctpu_quantized_ecp.restype = c.c_int32
     lib.ctpu_quantized_ecp.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,

@@ -102,6 +102,19 @@ static inline double binomial_cdf(double x, double n, double p) {
     return inc_beta(1.0 - p, a, b, log_beta);
 }
 
+// Vectorized libm erf/erfc: the SAME glibc implementations CPython's
+// math.erf binds, exposed as array loops (OpenMP) so the host's exact-f64
+// model paths run at native speed when scipy's erf is not bit-identical.
+void ctpu_erf_array(const double* x, double* out, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = erf(x[i]);
+}
+
+void ctpu_erfc_array(const double* x, double* out, int64_t n) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) out[i] = erfc(x[i]);
+}
+
 // Rust `as`-cast semantics: truncate toward zero, saturate, NaN -> 0.
 static inline uint32_t trunc_u32(double x) {
     if (!(x > 0.0)) return 0;  // NaN or <= 0

@@ -39,12 +39,35 @@ def _scalar_erfc_vec(x: np.ndarray) -> np.ndarray:
     return np.asarray(np.frompyfunc(math.erfc, 1, 1)(np.asarray(x)), dtype=np.float64)
 
 
-def _pick_erf():
+def _native_erf_pair():
+    """Array erf/erfc from the C++ runtime -- the SAME glibc libm that
+    backs CPython's math.erf, so bit-identity is by construction (still
+    verified on the probe grid below)."""
     try:
-        from scipy.special import erf as _scipy_erf, erfc as _scipy_erfc
-    except ImportError:  # pragma: no cover
-        return _scalar_erf_vec, _scalar_erfc_vec
+        from .. import native
+    except Exception:  # pragma: no cover
+        return None
+    if native.LIB is None:
+        return None
 
+    def nerf(x):
+        x = np.asarray(x, dtype=np.float64)
+        flat = np.ascontiguousarray(x).reshape(-1)
+        out = np.empty_like(flat)
+        native.LIB.ctpu_erf_array(flat, out, flat.size)
+        return out.reshape(x.shape)
+
+    def nerfc(x):
+        x = np.asarray(x, dtype=np.float64)
+        flat = np.ascontiguousarray(x).reshape(-1)
+        out = np.empty_like(flat)
+        native.LIB.ctpu_erfc_array(flat, out, flat.size)
+        return out.reshape(x.shape)
+
+    return nerf, nerfc
+
+
+def _pick_erf():
     rng = np.random.RandomState(0)
     grid = np.concatenate(
         [
@@ -56,10 +79,22 @@ def _pick_erf():
     )
     ours_erf = _scalar_erf_vec(grid)
     ours_erfc = _scalar_erfc_vec(grid)
-    if np.array_equal(_scipy_erf(grid), ours_erf) and np.array_equal(
-        _scipy_erfc(grid), ours_erfc
-    ):
-        return _scipy_erf, _scipy_erfc
+    try:
+        from scipy.special import erf as _scipy_erf, erfc as _scipy_erfc
+
+        if np.array_equal(_scipy_erf(grid), ours_erf) and np.array_equal(
+            _scipy_erfc(grid), ours_erfc
+        ):
+            return _scipy_erf, _scipy_erfc
+    except ImportError:  # pragma: no cover
+        pass
+    pair = _native_erf_pair()
+    if pair is not None:
+        nerf, nerfc = pair
+        if np.array_equal(nerf(grid), ours_erf) and np.array_equal(
+            nerfc(grid), ours_erfc
+        ):
+            return nerf, nerfc
     return _scalar_erf_vec, _scalar_erfc_vec
 
 
