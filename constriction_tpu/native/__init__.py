@@ -89,6 +89,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.ctpu_erf_array.argtypes = [f64p, f64p, c.c_int64]
     lib.ctpu_erfc_array.restype = None
     lib.ctpu_erfc_array.argtypes = [f64p, f64p, c.c_int64]
+    lib.ctpu_exact_boundaries.restype = c.c_int64
+    lib.ctpu_exact_boundaries.argtypes = [
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        f64p, f64p, c.c_int64, c.c_int32, u32p, u32p,
+    ]
     lib.ctpu_quantized_ecp.restype = c.c_int32
     lib.ctpu_quantized_ecp.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,

@@ -190,6 +190,80 @@ int32_t ctpu_binomial_ecp(
     return err;
 }
 
+// Compact exact decode tables for the reference-exact device family path
+// (ops/exact_family.py): per symbol, the non-linear CORE of the
+// LeakyQuantizer boundary function b(s) = trunc(free*CDF(s-1/2)) + (s-min).
+// The trunc value tv(s) is monotone in s, so both core edges are found by
+// bisection (log2(span) CDF evals each) instead of evaluating a window:
+//   core_lo = first s in (min, max] with tv >= 1            (else max)
+//   core_hi = last  s in (min, max] with tv <= free-1       (clamped >= lo)
+// aux[i] = (core_lo - min) | ncore << 16; core[i*cmax + j] = b(core_lo + j)
+// padded with 0xFFFF.  Returns 0, or 1 + (index of the first symbol whose
+// core exceeds cmax).
+static inline uint32_t qm_tv(int32_t kind, double a, double b,
+                             double free_weight, int64_t s) {
+    return trunc_u32(free_weight * dist_cdf(kind, (double)s - 0.5, a, b));
+}
+
+int64_t ctpu_exact_boundaries(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const double* pa, const double* pb, int64_t n, int32_t cmax,
+    uint32_t* aux, uint32_t* core)
+{
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    const uint32_t freeu = (uint32_t)free_weight;
+    int64_t bad = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        if (bad) continue;
+        const double a = pa[i], b = pb[i];
+        // first s with tv >= 1: bisect on the monotone predicate
+        int64_t core_lo;
+        if (qm_tv(kind, a, b, free_weight, max_sym) < 1) {
+            core_lo = max_sym;  // all-zero trunc: clamp (numpy-twin rule)
+        } else {
+            int64_t lo = min_sym, hi = max_sym;  // P(lo)=false (tv undef->0)
+            while (hi - lo > 1) {
+                int64_t mid = lo + ((hi - lo) >> 1);
+                if (qm_tv(kind, a, b, free_weight, mid) >= 1) hi = mid;
+                else lo = mid;
+            }
+            core_lo = hi;
+        }
+        // last s with tv <= free-1  ==  (first s with tv >= free) - 1
+        int64_t core_hi;
+        if (qm_tv(kind, a, b, free_weight, max_sym) <= freeu - 1) {
+            core_hi = max_sym;
+        } else if (qm_tv(kind, a, b, free_weight, min_sym + 1) >= freeu) {
+            core_hi = min_sym;  // clamped below
+        } else {
+            int64_t lo = min_sym + 1, hi = max_sym;  // P(lo)=false, P(hi)=true
+            while (hi - lo > 1) {
+                int64_t mid = lo + ((hi - lo) >> 1);
+                if (qm_tv(kind, a, b, free_weight, mid) >= freeu) hi = mid;
+                else lo = mid;
+            }
+            core_hi = hi - 1;
+        }
+        if (core_hi < core_lo) core_hi = core_lo;
+        int64_t ncore = core_hi - core_lo + 1;
+        if (ncore > cmax) {
+#pragma omp critical
+            if (!bad) bad = 1 + i;
+            continue;
+        }
+        aux[i] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 16);
+        uint32_t* row = core + i * cmax;
+        for (int64_t j = 0; j < ncore; j++) {
+            int64_t s = core_lo + j;
+            row[j] = qm_tv(kind, a, b, free_weight, s) + (uint32_t)(s - min_sym);
+        }
+        for (int64_t j = ncore; j < cmax; j++) row[j] = 0xFFFFu;
+    }
+    return bad;
+}
+
 // ---------------------------------------------------------------------------
 // Decode-side quantile inversion for quantized families.
 //

@@ -140,6 +140,26 @@ def exact_boundary_tables(
         raise ValueError("support too large for precision")
     span = max_sym - min_sym
 
+    # native path: per-edge bisection in C++ (glibc libm, bit-identical),
+    # log2(span) CDF evals per edge instead of a full evaluation window
+    from .. import native
+
+    if native.LIB is not None and family in ("gaussian", "laplace", "cauchy"):
+        aux = np.empty(n, dtype=np.uint32)
+        core = np.empty((n, cmax), dtype=np.uint32)
+        bad = native.LIB.ctpu_exact_boundaries(
+            native.DIST_KIND[family], min_sym, max_sym, P,
+            np.ascontiguousarray(mean), np.ascontiguousarray(scale),
+            n, cmax, aux, core.reshape(-1),
+        )
+        if bad:
+            raise ValueError(
+                f"core of symbol {int(bad) - 1} needs more than cmax={cmax} "
+                "boundaries; increase cmax (flat distributions make the "
+                "whole support non-linear)"
+            )
+        return aux, core
+
     # window guess from the approximate PPF, with margin; exactness is then
     # verified on the evaluated trunc values at the window edges
     margin = 4

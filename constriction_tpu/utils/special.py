@@ -51,17 +51,23 @@ def _native_erf_pair():
         return None
 
     def nerf(x):
+        lib = native.LIB  # re-read: tests may disable the native runtime
+        if lib is None:
+            return _scalar_erf_vec(x)
         x = np.asarray(x, dtype=np.float64)
         flat = np.ascontiguousarray(x).reshape(-1)
         out = np.empty_like(flat)
-        native.LIB.ctpu_erf_array(flat, out, flat.size)
+        lib.ctpu_erf_array(flat, out, flat.size)
         return out.reshape(x.shape)
 
     def nerfc(x):
+        lib = native.LIB
+        if lib is None:
+            return _scalar_erfc_vec(x)
         x = np.asarray(x, dtype=np.float64)
         flat = np.ascontiguousarray(x).reshape(-1)
         out = np.empty_like(flat)
-        native.LIB.ctpu_erfc_array(flat, out, flat.size)
+        lib.ctpu_erfc_array(flat, out, flat.size)
         return out.reshape(x.shape)
 
     return nerf, nerfc

@@ -167,3 +167,34 @@ def test_facade_entry_points():
                                  MIN, MAX, n, cfg)
     )
     np.testing.assert_array_equal(out, syms)
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_native_boundary_tables_match_numpy_twin(family):
+    """The C++ bisection boundary generator must agree exactly with the
+    windowed numpy twin over random parameters."""
+    import constriction_tpu.native as native
+
+    if native.LIB is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(13)
+    n = 4000
+    means, scales = _params(rng, n)
+    aux_n, core_n = ef.exact_boundary_tables(
+        means, scales, family, MIN, MAX, P, CMAX[family]
+    )
+    lib = native.LIB
+    try:
+        native.LIB = None
+        aux_p, core_p = ef.exact_boundary_tables(
+            means, scales, family, MIN, MAX, P, CMAX[family]
+        )
+    finally:
+        native.LIB = lib
+    np.testing.assert_array_equal(aux_n, aux_p)
+    np.testing.assert_array_equal(core_n, core_p)
+    # and the cmax guard still raises through the native path
+    with pytest.raises(ValueError, match="cmax"):
+        ef.exact_boundary_tables(
+            np.zeros(4), np.full(4, 500.0), family, MIN, MAX, P, 16
+        )
