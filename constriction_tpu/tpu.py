@@ -128,6 +128,28 @@ def decode_family_exact(init_states, stream, means, scales, family: str,
     )
 
 
+def build_checkpoints(container, cdf, interval: int):
+    """Periodic decoder snapshots for an ILANS2 container (random access;
+    see :func:`decode_from_checkpoint`).  Returns ``(offsets, states)``."""
+    init_states, stream, n, cfg = _il2.unpack_container2(np.asarray(container))
+    _check_cdf(cdf, cfg)
+    return _il2.build_checkpoints(init_states, stream, n, cdf, cfg, interval)
+
+
+def decode_from_checkpoint(container, cdf, interval: int, ckpt_index: int,
+                           offsets, states):
+    """Decode an ILANS2 container's suffix starting at checkpoint
+    ``ckpt_index`` (symbol ``(ckpt_index+1) * interval * num_lanes``)
+    without touching the prefix; bit-exact with the full decode's tail.
+    Returns ``(start_symbol, suffix)``."""
+    init_states, stream, n, cfg = _il2.unpack_container2(np.asarray(container))
+    _check_cdf(cdf, cfg)
+    return _il2.decode_from_checkpoint(
+        ckpt_index, offsets, states, stream, n, cdf, cfg, interval,
+        device=True,
+    )
+
+
 def decode_chain_iid(data, num_symbols: int, cdf):
     """Fully-parallel chain-coder decode (host chain format, default
     preset); see ops/chain_jax.py."""
