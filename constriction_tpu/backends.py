@@ -153,7 +153,10 @@ class WordBuffer:
     def __eq__(self, other):
         if isinstance(other, WordBuffer):
             return np.array_equal(self.view(), other.view())
-        return self.tolist() == list(other)
+        try:
+            return self.tolist() == list(other)
+        except TypeError:
+            return NotImplemented
 
 
 class CallbackSink:
