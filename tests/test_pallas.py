@@ -524,3 +524,41 @@ def test_pallas_decode_bitmap_roundtrip(K):
     np.testing.assert_array_equal(ref, symbols)
     out = np.asarray(pc.decode_shared_pallas(states, stream, cdf, cfg, n))
     np.testing.assert_array_equal(out, symbols)
+
+
+@pytest.mark.parametrize(
+    "K,precision", [(17, 12), (60, 12), (100, 12), (255, 12), (300, 12),
+                    (1000, 12), (100, 16), (700, 16), (500, 15), (40, 8)]
+)
+def test_all_inversion_forms_agree(K, precision):
+    """Every eligible (sym, cum, prob) inversion form must produce the
+    identical answer on the same quantiles: the dispatcher's choice can
+    never change the bitstream."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K * 7 + precision)
+    if K > (1 << precision):
+        pytest.skip("alphabet larger than quantile space")
+    extra = rng.multinomial((1 << precision) - K, rng.dirichlet(np.full(K, 0.5)))
+    c = np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.int64)
+    qs = np.unique(np.concatenate([
+        c[:-1], c[1:] - 1, rng.randint(0, 1 << precision, 3000),
+        [0, (1 << precision) - 1],
+    ])).astype(np.uint32)
+    want = np.searchsorted(c, qs.astype(np.int64), side="right") - 1
+
+    forms = [("wide", lambda q: pc._compare_sum_wide(q, c, precision))]
+    if 2 * precision + max(K - 1, 1).bit_length() <= 32:
+        forms.append(("packed", lambda q: pc._compare_sum_packed(q, c, precision)))
+    if K > 16:
+        forms.append(("segmented", lambda q: pc._compare_sum_segmented(q, c, precision)))
+    if K > 8:
+        forms.append(("segtree", lambda q: pc._compare_sum_segtree(q, c, precision)))
+    if 5 < precision <= 15:
+        forms.append(("bitmap", lambda q: pc._compare_sum_bitmap(q, c, precision)))
+    for name, fn in forms:
+        sym, cum, prob = (np.asarray(x) for x in jax.jit(fn)(jnp.asarray(qs)))
+        np.testing.assert_array_equal(sym, want, err_msg=name)
+        np.testing.assert_array_equal(cum, c[want], err_msg=name)
+        np.testing.assert_array_equal(prob, c[want + 1] - c[want], err_msg=name)
