@@ -8,6 +8,7 @@ from .container import (
 )
 from .sharding import (
     BLOCK_AXIS,
+    shard_decode_exact_family_pallas,
     shard_decode_family_pallas,
     shard_decode_range_pallas,
     shard_tchain_decode_pallas,
@@ -37,6 +38,7 @@ __all__ = [
     "shard_encode",
     "shard_encode2",
     "shard_encode2_pallas",
+    "shard_decode_exact_family_pallas",
     "shard_decode_family_pallas",
     "shard_decode_range_pallas",
     "shard_tchain_decode_pallas",

@@ -419,3 +419,44 @@ def shard_tchain_decode_pallas(
         check_vma=False,
     )
     return fn(qwords)
+
+
+def shard_decode_exact_family_pallas(
+    mesh: Mesh,
+    init_states: jax.Array,  # [D, L] u32
+    tabs: jax.Array,  # [D, T, CP1, R, 128] u32 exact boundary planes
+    streams2d: jax.Array,  # [D, rows, 128] u32
+    min_sym: int,
+    max_sym: int,
+    cfg: LaneConfig,
+    block_len: int,
+    cmax: int,
+    interpret: Optional[bool] = None,
+):
+    """REFERENCE-EXACT family decode, data-parallel over blocks (each block
+    carries its own host-precomputed exact boundary planes)."""
+    from ..ops import exact_family as ef
+    from ..ops import pallas_coder as pc
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = ef._build_exact_decoder(
+        int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
+    )
+
+    def per_block(st_b, tabs_b, stream_b):
+        syms, _ = fn_k(st_b[0].reshape(R, pc.LANES), tabs_b[0], stream_b[0])
+        return syms.reshape(-1)[None, :block_len]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    return fn(init_states, tabs, streams2d)
