@@ -54,21 +54,41 @@ def _check_cdf(cdf, cfg: LaneConfig) -> None:
         )
 
 
-def encode_iid(symbols, cdf, cfg: LaneConfig | None = None) -> np.ndarray:
+def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
+               alphabet=None) -> np.ndarray:
     """Encode i.i.d. categorical symbols into a self-describing ILANS2
-    container (u32 array) using the Pallas encoder."""
+    container (u32 array) using the Pallas encoder.
+
+    ``alphabet`` (optional, sorted-unique array) enables NON-CONTIGUOUS
+    symbol alphabets (reference: non_contiguous.rs): symbols are mapped to
+    their alphabet indices on the host (vectorized searchsorted), the
+    device codes indices against ``cdf`` (one entry per alphabet slot).
+    """
     symbols = np.asarray(symbols, dtype=np.int64)
+    if alphabet is not None:
+        alphabet = np.asarray(alphabet)
+        idx = np.searchsorted(alphabet, symbols)
+        if np.any(idx >= len(alphabet)) or np.any(alphabet[np.minimum(
+                idx, len(alphabet) - 1)] != symbols):
+            bad = symbols[(idx >= len(alphabet)) | (
+                alphabet[np.minimum(idx, len(alphabet) - 1)] != symbols)][0]
+            raise ValueError(f"symbol {int(bad)} not in the alphabet")
+        symbols = idx.astype(np.int64)
     cfg = _pick_cfg(len(symbols), cfg)
     _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
 
 
-def decode_iid(container, cdf) -> np.ndarray:
-    """Decode an ILANS2 container with the Pallas kernel."""
+def decode_iid(container, cdf, alphabet=None) -> np.ndarray:
+    """Decode an ILANS2 container with the Pallas kernel; with
+    ``alphabet``, decoded indices map back to the non-contiguous symbols."""
     container = np.asarray(container)
     _, _, _, cfg = _il2.unpack_container2(container)
     _check_cdf(cdf, cfg)
-    return _il2.decode_iid_categorical2(container, cdf, device=True)
+    out = _il2.decode_iid_categorical2(container, cdf, device=True)
+    if alphabet is not None:
+        out = np.asarray(alphabet)[out]
+    return out
 
 
 def encode_family(symbols, means, scales, family: str, min_sym: int,

@@ -45,3 +45,28 @@ def test_facade_chain_decode():
     ref = core.decode_iid_symbols(40, model)
     out = ctpu.decode_chain_iid(data, 40, model.cdf)
     np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_facade_non_contiguous_alphabet():
+    """Device coding for non-contiguous alphabets: host index mapping,
+    device codes indices (non_contiguous.rs parity on the TPU path)."""
+    import numpy as np
+
+    import constriction_tpu.tpu as ctpu
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(4)
+    alphabet = np.array([-70, -3, 8, 99, 400, 1000])
+    K = len(alphabet)
+    extra = rng.multinomial((1 << 12) - K, rng.dirichlet(np.full(K, 1.0)))
+    cdf = np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.uint32)
+    p = (cdf[1:] - cdf[:-1]) / 4096.0
+    syms = rng.choice(alphabet, size=9000, p=p)
+    cfg = LaneConfig(128, 16, 32, 12)
+    cont = ctpu.encode_iid(syms, cdf, cfg, alphabet=alphabet)
+    out = ctpu.decode_iid(cont, cdf, alphabet=alphabet)
+    np.testing.assert_array_equal(out, syms)
+    import pytest
+
+    with pytest.raises(ValueError, match="not in the alphabet"):
+        ctpu.encode_iid(np.array([5]), cdf, cfg, alphabet=alphabet)
