@@ -81,3 +81,15 @@ def test_container_large_alphabet_bitmap():
     cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=4, device=True)
     out = parallel.decode(cont, cdf, device=True)
     np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_blocks_not_matching_devices():
+    """num_blocks that no available device count divides evenly still works:
+    the codec picks the largest divisor of B within the device budget."""
+    symbols, cdf = _workload(3000, seed=9)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=6, device=True)
+    out = parallel.decode(cont, cdf, device=True)
+    np.testing.assert_array_equal(out, symbols)
+    cont3 = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=3, device=True)
+    np.testing.assert_array_equal(parallel.decode(cont3, cdf, device=False),
+                                  symbols)
