@@ -33,12 +33,32 @@ def main() -> None:
     t_end = time.time() + minutes * 60
     while time.time() < t_end:
         L = 128 * int(rng.choice([1, 2, 4, 8]))
-        kind = rng.randint(4)
+        kind = rng.randint(5)
         # sweep the full supported precision range (families are P=12-only)
         P = 12 if kind == 2 else int(rng.choice([8, 9, 10, 11, 12, 14, 16]))
         cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
         ok = True
-        if kind == 3:  # rANS, dense alphabet (bitmap-rank / segtree paths)
+        if kind == 4:  # DEFAULT preset (ILANS2-64: W=32/S=64/P in (16, 24])
+            from constriction_tpu.ops import pallas_coder64 as pc64
+
+            P = int(rng.choice([18, 20, 24]))
+            cfg = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=P)
+            K = int(rng.randint(2, 1500))
+            w = rng.dirichlet(np.full(K, float(np.exp(rng.randn() * 2))))
+            try:
+                model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(w, P)
+            except ValueError:
+                continue
+            cdf = model.cdf
+            n = int(rng.randint(1, 15 * L))
+            symbols = rng.choice(K, size=n, p=w).astype(np.int64)
+            cdf64 = cdf.astype(np.uint64)
+            rst, rwd = il2.encode_shared(cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg)
+            st, wd = pc64.encode_iid64_pallas(symbols, cdf, cfg)
+            ok = np.array_equal(np.asarray(st), rst) and np.array_equal(np.asarray(wd), rwd)
+            out = np.asarray(pc64.decode_shared64_pallas(rst, rwd, cdf, cfg, n))
+            ok = ok and np.array_equal(out, symbols)
+        elif kind == 3:  # rANS, dense alphabet (bitmap-rank / segtree paths)
             K = int(rng.randint(256, min(4000, 1 << P) + 1)) if P >= 9 else 2
             extra = rng.multinomial(
                 (1 << P) - K, rng.dirichlet(np.full(K, 0.7))

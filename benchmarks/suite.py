@@ -217,6 +217,85 @@ def main() -> None:
             f"| — | {row['decode_GBps']} | — |"
         )
 
+    # DEFAULT preset on device: W=32 / S=64 / P=24 (ILANS2-64,
+    # ops/pallas_coder64.py) -- the reference's DefaultAnsCoder sizes
+    from constriction_tpu.ops import pallas_coder64 as pc64
+
+    p24 = _entropy_model("high", alphabet, rng)
+    model24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p24, 24)
+    cdf24 = model24.cdf
+    cfg64 = il2.LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    symbols = rng.choice(alphabet, size=total, p=p24).astype(np.int64)
+    cdf24_64 = cdf24.astype(np.uint64)
+    probs_fix = (cdf24_64[symbols + 1] - cdf24_64[symbols]).astype(np.float64)
+    info_bits = -np.sum(np.log2(probs_fix / 2.0**24))
+    st64, stream64 = il2.encode_shared(
+        cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
+    )
+    overhead = (len(stream64) * 32 + L * 64) / info_bits - 1.0
+    half = total // 2
+    _, stream64_h = il2.encode_shared(
+        cdf24_64[symbols[:half]],
+        cdf24_64[symbols[:half] + 1] - cdf24_64[symbols[:half]], cfg64,
+    )
+    info_h = -np.sum(np.log2(probs_fix[:half] / 2.0**24))
+    marginal = ((len(stream64) - len(stream64_h)) * 32) / (info_bits - info_h) - 1.0
+
+    T = -(-total // L)
+    tail = total - (T - 1) * L
+    dec64 = pc64._build_decoder64(
+        tuple(int(x) for x in cdf24), cfg64, T, tail, L, not on_tpu
+    )
+    hi2 = jax.device_put(
+        jnp.asarray((st64 >> np.uint64(32)).astype(np.uint32)).reshape(R, 128)
+    )
+    lo2 = jax.device_put(
+        jnp.asarray((st64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R, 128)
+    )
+    w64 = jax.device_put(pc._pad_stream2d(stream64, R))
+    out = np.asarray(dec64(hi2, lo2, w64)[0]).reshape(-1)[:total]
+    assert np.array_equal(out, symbols), "ILANS2-64 decode mismatch"
+
+    def _sdec64(h, l, w):
+        syms, _h, _l = dec64(h, l, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+    dt_dec = _chain_time(_sdec64, (hi2, lo2, w64))
+
+    cap_rows = T * R + 1
+    enc64 = pc64._build_encoder64(
+        tuple(int(x) for x in cdf24), cfg64, T, tail, L, cap_rows, not on_tpu
+    )
+    syms3d = jax.device_put(
+        jnp.concatenate(
+            [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - total, jnp.int32)]
+        ).reshape(T, R, 128)
+    )
+
+    def _senc64(s3):
+        buf, shi, slo, end = enc64(s3)
+        dep = ((slo[0, 0] >> 31) & 1).astype(jnp.int32)
+        return s3 ^ dep, end[0].astype(jnp.uint32)
+
+    dt_enc = _chain_time(_senc64, (syms3d,))
+
+    name = f"rANS DEFAULT preset (K={alphabet}, P=24, W=32, S=64)"
+    row = {
+        "workload": name,
+        "entropy_bits": round(info_bits / total, 3),
+        "overhead_pct": round(overhead * 100, 3),
+        "marginal_overhead_pct": round(marginal * 100, 6),
+        "decode_GBps": round(total / dt_dec / 1e9, 2),
+        "encode_GBps": round(total / dt_enc / 1e9, 2),
+    }
+    rows.append(row)
+    print(
+        f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+        f"| {row['marginal_overhead_pct']}% "
+        f"| {row['decode_GBps']} | {row['encode_GBps']} |"
+    )
+
     # range coder decode (encode is host C++)
     from constriction_tpu import native
 

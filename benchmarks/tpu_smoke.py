@@ -111,6 +111,27 @@ def main() -> None:
     assert np.array_equal(q12, data12) and np.all(h12 == 16)
     print("TChain-12 neural bits-back: OK")
 
+    # DEFAULT preset (ILANS2-64: W=32/S=64/P=24)
+    from constriction_tpu.ops import pallas_coder64 as pc64
+
+    cfg64 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    cdf24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    cdf24_64 = cdf24.astype(np.uint64)
+    ref_st64, ref_w64 = il2.encode_shared(
+        cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
+    )
+    st64, w64 = pc64.encode_iid64_pallas(symbols, cdf24, cfg64)
+    assert np.array_equal(st64, ref_st64) and np.array_equal(
+        np.asarray(w64), ref_w64
+    )
+    out64 = np.asarray(
+        pc64.decode_shared64_pallas(ref_st64, ref_w64, cdf24, cfg64, n)
+    )
+    assert np.array_equal(out64, symbols)
+    print("DEFAULT preset (W=32/S=64/P=24) encode+decode: OK")
+
     print("ALL KERNELS COMPILED AND ROUND-TRIPPED ON TPU")
 
 

@@ -125,16 +125,25 @@ def exact_boundary_tables(
     [core_lo, core_hi], where the core is the maximal range outside which
     the trunc value is exactly 0 (left tail) or free-1 (right tail).
 
-    Returns ``(aux u32[n], core u16->u32[n, cmax])`` with
-    ``aux = (core_lo - min) | ncore << 16`` and core entries beyond ncore
-    padded with 0xFFFF.  Raises if any symbol's core exceeds ``cmax``
-    (increase cmax; a very flat distribution can make the whole support
-    non-linear).
+    Returns ``(aux u32[n], core u32[n, cmax])``.  For P <= 16 ("narrow"
+    tables, two boundaries per u32 on the device) ``aux = (core_lo - min) |
+    ncore << 16`` and pads are 0xFFFF; for 16 < P <= 24 ("wide" tables,
+    the default-preset precisions; one u32 boundary per plane)
+    ``aux = (core_lo - min) | ncore << 24`` and pads are ``1 << P`` — a
+    value no real boundary can take (they are <= 2^P - 2) that doubles as
+    the no-next-boundary sentinel, so the pads need no masking at all.
+    Raises if any symbol's core exceeds ``cmax`` (increase cmax; a very
+    flat distribution can make the whole support non-linear).
     """
     mean = np.asarray(means, dtype=np.float64).reshape(-1)
     scale = np.asarray(scales, dtype=np.float64).reshape(-1)
     n = len(mean)
     P = precision
+    assert P <= 24, "exact tables support precisions up to 24"
+    wide = P > 16
+    padv = (1 << P) if wide else 0xFFFF
+    aux_shift = 24 if wide else 16
+    assert cmax < (1 << (32 - aux_shift))
     free = float((1 << P) - 1 - (max_sym - min_sym))
     if free < 2.0:
         raise ValueError("support too large for precision")
@@ -144,7 +153,8 @@ def exact_boundary_tables(
     # log2(span) CDF evals per edge instead of a full evaluation window
     from .. import native
 
-    if native.LIB is not None and family in ("gaussian", "laplace", "cauchy"):
+    if (not wide and native.LIB is not None
+            and family in ("gaussian", "laplace", "cauchy")):
         aux = np.empty(n, dtype=np.uint32)
         core = np.empty((n, cmax), dtype=np.uint32)
         bad = native.LIB.ctpu_exact_boundaries(
@@ -218,13 +228,14 @@ def exact_boundary_tables(
     b = tv + (gridc - min_sym)  # boundary values on the window grid
     idx = lo_w[:, None] + np.arange(cmax)[None, :]
     take = np.take_along_axis(
-        np.concatenate([b, np.full((n, cmax), 0xFFFF, np.int64)], axis=1),
+        np.concatenate([b, np.full((n, cmax), padv, np.int64)], axis=1),
         np.minimum(idx, wwin + cmax - 1),
         axis=1,
     )
-    core = np.where(np.arange(cmax)[None, :] < ncore[:, None], take, 0xFFFF)
+    core = np.where(np.arange(cmax)[None, :] < ncore[:, None], take, padv)
     core_lo_rel = (np.take_along_axis(grid, lo_w[:, None], 1)[:, 0] - min_sym)
-    aux = (core_lo_rel.astype(np.uint32) | (ncore.astype(np.uint32) << 16))
+    aux = (core_lo_rel.astype(np.uint32)
+           | (ncore.astype(np.uint32) << aux_shift))
     return aux, core.astype(np.uint32)
 
 
@@ -239,14 +250,23 @@ def _invert_with_tables(q, aux, core, min_sym, max_sym, precision):
     P = precision
     free = (1 << P) - 1 - (max_sym - min_sym)
     span = max_sym - min_sym
+    wide = P > 16
+    aux_shift = 24 if wide else 16
     q = q.astype(np.int64)
-    cl = (aux & 0xFFFF).astype(np.int64)
-    nc = (aux >> 16).astype(np.int64)
-    c = core.astype(np.int64)  # pads 0xFFFF
-    le = c <= q[:, None]
+    cl = (aux & ((1 << aux_shift) - 1)).astype(np.int64)
+    nc = (aux >> aux_shift).astype(np.int64)
+    c = core.astype(np.int64)  # pads: 0xFFFF (narrow) / 2^P (wide)
+    # Real boundaries can reach 2^P - 1 (a clamped sharp-step core holds
+    # the saturated b = free + s_rel), so pads cannot be told apart by
+    # value alone — at P = 16 a real 0xFFFF boundary would collide with the
+    # narrow pad, and q itself can be 0xFFFF.  Mask by index instead: entry
+    # j is real iff j < ncore.  The no-next sentinel is 2^P (which is also
+    # exactly the wide pad value).
+    real = np.arange(core.shape[1])[None, :] < nc[:, None]
+    le = (c <= q[:, None]) & real
     cnt = le.sum(axis=1)
     cumc = np.where(le, c, 0).max(axis=1)
-    nxtc = np.where(le, 0xFFFF, c).min(axis=1)
+    nxtc = np.where(le | ~real, 1 << P, c).min(axis=1)
     core_hi_rel = cl + nc - 1
     rstart = np.where(
         core_hi_rel >= span, 1 << P, free + core_hi_rel + 1
@@ -376,21 +396,31 @@ def _exact_decode_kernel_body(
         cl = (aux & np.uint32(0xFFFF)).astype(jnp.int32)
         nc = (aux >> 16).astype(jnp.int32)
 
-        # core scan: count, max boundary <= q, min boundary > q
-        top = np.int32(0xFFFF)
+        # core scan: count, max boundary <= q, min boundary > q.
+        # Pads cannot be told apart by value: a clamped sharp-step core can
+        # hold the saturated boundary b = free + s_rel = 2^P - 1, which at
+        # P = 16 equals the 0xFFFF pad (and q itself can be 0xFFFF there).
+        # Mask by index instead -- entry j is real iff j < ncore -- and use
+        # 2^P as the no-next sentinel (an un-excluded pad would cap nxtc at
+        # 65535 and shorten the top interval by one at P = 16).
+        sent = np.int32(1 << P)
         cnt = jnp.zeros((R, LANES), jnp.int32)
         cumc = jnp.zeros((R, LANES), jnp.int32)
-        nxtc = jnp.full((R, LANES), top, jnp.int32)
+        nxtc = jnp.full((R, LANES), sent, jnp.int32)
         for w in range(cmax // 2):
             pairs = tbuf[slot, 1 + w]
             for half in range(2):
                 b = ((pairs >> (16 * half)) & np.uint32(0xFFFF)).astype(
                     jnp.int32
                 )
-                le = b <= q  # pads 0xFFFF never <= q (q < 2^16)
+                real = nc > np.int32(2 * w + half)
+                le = jnp.logical_and(b <= q, real)
                 cnt = cnt + jnp.where(le, 1, 0)
                 cumc = jnp.maximum(cumc, jnp.where(le, b, 0))
-                nxtc = jnp.minimum(nxtc, jnp.where(le, top, b))
+                nxtc = jnp.minimum(
+                    nxtc,
+                    jnp.where(jnp.logical_or(le, ~real), sent, b),
+                )
 
         core_hi_rel = cl + nc - 1
         rstart = jnp.where(
@@ -595,11 +625,16 @@ def encode_tables_pallas(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
-    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
+    assert L % LANES == 0
+    wide = cfg.state_bits == 64
+    assert (cfg.state_bits, cfg.word_bits) in ((32, 16), (64, 32))
     cums = np.asarray(cums, dtype=np.uint32).reshape(-1)
     n = len(cums)
     T = -(-n // L) if n else 0
     if T == 0:
+        if wide:
+            return (np.full(L, 1 << 32, dtype=np.uint64),
+                    jnp.zeros((0,), jnp.uint32))
         return (jnp.full(L, np.uint32(1 << (cfg.state_bits - cfg.word_bits)),
                          jnp.uint32), jnp.zeros((0,), jnp.uint32))
     tail = n - (T - 1) * L
@@ -609,6 +644,17 @@ def encode_tables_pallas(
     ppad = np.ones(T * L, np.uint32)
     cpad[:n] = cums
     ppad[:n] = np.asarray(probs, dtype=np.uint32).reshape(-1)
+    if wide:
+        fn = _build_exact_encoder64(cfg, T, tail, L, cap_rows, interpret)
+        buf, hi, lo, end = fn(
+            jnp.asarray(cpad).reshape(T, R, LANES),
+            jnp.asarray(ppad).reshape(T, R, LANES),
+        )
+        e = int(end[0])
+        states = (
+            np.asarray(hi, dtype=np.uint64).reshape(-1) << np.uint64(32)
+        ) | np.asarray(lo, dtype=np.uint64).reshape(-1)
+        return states, buf.reshape(-1)[e : cap_rows * LANES]
     fn = _build_exact_encoder(cfg, T, tail, L, cap_rows, interpret)
     buf, states, end = fn(
         jnp.asarray(cpad).reshape(T, R, LANES),
@@ -641,8 +687,14 @@ def decode_family_exact(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
-    assert L % LANES == 0 and cfg.state_bits == 32 and cfg.word_bits == 16
-    assert cfg.precision <= 16 and cmax % 2 == 0
+    assert L % LANES == 0
+    wide = cfg.state_bits == 64
+    assert (cfg.state_bits, cfg.word_bits) in ((32, 16), (64, 32))
+    if wide:
+        assert 16 < cfg.precision <= 24
+    else:
+        assert cfg.precision <= 16
+    assert cmax % 2 == 0
     T = -(-num_symbols // L) if num_symbols else 0
     if T == 0:
         return jnp.zeros((0,), jnp.int32)
@@ -652,6 +704,30 @@ def decode_family_exact(
         _pad_to(means, T * L), _pad_to(scales, T * L, 1.0), family,
         min_sym, max_sym, cfg.precision, cmax,
     )
+    if wide:
+        # wide tables: plane 0 aux, one u32 plane per boundary
+        CP1 = cmax + 1
+        tabs = np.empty((T * L, CP1), np.uint32)
+        tabs[:, 0] = aux
+        tabs[:, 1:] = core
+        tabs4 = np.ascontiguousarray(
+            tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
+        )
+        fn = _build_exact_decoder64(
+            int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
+        )
+        st = np.asarray(init_states, dtype=np.uint64)
+        syms, _hi, _lo = fn(
+            jnp.asarray((st >> np.uint64(32)).astype(np.uint32)).reshape(
+                R, LANES
+            ),
+            jnp.asarray(
+                (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            ).reshape(R, LANES),
+            jnp.asarray(tabs4),
+            _pad_stream2d(stream, R),
+        )
+        return syms.reshape(-1)[:num_symbols]
     # pack: plane 0 aux, planes 1.. core pairs (even | odd << 16)
     CP1 = cmax // 2 + 1
     tabs = np.empty((T * L, CP1), np.uint32)
@@ -669,3 +745,282 @@ def decode_family_exact(
         _pad_stream2d(stream, R),
     )
     return syms.reshape(-1)[:num_symbols]
+
+
+# ---------------------------------------------------------------------------
+# DEFAULT-preset (W=32 / S=64 / 16 < P <= 24) twins: wide tables, u32-pair
+# lane states (state algebra from ops/pallas_coder64.py).  This makes the
+# reference's actual default-preset models (P = 24, the precision the
+# Python API pins, quantize.rs:525-568 at PRECISION = 24) codable on
+# device with bit-identical tables.
+# ---------------------------------------------------------------------------
+
+
+def _exact_decode_kernel_body64(
+    pltpu, pl, *, min_sym: int, max_sym: int, cfg: LaneConfig,
+    T: int, tail: int, R: int, cmax: int,
+):
+    from .pallas_coder64 import _mul40x25
+
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+    qmask = np.uint32((1 << P) - 1)
+    free = (1 << P) - 1 - (max_sym - min_sym)
+    span = max_sym - min_sym
+    CP1 = cmax + 1  # aux plane + one u32 plane per core boundary
+
+    def kernel(hi_in, lo_in, tabs_hbm, stream_hbm,
+               syms_out, hi_out, lo_out,
+               hi_s, lo_s, win, tbuf, base_s, sem, tsem):
+        # tabs_hbm: [T, CP1, R, 128] u32; plane 0 = aux, 1.. = boundaries
+        # (pads carry 2^P: un-matchable and identical to the sentinel)
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+        slot = t % 2
+
+        @pl.when(t == 0)
+        def _init():
+            hi_s[:] = hi_in[:]
+            lo_s[:] = lo_in[:]
+            base_s[0] = 0
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+            d = pltpu.make_async_copy(tabs_hbm.at[0], tbuf.at[0], tsem.at[0])
+            d.start()
+            d.wait()
+
+        @pl.when(t + 1 < T)
+        def _prefetch_tabs():
+            pltpu.make_async_copy(
+                tabs_hbm.at[t + 1], tbuf.at[1 - slot], tsem.at[1 - slot]
+            ).start()
+
+        @pl.when(t > 0)
+        def _wait_tabs():
+            pltpu.make_async_copy(
+                tabs_hbm.at[t], tbuf.at[slot], tsem.at[slot]
+            ).wait()
+
+        hi = hi_s[:]
+        lo = lo_s[:]
+        q = (lo & qmask).astype(jnp.int32)
+
+        aux = tbuf[slot, 0]
+        cl = (aux & np.uint32(0xFFFFFF)).astype(jnp.int32)
+        nc = (aux >> 24).astype(jnp.int32)
+
+        # core scan; wide pads are 2^P = the sentinel, no masking needed
+        sent = np.int32(1 << P)
+        cnt = jnp.zeros((R, LANES), jnp.int32)
+        cumc = jnp.zeros((R, LANES), jnp.int32)
+        nxtc = jnp.full((R, LANES), sent, jnp.int32)
+        for w in range(cmax):
+            b = tbuf[slot, 1 + w].astype(jnp.int32)
+            le = b <= q
+            cnt = cnt + jnp.where(le, 1, 0)
+            cumc = jnp.maximum(cumc, jnp.where(le, b, 0))
+            nxtc = jnp.minimum(nxtc, jnp.where(le, sent, b))
+
+        core_hi_rel = cl + nc - 1
+        rstart = jnp.where(
+            core_hi_rel >= np.int32(span),
+            np.int32(1 << P),
+            np.int32(free + 1) + core_hi_rel,
+        )
+        s_rel_l = jnp.minimum(q, cl - 1)
+        next_l = jnp.where(s_rel_l >= cl - 1, nxtc, s_rel_l + 1)
+        sym_c = cl + cnt - 1
+        next_c = jnp.minimum(nxtc, rstart)
+        s_rel_r = jnp.minimum(q - np.int32(free), np.int32(span))
+        cum_r = np.int32(free) + s_rel_r
+        next_r = jnp.where(
+            s_rel_r >= np.int32(span), np.int32(1 << P), cum_r + 1
+        )
+
+        right = q >= rstart
+        leftr = cnt == 0
+        s_rel = jnp.where(right, s_rel_r, jnp.where(leftr, s_rel_l, sym_c))
+        cum = jnp.where(
+            right, cum_r, jnp.where(leftr, s_rel_l, cumc)
+        ).astype(jnp.uint32)
+        nxt = jnp.where(right, next_r, jnp.where(leftr, next_l, next_c))
+        prob = nxt.astype(jnp.uint32) - cum
+        sym = s_rel + np.int32(min_sym)
+
+        # 64-bit rANS update (stack.rs:1086-1096 on the (hi, lo) pair)
+        sh_lo = (hi << (32 - P)) | (lo >> P)
+        sh_hi = hi >> P
+        nhi, nlo = _mul40x25(sh_hi, sh_lo, prob)
+        qc = (lo & qmask) - cum
+        nlo = nlo + qc
+        nhi = nhi + jnp.where(nlo < qc, np.uint32(1), np.uint32(0))
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            nhi = jnp.where(active, nhi, hi)
+            nlo = jnp.where(active, nlo, lo)
+
+        m = nhi == 0
+        ex, nxt_b = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        hi_s[:] = jnp.where(m, nlo, nhi)
+        lo_s[:] = jnp.where(m, ex, nlo)
+        base_s[0] = nxt_b
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            hi_out[:] = hi_s[:]
+            lo_out[:] = lo_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
+                           interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    CP1 = cmax + 1
+    kernel = _exact_decode_kernel_body64(
+        pltpu, pl, min_sym=min_sym, max_sym=max_sym, cfg=cfg,
+        T=T, tail=tail, R=R, cmax=cmax,
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # tables [T, CP1, R, 128]
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),          # state hi
+            pltpu.VMEM((R, LANES), jnp.uint32),          # state lo
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),   # stream windows
+            pltpu.VMEM((2, CP1, R, LANES), jnp.uint32),  # table buffers
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def _exact_encode_kernel_body64(
+    pltpu, pl, *, cfg: LaneConfig, T: int, tail: int, R: int, cap_rows: int,
+):
+    from .pallas_coder64 import _div64
+
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    L = R * LANES
+
+    def kernel(cums_in, probs_in, stream_out, hi_out, lo_out, end_out,
+               hi_s, lo_s, img, arow_s, sem):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            hi_s[:] = jnp.ones((R, LANES), jnp.uint32)  # seed 2^32
+            lo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        hi = hi_s[:]
+        lo = lo_s[:]
+        cum = cums_in[0]
+        prob = probs_in[0]
+
+        if tail < L:
+            active = jnp.logical_or(t > 0, lane_flat < tail)
+        else:
+            active = None
+
+        renorm = (hi >> (S - P - 32)) >= prob
+        if active is not None:
+            renorm = jnp.logical_and(renorm, active)
+        vals = jnp.where(renorm, lo, np.uint32(0))
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+
+        shi = jnp.where(renorm, np.uint32(0), hi)
+        slo = jnp.where(renorm, hi, lo)
+        q_hi, q_lo, rem = _div64(shi, slo, prob)
+        low = cum + rem.astype(jnp.uint32)
+        nlo = (q_lo << P) | low
+        nhi = (q_hi << P) | (q_lo >> (32 - P))
+        if active is not None:
+            nhi = jnp.where(active, nhi, shi)
+            nlo = jnp.where(active, nlo, slo)
+        hi_s[:] = nhi
+        lo_s[:] = nlo
+
+        @pl.when(t == T - 1)
+        def _final():
+            hi_out[:] = hi_s[:]
+            lo_out[:] = lo_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_exact_encoder64(cfg, T, tail, L, cap_rows, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _exact_encode_kernel_body64(
+        pltpu, pl, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    )
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)

@@ -113,7 +113,11 @@ def encode_shared(
     stream = (
         np.concatenate(chunks[::-1]) if chunks else np.zeros(0, dtype=np.uint32)
     )
-    return states.astype(np.uint32), stream
+    # S <= 32 states fit the container's u32 plane; S in (32, 64] (the
+    # reference's DEFAULT preset state size) returns u64 states.
+    from .interleaved import _state_dtype
+
+    return states.astype(_state_dtype(cfg)), stream
 
 
 def decode_shared_cdf(
@@ -309,7 +313,16 @@ def pack_container2(
         ).astype(np.uint32)
     else:
         raise ValueError(f"unsupported word size {W}")
-    return np.concatenate([header, init_states.astype(np.uint32), payload])
+    if cfg.state_bits > 32:
+        # default-preset (S = 64) states: two u32 planes, lo then hi
+        st = np.asarray(init_states, dtype=np.uint64)
+        states_words = np.concatenate([
+            (st & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (st >> np.uint64(32)).astype(np.uint32),
+        ])
+    else:
+        states_words = init_states.astype(np.uint32)
+    return np.concatenate([header, states_words, payload])
 
 
 def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, LaneConfig]:
@@ -324,8 +337,15 @@ def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, La
     L = int(data[5])
     stream_len = int(data[6])
     cfg = LaneConfig(L, word_bits, state_bits, precision)
-    init_states = data[7 : 7 + L]
-    payload = data[7 + L :]
+    if state_bits > 32:
+        init_states = (
+            data[7 : 7 + L].astype(np.uint64)
+            | (data[7 + L : 7 + 2 * L].astype(np.uint64) << np.uint64(32))
+        )
+        payload = data[7 + 2 * L :]
+    else:
+        init_states = data[7 : 7 + L]
+        payload = data[7 + L :]
     if word_bits == 32:
         stream = payload
     elif word_bits == 16:
@@ -344,14 +364,17 @@ def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, La
 
 
 def _pallas_eligible(cfg: LaneConfig, num_boundaries: int) -> bool:
-    """The Pallas kernels cover the small preset: W=16/S=32, L % 128 == 0,
-    and the packed compare-sum field budget 2P + ceil(log2(K)) <= 32."""
-    return (
-        cfg.num_lanes % 128 == 0
-        and cfg.state_bits == 32
-        and cfg.word_bits == 16
-        and 2 * cfg.precision + max(num_boundaries - 1, 1).bit_length() <= 32
-    )
+    """The Pallas kernels cover W=16/S=32 up to P=16 (the model-inversion
+    auto dispatcher handles every alphabet size: packed/segtree/bitmap/
+    segmented forms) and the default-preset sizes W=32/S=64 up to P=24
+    (ops/pallas_coder64.py); lanes must tile the 128-wide VPU."""
+    if cfg.num_lanes % 128 != 0:
+        return False
+    if cfg.state_bits == 32 and cfg.word_bits == 16:
+        return cfg.precision <= 16
+    if cfg.state_bits == 64 and cfg.word_bits == 32:
+        return cfg.precision <= 24
+    return False
 
 
 def encode_iid_categorical2(
@@ -364,9 +387,14 @@ def encode_iid_categorical2(
     """
     symbols = np.asarray(symbols, dtype=np.int64)
     if device and _pallas_eligible(cfg, len(cdf) - 1):
-        from . import pallas_coder as pc
+        if cfg.state_bits == 64:
+            from . import pallas_coder64 as pc64
 
-        states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
+            states, stream = pc64.encode_iid64_pallas(symbols, cdf, cfg)
+        else:
+            from . import pallas_coder as pc
+
+            states, stream = pc.encode_iid_pallas(symbols, cdf, cfg)
         return pack_container2(
             np.asarray(states), np.asarray(stream), len(symbols), cfg
         )
@@ -384,6 +412,12 @@ def decode_iid_categorical2(
     kernel (identical output), the default the host oracle."""
     init_states, stream, n, cfg = unpack_container2(data)
     if device and _pallas_eligible(cfg, len(cdf) - 1):
+        if cfg.state_bits == 64:
+            from . import pallas_coder64 as pc64
+
+            return np.asarray(
+                pc64.decode_shared64_pallas(init_states, stream, cdf, cfg, n)
+            )
         from . import pallas_coder as pc
 
         return np.asarray(
@@ -417,12 +451,14 @@ def build_checkpoints(
     itself).
     """
     assert interval > 0
+    from .interleaved import _state_dtype
+
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     T = -(-num_symbols // L) if num_symbols else 0
     C = max(-(-T // interval) - 1, 0)
     offsets = np.zeros(C, dtype=np.int64)
-    states_out = np.zeros((C, L), dtype=np.uint32)
+    states_out = np.zeros((C, L), dtype=_state_dtype(cfg))
     if C == 0:
         return offsets, states_out
 
@@ -450,7 +486,7 @@ def build_checkpoints(
     for t in range(T):
         if t > 0 and t % interval == 0:
             offsets[c] = base
-            states_out[c] = states.astype(np.uint32)
+            states_out[c] = states.astype(states_out.dtype)
             c += 1
         idx = t * L + lanes
         active = idx < num_symbols

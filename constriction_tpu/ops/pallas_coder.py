@@ -244,14 +244,18 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     vals = _materialize_boundaries(es, cpad, B1, B2, P, q.shape)
 
     d1 = [vals[i + 1] - vals[i] for i in range(B2)]
-    # level 2: acc2 = off << 16 | cum (cum < 2^16 always); cumnext for prob
+    # level 2: acc2 = off << SH | cum; SH = 16 suffices while cum < 2^16,
+    # and for default-preset precisions (P <= 24) off < B2 <= 2^(32 - P)
+    # still fits above the cum field; cumnext for prob
+    SH = 16 if P <= 16 else P
+    assert B2 <= (1 << (32 - SH))
     zero_u = jnp.zeros(q.shape, jnp.uint32)
     acc2 = vals[0].astype(jnp.uint32)
     cn = vals[1].astype(jnp.uint32)
     for i in range(1, B2):
         e = qi >= vals[i]
         acc2 = acc2 + jnp.where(
-            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << 16), zero_u
+            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << SH), zero_u
         )
         cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
 
@@ -261,8 +265,8 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     for e in es:
         cb = cb + jnp.where(e, one_i, zero_i)
 
-    cum = acc2 & np.uint32(0xFFFF)
-    off = (acc2 >> 16).astype(jnp.int32)
+    cum = acc2 & np.uint32((1 << SH) - 1)
+    off = (acc2 >> SH).astype(jnp.int32)
     prob = cn - cum
     sym = cb * np.int32(B2) + off
     return sym, cum, prob
@@ -540,7 +544,12 @@ def _compare_sum_segtree(q: jax.Array, cdf: np.ndarray, precision: int,
             acc = _select_tree(bits, leaves) + jnp.zeros(q.shape, jnp.uint32)
             vals.append(acc.astype(jnp.int32))
 
-    # level 2: flat compare-sum within the segment (same as segmented form)
+    # level 2: flat compare-sum within the segment (same as segmented form).
+    # acc2 packs off << SH | cum; SH = 16 suffices for P <= 15, and for the
+    # default-preset precisions (P <= 24) the off field still fits because
+    # off < B2 <= 2^(32 - P).
+    SH = 16 if P <= 15 else P
+    assert B2 <= (1 << (32 - SH))
     d1 = [vals[i + 1] - vals[i] for i in range(B2)]
     zero_u = jnp.zeros(q.shape, jnp.uint32)
     acc2 = vals[0].astype(jnp.uint32)
@@ -548,11 +557,11 @@ def _compare_sum_segtree(q: jax.Array, cdf: np.ndarray, precision: int,
     for i in range(1, B2):
         e = qi >= vals[i]
         acc2 = acc2 + jnp.where(
-            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << 16), zero_u
+            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << SH), zero_u
         )
         cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
-    cum = acc2 & np.uint32(0xFFFF)
-    off = (acc2 >> 16).astype(jnp.int32)
+    cum = acc2 & np.uint32((1 << SH) - 1)
+    off = (acc2 >> SH).astype(jnp.int32)
     prob = cn - cum
     sym = cb * np.int32(B2) + off
     return sym, cum, prob
@@ -573,7 +582,10 @@ def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
     """
     K = len(cdf) - 1
     P = precision
-    candidates = [("wide", 5 * (K - 1))]
+    # wide packs sym << P | cum: needs sym < 2^(32 - P)
+    candidates = []
+    if K <= (1 << (32 - P)):
+        candidates.append(("wide", 5 * (K - 1)))
     if 2 * P + max(K - 1, 1).bit_length() <= 32:
         candidates.append(("packed", 3 * (K - 1)))
     if K > 16:
@@ -923,9 +935,11 @@ def _cum_prob_from_sym_tree(sym: jax.Array, cdf: np.ndarray, precision: int,
 def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
     """Encode-side (cum, prob) lookup: bit-steered select trees for all but
     tiny alphabets (the symbol is an input, so no compares are needed),
-    flat packed compare-sum below that."""
+    flat packed compare-sum below that.  The flat form's cum << P | prob
+    packing needs 2P <= 32; default-preset precisions always go through
+    the tree (whose per = 1 branch holds one u32 boundary per leaf)."""
     K = len(cdf) - 1
-    if K > 16:
+    if K > 16 or precision > 15:
         return _cum_prob_from_sym_tree(sym, cdf, precision)
     return _cum_prob_from_sym_flat(sym, cdf, precision)
 

@@ -1,0 +1,393 @@
+"""ILANS2-64: the reference DEFAULT preset (W=32, S=64, P<=24) on device.
+
+The flagship Pallas kernels (ops/pallas_coder.py) run the ILANS2 format at
+W=16/S=32 with u32 lane states -- the natural register width of the TPU
+VPU, covering precisions P <= 16 (the reference's "small"-preset family,
+/root/reference/src/stream/mod.rs:184-276).  This module extends the device
+path to the reference's DEFAULT preset sizes -- 32-bit stream words, 64-bit
+lane states, precision up to 24 (stack.rs:139: ``DefaultAnsCoder`` =
+AnsCoder<u32, u64>) -- so default-preset model tables (P=24 fixed-point
+CDFs, the quantization constriction's Python API pins) code on-device with
+the exact same integer algebra as the reference (stack.rs:1035-1096).
+
+The TPU has no 64-bit integer registers, so a lane state lives in two u32
+tiles ``(hi, lo)``; state = hi * 2^32 + lo:
+
+- decode ``state = (state >> P) * prob + (q - cum)``: the 40-bit shifted
+  state times the <= 25-bit probability is a 16-bit-limb schoolbook product
+  (4 partial products + carry assembly, exact in u32);
+- decode renormalization is trivial: ``state < 2^(S-W) = 2^32`` is just
+  ``hi == 0``, and the refill ``state = state << 32 | word`` is two vector
+  selects (hi <- lo, lo <- word) -- no shifts at all;
+- encode ``state // prob`` (quotient < 2^(S-P) = 2^40) is a 4-digit
+  base-2^16 long division: each digit is estimated with one f32
+  multiply-by-reciprocal and corrected exactly in wrapping u32 arithmetic.
+  Exactness: with partial remainder r < prob, the step value
+  C = r * 2^16 + limb is < prob * 2^16, so the f32 image of C (r exact in
+  f32 since r < 2^24; r*2^16 an exact exponent shift; one rounding on the
+  +limb) carries absolute error < prob * 2^-8, giving a digit estimate
+  within 2^-8 + 2^-6 < 1/2 of the true digit regardless of prob; a single
+  +-1 correction on the wrapped integer remainder (|r| < 2^25 fits int32)
+  recovers the exact floor.
+
+Everything else -- the shared-stream window DMA, the monotone butterfly
+distribution of refill words, the right-to-left emission image merging, and
+the model inversion forms (which are u32-native since q < 2^P <= 2^24) --
+is reused from ops/pallas_coder.py unchanged.
+
+Oracle: ops/interleaved2.{encode_shared, decode_shared_cdf} at
+``LaneConfig(word_bits=32, state_bits=64, precision=24)`` (the numpy paths
+are width-generic); both directions here are bit-exact against it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .interleaved import LaneConfig
+from .pallas_coder import (
+    LANES,
+    _compare_sum_auto,
+    _cum_prob_from_sym,
+    _emit_words,
+    _init_stream_window,
+    _lane_iota,
+    _pad_stream2d,
+    _refill_words,
+    _row_iota,
+)
+
+
+def _mul40x25(sh_hi: jax.Array, sh_lo: jax.Array, b: jax.Array):
+    """(hi, lo) = (sh_hi * 2^32 + sh_lo) * b for b <= 2^25, product < 2^64.
+
+    16-bit-limb schoolbook product of the low word plus the high word's
+    single in-range partial; all partials and carries fit u32 exactly.
+    """
+    a0 = sh_lo & np.uint32(0xFFFF)
+    a1 = sh_lo >> 16
+    b0 = b & np.uint32(0xFFFF)
+    b1 = b >> 16  # <= 2^9
+    p00 = a0 * b0
+    p01 = a0 * b1
+    p10 = a1 * b0
+    p11 = a1 * b1
+    mid = (p00 >> 16) + (p01 & np.uint32(0xFFFF)) + (p10 & np.uint32(0xFFFF))
+    lo = (p00 & np.uint32(0xFFFF)) | (mid << 16)
+    hi = (mid >> 16) + (p01 >> 16) + (p10 >> 16) + p11 + sh_hi * b
+    return hi, lo
+
+
+def _div64(hi: jax.Array, lo: jax.Array, prob: jax.Array):
+    """Exact (q_hi, q_lo, rem) of (hi * 2^32 + lo) / prob, prob in
+    [1, 2^24].  4-digit base-2^16 long division; see module docstring for
+    the exactness argument."""
+    prob_f = prob.astype(jnp.int32).astype(jnp.float32)
+    recip = np.float32(1.0) / prob_f
+    prob_i = prob.astype(jnp.int32)
+
+    r = jnp.zeros(hi.shape, jnp.uint32)
+    r_f = jnp.zeros(hi.shape, jnp.float32)
+    q_hi = jnp.zeros(hi.shape, jnp.uint32)
+    q_lo = jnp.zeros(hi.shape, jnp.uint32)
+    limbs = (hi >> 16, hi & np.uint32(0xFFFF), lo >> 16, lo & np.uint32(0xFFFF))
+    for limb in limbs:
+        limb_f = limb.astype(jnp.int32).astype(jnp.float32)
+        c_f = r_f * np.float32(65536.0) + limb_f
+        d = (c_f * recip).astype(jnp.int32)
+        # exact wrapped remainder: true value in (-2^25, 2^25)
+        rw = (((r << 16) | limb) - d.astype(jnp.uint32) * prob).astype(jnp.int32)
+        neg = rw < 0
+        d = d - jnp.where(neg, 1, 0)
+        rw = rw + jnp.where(neg, prob_i, 0)
+        ovr = rw >= prob_i
+        d = d + jnp.where(ovr, 1, 0)
+        rw = rw - jnp.where(ovr, prob_i, 0)
+        r = rw.astype(jnp.uint32)
+        r_f = rw.astype(jnp.float32)
+        q_hi = (q_hi << 16) | (q_lo >> 16)
+        q_lo = (q_lo << 16) | d.astype(jnp.uint32)
+    return q_hi, q_lo, r
+
+
+def _decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
+                          tail: int, R: int):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert S == 64 and W == 32 and P <= 24
+    L = R * LANES
+    qmask = np.uint32((1 << P) - 1)
+
+    def kernel(hi_in, lo_in, stream_hbm, syms_out, hi_out, lo_out,
+               hi_s, lo_s, win, base_s, sem):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            hi_s[:] = hi_in[:]
+            lo_s[:] = lo_in[:]
+            base_s[0] = 0
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+
+        hi = hi_s[:]
+        lo = lo_s[:]
+
+        # reference rANS decode algebra (stack.rs:1086-1096) on (hi, lo)
+        q = lo & qmask
+        sym, cum, prob = _compare_sum_auto(q, cdf, P)
+        sh_lo = (hi << (32 - P)) | (lo >> P)
+        sh_hi = hi >> P
+        nhi, nlo = _mul40x25(sh_hi, sh_lo, prob.astype(jnp.uint32))
+        qc = (q - cum.astype(jnp.uint32))
+        nlo = nlo + qc
+        nhi = nhi + jnp.where(nlo < qc, np.uint32(1), np.uint32(0))
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            nhi = jnp.where(active, nhi, hi)
+            nlo = jnp.where(active, nlo, lo)
+
+        # renorm: state < 2^32  <=>  hi == 0; state = state << 32 | word
+        m = nhi == 0
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        hi_s[:] = jnp.where(m, nlo, nhi)
+        lo_s[:] = jnp.where(m, ex, nlo)
+        base_s[0] = nxt
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            hi_out[:] = hi_s[:]
+            lo_out[:] = lo_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_decoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
+                     interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _decode_kernel_body64(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),         # state hi
+            pltpu.VMEM((R, LANES), jnp.uint32),         # state lo
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),  # stream windows
+            pltpu.SMEM((1,), jnp.int32),                # base word offset
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def decode_shared64_pallas(
+    init_states,
+    stream,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_symbols: int,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Decode a default-preset ILANS2-64 container on TPU; bit-exact with
+    ops/interleaved2.decode_shared_cdf.  ``init_states`` is u64[L]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0, "num_lanes must be a multiple of 128"
+    assert cfg.state_bits == 64 and cfg.word_bits == 32 and cfg.precision <= 24
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+
+    st = np.asarray(init_states, dtype=np.uint64)
+    hi = (st >> np.uint64(32)).astype(np.uint32).reshape(R, LANES)
+    lo = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(R, LANES)
+    stream2d = _pad_stream2d(stream, R)
+
+    fn = _build_decoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret,
+    )
+    syms, _hi, _lo = fn(jnp.asarray(hi), jnp.asarray(lo), stream2d)
+    return syms.reshape(-1)[:num_symbols]
+
+
+def _encode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
+                          tail: int, R: int, cap_rows: int):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert S == 64 and W == 32 and P <= 24
+    L = R * LANES
+
+    def kernel(syms_in, stream_out, hi_out, lo_out, end_out,
+               hi_s, lo_s, img, arow_s, sem):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            hi_s[:] = jnp.ones((R, LANES), jnp.uint32)   # seed 2^32
+            lo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        hi = hi_s[:]
+        lo = lo_s[:]
+        sym = syms_in[0]
+        cum, prob = _cum_prob_from_sym(sym, cdf, P)
+        probu = prob.astype(jnp.uint32)
+
+        if tail < L:
+            active = jnp.logical_or(t > 0, lane_flat < tail)
+        else:
+            active = None
+
+        # renorm check (stack.rs:1035-1040): state >> (S-P) >= prob.
+        # S - P >= 32 so the shift reads hi only.
+        renorm = (hi >> (S - P - 32)) >= probu
+        if active is not None:
+            renorm = jnp.logical_and(renorm, active)
+        vals = jnp.where(renorm, lo, np.uint32(0))
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+
+        # state >>= 32 on renorm lanes
+        shi = jnp.where(renorm, np.uint32(0), hi)
+        slo = jnp.where(renorm, hi, lo)
+
+        # state = (state / prob) << P | (cum + state % prob)
+        q_hi, q_lo, rem = _div64(shi, slo, probu)
+        low = cum.astype(jnp.uint32) + rem.astype(jnp.uint32)
+        nlo = (q_lo << P) | low
+        nhi = (q_hi << P) | (q_lo >> (32 - P))
+        if active is not None:
+            nhi = jnp.where(active, nhi, shi)
+            nlo = jnp.where(active, nlo, slo)
+        hi_s[:] = nhi
+        lo_s[:] = nlo
+
+        @pl.when(t == T - 1)
+        def _final():
+            hi_out[:] = hi_s[:]
+            lo_out[:] = lo_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_encoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
+                     cap_rows: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _encode_kernel_body64(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # stream buffer in HBM
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),        # state hi
+            pltpu.VMEM((R, LANES), jnp.uint32),        # state lo
+            pltpu.VMEM((2, -(-(R + 1) // 8) * 8, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),               # e, a_prev
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def encode_iid64_pallas(
+    symbols,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: bool | None = None,
+) -> Tuple[np.ndarray, jax.Array]:
+    """Encode i.i.d. categorical symbols into the default-preset ILANS2-64
+    format on TPU.  Bit-exact with ops/interleaved2.encode_shared:
+    returns ``(init_states u64[L], stream u32[num_words])``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0
+    assert cfg.state_bits == 64 and cfg.word_bits == 32 and cfg.precision <= 24
+    symbols = jnp.asarray(symbols, dtype=jnp.int32)
+    n = int(symbols.shape[0])
+    T = -(-n // L) if n else 0
+    if T == 0:
+        seed = np.full(L, 1 << 32, dtype=np.uint64)
+        return seed, jnp.zeros((0,), jnp.uint32)
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = -(-(T * L) // LANES) + 1  # worst case one word/lane/step
+
+    syms3d = jnp.concatenate(
+        [symbols, jnp.zeros(T * L - n, jnp.int32)]
+    ).reshape(T, R, LANES)
+    fn = _build_encoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    stream_buf, hi, lo, end = fn(syms3d)
+    e = int(end[0])
+    states = (
+        np.asarray(hi, dtype=np.uint64).reshape(-1) << np.uint64(32)
+    ) | np.asarray(lo, dtype=np.uint64).reshape(-1)
+    return states, stream_buf.reshape(-1)[e : cap_rows * LANES]

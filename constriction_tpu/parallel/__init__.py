@@ -17,6 +17,7 @@ from .sharding import (
     prepare_blocks,
     shard_decode2,
     shard_decode2_pallas,
+    shard_decode64_pallas,
     shard_decode_lookup,
     shard_encode,
     shard_encode2,
@@ -34,6 +35,7 @@ __all__ = [
     "prepare_blocks",
     "shard_decode2",
     "shard_decode2_pallas",
+    "shard_decode64_pallas",
     "shard_decode_lookup",
     "shard_encode",
     "shard_encode2",

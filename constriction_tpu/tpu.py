@@ -27,6 +27,10 @@ from .ops.interleaved import LaneConfig
 
 DEFAULT_CFG = LaneConfig(num_lanes=32768, word_bits=16, state_bits=32, precision=12)
 SMALL_CFG = LaneConfig(num_lanes=1024, word_bits=16, state_bits=32, precision=12)
+# The reference's DEFAULT preset sizes on device (ops/pallas_coder64.py):
+# 32-bit words, 64-bit lane states, precision 24 (stack.rs:139).  Pass as
+# ``cfg=`` to encode_iid/decode_iid to code P=24 model tables on TPU.
+DEFAULT64_CFG = LaneConfig(num_lanes=32768, word_bits=32, state_bits=64, precision=24)
 
 
 def _pick_cfg(n: int, cfg: LaneConfig | None) -> LaneConfig:

@@ -198,3 +198,121 @@ def test_native_boundary_tables_match_numpy_twin(family):
         ef.exact_boundary_tables(
             np.zeros(4), np.full(4, 500.0), family, MIN, MAX, P, 16
         )
+
+
+def test_p16_top_quantile_regression():
+    """P = 16 regression: with a full-support core (flat distribution),
+    q = 0xFFFF must not count the 0xFFFF pads as boundaries, and the
+    no-next-boundary sentinel must be 2^16 (not 0xFFFF) so the top interval
+    keeps its full width.  Exhaustive over the whole top region."""
+    P16, mn, mx = 16, -50, 50
+    means = np.array([0.0])
+    scales = np.array([500.0])
+    aux, core = ef.exact_boundary_tables(
+        means, scales, "gaussian", mn, mx, P16, 128
+    )
+    syms = np.arange(mn, mx + 1)
+    cums, probs = ef.exact_ecp(
+        syms, np.full(len(syms), 0.0), np.full(len(syms), 500.0),
+        "gaussian", mn, mx, P16,
+    )
+    c64 = cums.astype(np.int64)
+    p64 = probs.astype(np.int64)
+    qs = np.concatenate([
+        np.arange(int(c64[-1]) - 3, 1 << 16), [0, 1, 32768]
+    ])
+    s, c, p = ef._invert_with_tables(
+        qs, np.repeat(aux, len(qs)), np.repeat(core, len(qs), axis=0),
+        mn, mx, P16,
+    )
+    idx = np.searchsorted(c64, qs, side="right") - 1
+    np.testing.assert_array_equal(s, syms[idx])
+    np.testing.assert_array_equal(c.astype(np.int64), c64[idx])
+    np.testing.assert_array_equal(p.astype(np.int64), p64[idx])
+
+
+def test_p16_flat_roundtrip_device():
+    """Full P = 16 encode -> kernel decode round trip on a flat gaussian,
+    with a run of max-symbol encodes steering quantiles into the top
+    interval (the region the pre-fix sentinel logic corrupted)."""
+    P16, mn, mx = 16, -50, 50
+    cfg16 = LaneConfig(num_lanes=128, word_bits=16, state_bits=32,
+                       precision=P16)
+    rng = np.random.RandomState(9)
+    n = 1500
+    means = np.zeros(n)
+    scales = np.full(n, 500.0)
+    syms = rng.randint(mn, mx + 1, size=n).astype(np.int64)
+    syms[300:600] = mx  # force top-interval quantiles during decode
+    cums, probs = ef.exact_ecp(syms, means, scales, "gaussian", mn, mx, P16)
+    st, w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), cfg16
+    )
+    out_h = ef.decode_family_exact_host(
+        st, w, means, scales, "gaussian", mn, mx, cfg16, n, cmax=128
+    )
+    np.testing.assert_array_equal(out_h, syms)
+    out_d = np.asarray(
+        ef.decode_family_exact(
+            st, w, means, scales, "gaussian", mn, mx, cfg16, n, cmax=128
+        )
+    )
+    np.testing.assert_array_equal(out_d, syms)
+
+
+# ---------------------------------------------------------------------------
+# DEFAULT-preset (P = 24, W = 32, S = 64) wide-table exact families
+# ---------------------------------------------------------------------------
+
+CFG64 = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=24)
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_wide_tables_golden_vs_host_quantizer_p24(family):
+    """P = 24 exact tables == the host f64 LeakyQuantizer (the precision
+    the reference's Python API pins), over random (mean, scale)."""
+    rng = np.random.RandomState(21)
+    n = min(SOAK_N, 500)  # scalar host quantizer comparison loop
+    means = rng.uniform(-110, 110, n)
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(6.0), n))
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), MIN, MAX
+    ).astype(np.int64)
+    cums, probs = ef.exact_ecp(syms, means, scales, family, MIN, MAX, 24)
+    quant = LeakyQuantizer(MIN, MAX, precision=24)
+    for i in range(n):
+        cc, pp = quant.quantize(DIST[family](means[i], scales[i])).ecp(
+            int(syms[i])
+        )
+        assert cc == cums[i] and pp == probs[i], (family, i)
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace"])
+def test_wide_exact_roundtrip_device_p24(family):
+    """On-device (interpreter on CPU) default-preset encode + decode with
+    wide exact tables, bit-exact with the width-generic host twins."""
+    rng = np.random.RandomState(31)
+    n = 1200
+    means = rng.uniform(-60, 60, n)
+    scales = np.exp(rng.uniform(np.log(0.2), np.log(5.0), n))
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), MIN, MAX
+    ).astype(np.int64)
+    cums, probs = ef.exact_ecp(syms, means, scales, family, MIN, MAX, 24)
+    ref_st, ref_w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), CFG64
+    )
+    assert ref_st.dtype == np.uint64
+    st, w = ef.encode_family_exact(syms, means, scales, family, MIN, MAX, CFG64)
+    np.testing.assert_array_equal(st, ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out_h = ef.decode_family_exact_host(
+        ref_st, ref_w, means, scales, family, MIN, MAX, CFG64, n, cmax=202
+    )
+    np.testing.assert_array_equal(out_h, syms)
+    out_d = np.asarray(
+        ef.decode_family_exact(
+            ref_st, ref_w, means, scales, family, MIN, MAX, CFG64, n, cmax=202
+        )
+    )
+    np.testing.assert_array_equal(out_d, syms)

@@ -85,3 +85,43 @@ def test_sharded_container_random_access():
     words = bufs[d].reshape(-1)[ends[d, 0] : cap_rows * 128]
     out = np.asarray(pc.decode_shared_pallas(states[d], words, cdf, cfg, block_len))
     np.testing.assert_array_equal(out, symbols[d * block_len : (d + 1) * block_len])
+
+
+def test_sharded_pallas64_default_preset_roundtrip():
+    """DEFAULT-preset (W=32/S=64/P=24) blocks decoded in parallel under
+    shard_map (ops/pallas_coder64.py per device)."""
+    from constriction_tpu.parallel import sharding as sh64
+
+    mesh = sh64.make_mesh()
+    D = len(jax.devices())
+
+    rng = np.random.RandomState(3)
+    alphabet, L = 40, 128
+    block_len = 700
+    n = D * block_len
+    probs = rng.dirichlet(np.full(alphabet, 2.0))
+    cdf = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    symbols = rng.choice(alphabet, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    cdf64 = cdf.astype(np.uint64)
+
+    R = L // 128
+    hi_l, lo_l, streams = [], [], []
+    for d in range(D):
+        blk = symbols[d * block_len : (d + 1) * block_len]
+        st, sw = il2.encode_shared(cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg)
+        hi_l.append((st >> np.uint64(32)).astype(np.uint32))
+        lo_l.append((st & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        streams.append(np.asarray(pc._pad_stream2d(sw, R)))
+    rows = max(s.shape[0] for s in streams)
+    arr = np.zeros((D, rows, 128), np.uint32)
+    for d, s in enumerate(streams):
+        arr[d, : s.shape[0]] = s
+
+    out = sh64.shard_decode64_pallas(
+        mesh, jnp.asarray(np.stack(hi_l)), jnp.asarray(np.stack(lo_l)),
+        jnp.asarray(arr), cdf, cfg, block_len,
+    )
+    assert np.array_equal(np.asarray(out).reshape(-1), symbols)

@@ -231,3 +231,30 @@ def test_exact_family_reference_exact(tpu, workload):
         )
     )
     np.testing.assert_array_equal(out, fsyms)
+
+
+def test_default_preset_64(tpu, workload):
+    """ILANS2-64 (W=32/S=64/P=24) encode + decode compiled through Mosaic."""
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops import interleaved2 as il2
+    from constriction_tpu.ops import pallas_coder64 as pc64
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng, L, n, _cfg, _cdf, _symbols = workload
+    cfg64 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    probs = rng.dirichlet(np.full(60, 2.0))
+    cdf24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    symbols = rng.choice(60, size=n, p=probs).astype(np.int64)
+    cdf64b = cdf24.astype(np.uint64)
+    ref_st, ref_w = il2.encode_shared(
+        cdf64b[symbols], cdf64b[symbols + 1] - cdf64b[symbols], cfg64
+    )
+    st, w = pc64.encode_iid64_pallas(symbols, cdf24, cfg64)
+    np.testing.assert_array_equal(st, ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out = pc64.decode_shared64_pallas(ref_st, ref_w, cdf24, cfg64, n)
+    np.testing.assert_array_equal(np.asarray(out), symbols)
