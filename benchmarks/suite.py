@@ -296,6 +296,49 @@ def main() -> None:
         f"| {row['decode_GBps']} | {row['encode_GBps']} |"
     )
 
+    # DEFAULT-preset range decode (ILANS2-R64; encode is host C++)
+    from constriction_tpu import native as _native
+
+    if _native.LIB is not None:
+        pts64, rstream64 = il2.encode_shared_range(
+            cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
+        )
+        overhead_r = (len(rstream64) * 32 + L * 64) / info_bits - 1.0
+        rdec64 = pc64._build_range_decoder64(
+            tuple(int(x) for x in cdf24), cfg64, T, tail, L, not on_tpu
+        )
+        rphi = jax.device_put(
+            jnp.asarray((pts64 >> np.uint64(32)).astype(np.uint32)).reshape(R, 128)
+        )
+        rplo = jax.device_put(
+            jnp.asarray((pts64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                        ).reshape(R, 128)
+        )
+        rw64 = jax.device_put(pc._pad_stream2d(rstream64, R))
+        rout = np.asarray(rdec64(rphi, rplo, rw64)[0]).reshape(-1)[:total]
+        assert np.array_equal(rout, symbols), "ILANS2-R64 decode mismatch"
+
+        def _srdec64(h, l, w):
+            syms, _h, _l, _bad = rdec64(h, l, w)
+            dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+            return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+        dt_rdec = _chain_time(_srdec64, (rphi, rplo, rw64))
+        name = f"range DEFAULT preset (K={alphabet}, P=24, W=32, S=64)"
+        row = {
+            "workload": name,
+            "entropy_bits": round(info_bits / total, 3),
+            "overhead_pct": round(overhead_r * 100, 3),
+            "marginal_overhead_pct": None,
+            "decode_GBps": round(total / dt_rdec / 1e9, 2),
+            "encode_GBps": None,
+        }
+        rows.append(row)
+        print(
+            f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+            f"| — | {row['decode_GBps']} | — |"
+        )
+
     # range coder decode (encode is host C++)
     from constriction_tpu import native
 

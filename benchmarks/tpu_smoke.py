@@ -132,6 +132,16 @@ def main() -> None:
     assert np.array_equal(out64, symbols)
     print("DEFAULT preset (W=32/S=64/P=24) encode+decode: OK")
 
+    # DEFAULT-preset range decode (ILANS2-R64)
+    cfgr64 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    rp64, rw64 = il2.encode_iid_categorical_range(symbols, cdf24, cfgr64)
+    assert rp64.dtype.name == "uint64"
+    out_r64 = np.asarray(
+        pc64.decode_shared_range64_pallas(rp64, rw64, cdf24, cfgr64, n)
+    )
+    assert np.array_equal(out_r64, symbols)
+    print("DEFAULT preset range decode (ILANS2-R64): OK")
+
     print("ALL KERNELS COMPILED AND ROUND-TRIPPED ON TPU")
 
 

@@ -1008,7 +1008,9 @@ int64_t ctpu_ilans2_range_encode(
     }
 
     // Initial decoder points: the first S/W words of each lane's list,
-    // left-aligned with zero fill (queue.rs:847-868 read_point).
+    // left-aligned with zero fill (queue.rs:847-868 read_point).  For
+    // state_bits > 32 the point does not fit one u32: the caller passes a
+    // 2*L array and lane l's point is written as (lo, hi) at [2l, 2l+1].
     for (int32_t l = 0; l < L; l++) {
         uint64_t point = 0;
         int32_t nread = 0;
@@ -1018,7 +1020,12 @@ int64_t ctpu_ilans2_range_encode(
         if (nread < point_words && nread != 0) {
             point <<= (state_bits - nread * word_bits);
         }
-        points[l] = (uint32_t)point;
+        if (state_bits > 32) {
+            points[2 * l] = (uint32_t)(point & 0xFFFFFFFFull);
+            points[2 * l + 1] = (uint32_t)(point >> 32);
+        } else {
+            points[l] = (uint32_t)point;
+        }
     }
 
     // Slot assembly: the r-th renorm of lane l consumes the lane's word at

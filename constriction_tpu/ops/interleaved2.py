@@ -198,7 +198,10 @@ def encode_shared_range(
     n = len(cums)
     L = cfg.num_lanes
     T = -(-n // L) if n else 0
-    points = np.zeros(L, dtype=np.uint32)
+    wide = cfg.state_bits > 32
+    # S > 32 points do not fit one u32: the native export writes (lo, hi)
+    # u32 pairs per lane
+    points = np.zeros(2 * L if wide else L, dtype=np.uint32)
     buf = np.zeros(max(T * L, 1), dtype=np.uint32)
     slen = native.LIB.ctpu_ilans2_range_encode(
         np.ascontiguousarray(cums, dtype=np.uint32),
@@ -206,6 +209,10 @@ def encode_shared_range(
         n, L, T, cfg.word_bits, cfg.state_bits, cfg.precision,
         points, buf,
     )
+    if wide:
+        points = points[0::2].astype(np.uint64) | (
+            points[1::2].astype(np.uint64) << np.uint64(32)
+        )
     return points, buf[:slen].copy()
 
 
@@ -264,7 +271,9 @@ def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig, device: bool = F
     """``device=True`` runs the Pallas two-phase range encoder (bit-exact
     with the host C++ path)."""
     symbols = np.asarray(symbols, dtype=np.int64)
-    if device and _pallas_eligible(cfg, len(cdf) - 1):
+    # the on-device range ENCODER covers the S=32 sizes; S=64 encodes on
+    # the host (the C++ core is width-generic) and decodes on device
+    if device and cfg.state_bits == 32 and _pallas_eligible(cfg, len(cdf) - 1):
         from . import pallas_range_enc as pre
 
         return pre.encode_iid_range_pallas(symbols, cdf, cfg)

@@ -60,6 +60,7 @@ from .pallas_coder import (
     _pad_stream2d,
     _refill_words,
     _row_iota,
+    _u32_to_f32,
 )
 
 
@@ -391,3 +392,268 @@ def encode_iid64_pallas(
         np.asarray(hi, dtype=np.uint64).reshape(-1) << np.uint64(32)
     ) | np.asarray(lo, dtype=np.uint64).reshape(-1)
     return states, stream_buf.reshape(-1)[e : cap_rows * LANES]
+
+
+# ---------------------------------------------------------------------------
+# ILANS2-R64: default-preset range coding (queue semantics) on device.
+# Reference per-lane algebra: queue.rs:968-1035 with W=32/S=64/P<=24
+# (DefaultRangeDecoder sizes, queue.rs:747).  State is three u32 pairs
+# (lower, range, point); the quantile division (point - lower) / scale has a
+# 40-bit divisor and is computed by the same 4-digit base-2^16 long division
+# as _div64, with the divisor held as a pair and the digit products going
+# through _mul40x25.  The digit estimate stays exact-with-+-1-correction for
+# ANY scale because every f32 error involved is RELATIVE (see _div64); the
+# remainder is corrected in wrapping pair arithmetic (|true value| < 2^40).
+# ---------------------------------------------------------------------------
+
+
+def _pair_sub(ahi, alo, bhi, blo):
+    """(a - b) mod 2^64 on u32 pairs."""
+    lo = alo - blo
+    borrow = jnp.where(alo < blo, np.uint32(1), np.uint32(0))
+    hi = ahi - bhi - borrow
+    return hi, lo
+
+
+def _pair_add(ahi, alo, bhi, blo):
+    """(a + b) mod 2^64 on u32 pairs."""
+    lo = alo + blo
+    carry = jnp.where(lo < blo, np.uint32(1), np.uint32(0))
+    hi = ahi + bhi + carry
+    return hi, lo
+
+
+def _div64_by_scale(d_hi, d_lo, s_hi, s_lo):
+    """floor((d_hi*2^32 + d_lo) / s) for a pair divisor s < 2^40, s >= 1,
+    specialized to quotients < 2^32 (the range decoder's quantile: valid
+    data has q < 2^P <= 2^24).
+
+    Returns ``(q_lo u32, q_ovr bool)``: the quotient and whether the true
+    quotient has bits above 2^32 (possible only on garbage input; the
+    invalid-data flag consumes it, and ``q_lo`` is then unspecified).
+
+    The quotient digits at weights 2^48 and 2^32 are zero whenever the
+    quotient fits 32 bits, so the top two base-2^16 digit steps collapse to
+    remainder checks: r after them is just the top 32 dividend bits, with
+    ``q_ovr`` raised if that value is not already reduced mod s.  Two full
+    digit steps then produce the 32-bit quotient; each estimates the digit
+    with one f32 multiply-by-reciprocal (every f32 error involved is
+    RELATIVE, so the estimate is within 1/4 of the true digit for ANY
+    scale) and corrects the wrapping pair remainder by +-1."""
+    s_f = (
+        s_hi.astype(jnp.int32).astype(jnp.float32) * np.float32(4294967296.0)
+        + _u32_to_f32(s_lo)
+    )
+    recip = np.float32(1.0) / s_f
+
+    # top two digit steps: their quotient digits are zero iff the top 32
+    # dividend bits are already reduced mod s (exactly q < 2^32)
+    q_ovr = jnp.logical_and(s_hi == 0, d_hi >= s_lo)
+    r_hi = jnp.zeros(d_hi.shape, jnp.uint32)
+    r_lo = d_hi
+    r_f = _u32_to_f32(d_hi)
+    q_lo = jnp.zeros(d_hi.shape, jnp.uint32)
+    for limb in (d_lo >> 16, d_lo & np.uint32(0xFFFF)):
+        c_hi = (r_hi << 16) | (r_lo >> 16)
+        c_lo = (r_lo << 16) | limb
+        c_f = r_f * np.float32(65536.0) + limb.astype(jnp.int32).astype(
+            jnp.float32
+        )
+        d = (c_f * recip).astype(jnp.int32)
+        du = d.astype(jnp.uint32)
+        p_hi, p_lo = _mul40x25(s_hi, s_lo, du)  # d < 2^17, s < 2^40
+        rw_hi, rw_lo = _pair_sub(c_hi, c_lo, p_hi, p_lo)
+        neg = rw_hi.astype(jnp.int32) < 0
+        du = du - jnp.where(neg, np.uint32(1), np.uint32(0))
+        ah, al = _pair_add(rw_hi, rw_lo, s_hi, s_lo)
+        rw_hi = jnp.where(neg, ah, rw_hi)
+        rw_lo = jnp.where(neg, al, rw_lo)
+        ovr = jnp.logical_or(
+            rw_hi > s_hi, jnp.logical_and(rw_hi == s_hi, rw_lo >= s_lo)
+        )
+        du = du + jnp.where(ovr, np.uint32(1), np.uint32(0))
+        sh, sl = _pair_sub(rw_hi, rw_lo, s_hi, s_lo)
+        rw_hi = jnp.where(ovr, sh, rw_hi)
+        rw_lo = jnp.where(ovr, sl, rw_lo)
+        r_hi, r_lo = rw_hi, rw_lo
+        r_f = (
+            r_hi.astype(jnp.int32).astype(jnp.float32)
+            * np.float32(4294967296.0)
+            + _u32_to_f32(r_lo)
+        )
+        q_lo = (q_lo << 16) | du
+    return q_lo, q_ovr
+
+
+def _range_decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
+                                tail: int, R: int):
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert S == 64 and W == 32 and P <= 24
+    L = R * LANES
+    qmask = np.uint32((1 << P) - 1)
+
+    def kernel(pts_hi_in, pts_lo_in, stream_hbm, syms_out, pts_hi_out,
+               pts_lo_out, bad_out,
+               lhi_s, llo_s, rhi_s, rlo_s, phi_s, plo_s, win, base_s, sem):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            lhi_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            llo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            rhi_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            rlo_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            phi_s[:] = pts_hi_in[:]
+            plo_s[:] = pts_lo_in[:]
+            base_s[0] = 0
+            base_s[1] = 0  # invalid-data flag
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+
+        lhi, llo = lhi_s[:], llo_s[:]
+        rhi, rlo = rhi_s[:], rlo_s[:]
+        phi, plo = phi_s[:], plo_s[:]
+
+        # scale = range >> P; q = (point - lower) / scale
+        s_lo = (rhi << (32 - P)) | (rlo >> P)
+        s_hi = rhi >> P
+        d_hi, d_lo = _pair_sub(phi, plo, lhi, llo)
+        q_raw, q_ovr = _div64_by_scale(d_hi, d_lo, s_hi, s_lo)
+
+        # invalid-data detection (queue.rs:991-993): quantile >= 2^P
+        badv = jnp.where(
+            jnp.logical_or(q_ovr, q_raw > qmask), np.int32(1), np.int32(0)
+        )
+        if tail < L:
+            act_q = jnp.logical_or(t < T - 1, lane_flat < tail)
+            badm = jnp.max(jnp.where(act_q, badv, 0))
+        else:
+            badm = jnp.max(badv)
+        base_s[1] = base_s[1] | badm
+
+        # model inversion on the masked quantile (garbage wraps to a valid
+        # table entry with prob >= 1; the flag does the rejecting)
+        q = q_raw & qmask
+        sym, cum, prob = _compare_sum_auto(q, cdf, P)
+
+        m_hi, m_lo = _mul40x25(s_hi, s_lo, cum.astype(jnp.uint32))
+        nl_hi, nl_lo = _pair_add(lhi, llo, m_hi, m_lo)
+        nr_hi, nr_lo = _mul40x25(s_hi, s_lo, prob.astype(jnp.uint32))
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            nl_hi = jnp.where(active, nl_hi, lhi)
+            nl_lo = jnp.where(active, nl_lo, llo)
+            nr_hi = jnp.where(active, nr_hi, rhi)
+            nr_lo = jnp.where(active, nr_lo, rlo)
+
+        # renorm: range < 2^32 <=> hi == 0; shift all three left by W=32
+        m = nr_hi == 0
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        lhi_s[:] = jnp.where(m, nl_lo, nl_hi)
+        llo_s[:] = jnp.where(m, np.uint32(0), nl_lo)
+        rhi_s[:] = jnp.where(m, nr_lo, nr_hi)
+        rlo_s[:] = jnp.where(m, np.uint32(0), nr_lo)
+        phi_s[:] = jnp.where(m, plo, phi)
+        plo_s[:] = jnp.where(m, ex, plo)
+        base_s[0] = nxt
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            pts_hi_out[:] = phi_s[:]
+            pts_lo_out[:] = plo_s[:]
+            bad_out[0] = base_s[1]
+            bad_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=32)
+def _build_range_decoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int,
+                           L: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _range_decode_kernel_body64(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+    )
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),   # lower hi
+            pltpu.VMEM((R, LANES), jnp.uint32),   # lower lo
+            pltpu.VMEM((R, LANES), jnp.uint32),   # range hi
+            pltpu.VMEM((R, LANES), jnp.uint32),   # range lo
+            pltpu.VMEM((R, LANES), jnp.uint32),   # point hi
+            pltpu.VMEM((R, LANES), jnp.uint32),   # point lo
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def decode_shared_range64_pallas(
+    points,
+    stream,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    num_symbols: int,
+    interpret: bool | None = None,
+):
+    """Decode a default-preset ILANS2-R64 container on TPU; matches
+    ops/interleaved2.decode_shared_range_cdf.  ``points`` is u64[L].
+    Raises ValueError on data inconsistent with the entropy model
+    (queue.rs:991-993), like the S=32 decoder."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0
+    assert cfg.state_bits == 64 and cfg.word_bits == 32 and cfg.precision <= 24
+    T = -(-num_symbols // L) if num_symbols else 0
+    if T == 0:
+        return jnp.zeros((0,), jnp.int32)
+    tail = num_symbols - (T - 1) * L
+    R = L // LANES
+
+    pts = np.asarray(points, dtype=np.uint64)
+    hi = (pts >> np.uint64(32)).astype(np.uint32).reshape(R, LANES)
+    lo = (pts & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(R, LANES)
+    stream2d = _pad_stream2d(stream, R)
+
+    fn = _build_range_decoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret,
+    )
+    syms, _phi, _plo, bad = fn(jnp.asarray(hi), jnp.asarray(lo), stream2d)
+    if int(np.asarray(bad)[0]):
+        raise ValueError(
+            "Tried to decode data that is inconsistent with the entropy model."
+        )
+    return syms.reshape(-1)[:num_symbols]

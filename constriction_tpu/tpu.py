@@ -196,9 +196,16 @@ def encode_iid_range(symbols, cdf, cfg: LaneConfig | None = None):
 
 def decode_iid_range(points, stream, cdf, num_symbols: int,
                      cfg: LaneConfig | None = None):
-    """Decode an ILANS2-R stream with the Pallas range decoder."""
+    """Decode an ILANS2-R stream with the Pallas range decoder (the
+    default-preset S=64 sizes route to the ILANS2-R64 kernel)."""
     cfg = _pick_cfg(num_symbols, cfg)
     _check_cdf(cdf, cfg)
+    if cfg.state_bits == 64:
+        from .ops import pallas_coder64 as _pc64
+
+        return _pc64.decode_shared_range64_pallas(
+            np.asarray(points), np.asarray(stream), cdf, cfg, num_symbols
+        )
     return _pc.decode_shared_range_pallas(
         np.asarray(points), np.asarray(stream), cdf, cfg, num_symbols
     )

@@ -174,3 +174,81 @@ def test_checkpoints64_suffix_decode():
         ckpts[c], stream[offsets[c]:], n - start, cdf, cfg
     )
     assert np.array_equal(np.asarray(suffix), syms[start:])
+
+
+@pytest.mark.parametrize("K,P,n", [
+    (100, 24, 8000),
+    (16, 20, 3000),
+    (1000, 24, 5000),
+    (100, 24, 256 * 5),
+    (100, 24, 2),
+])
+def test_range64_decode_matches_oracle(K, P, n):
+    """ILANS2-R64 (default-preset range coding): host C++ encode (u64
+    points), kernel decode vs the width-generic numpy oracle."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    cdf, probs = _model(K, P, seed=7 * K + P)
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=P)
+    rng = np.random.RandomState(n + 3)
+    syms = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cdf64 = cdf.astype(np.uint64)
+    pts, stream = il2.encode_shared_range(
+        cdf64[syms], cdf64[syms + 1] - cdf64[syms], cfg
+    )
+    assert pts.dtype == np.uint64
+    out0 = il2.decode_shared_range_cdf(pts, stream, n, cdf, cfg)
+    assert np.array_equal(out0, syms)
+    out = pc64.decode_shared_range64_pallas(pts, stream, cdf, cfg, n)
+    assert np.array_equal(np.asarray(out), syms)
+
+
+def test_range64_invalid_data_detection():
+    """A quantile >= 2^P raises the reference's InvalidData error
+    (queue.rs:991-993)."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    cdf, _ = _model(100, 24, seed=1)
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=24)
+    pts = np.full(256, np.uint64(0xFFFFFFFFFFFFFFFF))
+    stream = np.zeros(1024, np.uint32)
+    with pytest.raises(ValueError, match="inconsistent with the entropy model"):
+        pc64.decode_shared_range64_pallas(pts, stream, cdf, cfg, 1024)
+
+
+def test_div64_by_scale_random():
+    """The pair-divisor digit division is exact over random 64-bit
+    dividends and scales across the full envelope [1, 2^40): the quotient
+    matches wherever it fits 32 bits, and the overflow flag is exactly
+    ``q >= 2^32`` (the range decoder's invalid-data signal)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(11)
+    n = 1 << 14
+    d = rng.randint(0, 1 << 63, size=n, dtype=np.uint64) * np.uint64(2) + (
+        rng.randint(0, 2, size=n).astype(np.uint64)
+    )
+    sc = np.maximum(
+        np.uint64(1),
+        rng.randint(0, 1 << 40, size=n, dtype=np.uint64)
+        >> rng.randint(0, 40, size=n).astype(np.uint64),
+    )
+
+    f = jax.jit(lambda dh, dl, sh, sl: pc64._div64_by_scale(dh, dl, sh, sl))
+    q_lo, q_ovr = f(
+        jnp.asarray((d >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((d & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((sc >> np.uint64(32)).astype(np.uint32)),
+        jnp.asarray((sc & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+    )
+    q_true = d // sc
+    fits = (q_true >> np.uint64(32)) == 0
+    np.testing.assert_array_equal(np.asarray(q_ovr), ~fits)
+    np.testing.assert_array_equal(
+        np.asarray(q_lo).astype(np.uint64)[fits], q_true[fits]
+    )

@@ -258,3 +258,28 @@ def test_default_preset_64(tpu, workload):
     np.testing.assert_array_equal(np.asarray(w), ref_w)
     out = pc64.decode_shared64_pallas(ref_st, ref_w, cdf24, cfg64, n)
     np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+def test_default_preset_range64(tpu, workload):
+    """ILANS2-R64 (W=32/S=64/P=24 range coding) decode compiled through
+    Mosaic; host C++ encode with u64 points."""
+    from constriction_tpu import native
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops import interleaved2 as il2
+    from constriction_tpu.ops import pallas_coder64 as pc64
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    rng, L, n, _cfg, _cdf, _symbols = workload
+    cfg = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    probs = rng.dirichlet(np.full(60, 2.0))
+    cdf24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    symbols = rng.choice(60, size=n, p=probs).astype(np.int64)
+    pts, w = il2.encode_iid_categorical_range(symbols, cdf24, cfg)
+    out = pc64.decode_shared_range64_pallas(pts, w, cdf24, cfg, n)
+    np.testing.assert_array_equal(np.asarray(out), symbols)
