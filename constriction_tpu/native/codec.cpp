@@ -213,6 +213,11 @@ int64_t ctpu_exact_boundaries(
     const double free_weight =
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
     const uint32_t freeu = (uint32_t)free_weight;
+    // narrow tables (P <= 16): u16 pads 0xFFFF, ncore in aux bits 16..;
+    // wide tables (16 < P <= 24): pads 2^P (doubles as the no-next
+    // sentinel), ncore in aux bits 24.. (core_lo_rel can need 24 bits)
+    const int32_t aux_shift = precision > 16 ? 24 : 16;
+    const uint32_t padv = precision > 16 ? (1u << precision) : 0xFFFFu;
     int64_t bad = 0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
@@ -253,13 +258,13 @@ int64_t ctpu_exact_boundaries(
             if (!bad) bad = 1 + i;
             continue;
         }
-        aux[i] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 16);
+        aux[i] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << aux_shift);
         uint32_t* row = core + i * cmax;
         for (int64_t j = 0; j < ncore; j++) {
             int64_t s = core_lo + j;
             row[j] = qm_tv(kind, a, b, free_weight, s) + (uint32_t)(s - min_sym);
         }
-        for (int64_t j = ncore; j < cmax; j++) row[j] = 0xFFFFu;
+        for (int64_t j = ncore; j < cmax; j++) row[j] = padv;
     }
     return bad;
 }

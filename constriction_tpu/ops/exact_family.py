@@ -150,11 +150,11 @@ def exact_boundary_tables(
     span = max_sym - min_sym
 
     # native path: per-edge bisection in C++ (glibc libm, bit-identical),
-    # log2(span) CDF evals per edge instead of a full evaluation window
+    # log2(span) CDF evals per edge instead of a full evaluation window;
+    # the C++ generator emits the same narrow/wide pad + aux packing
     from .. import native
 
-    if (not wide and native.LIB is not None
-            and family in ("gaussian", "laplace", "cauchy")):
+    if native.LIB is not None and family in ("gaussian", "laplace", "cauchy"):
         aux = np.empty(n, dtype=np.uint32)
         core = np.empty((n, cmax), dtype=np.uint32)
         bad = native.LIB.ctpu_exact_boundaries(

@@ -316,3 +316,30 @@ def test_wide_exact_roundtrip_device_p24(family):
         )
     )
     np.testing.assert_array_equal(out_d, syms)
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_native_wide_boundary_tables_match_numpy_twin_p24(family):
+    """The C++ generator emits the same WIDE (P = 24) pad + aux packing as
+    the numpy twin."""
+    import constriction_tpu.native as native
+
+    if native.LIB is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.RandomState(29)
+    n = 1500
+    means = rng.uniform(-110, 110, n)
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(6.0), n))
+    aux_n, core_n = ef.exact_boundary_tables(
+        means, scales, family, MIN, MAX, 24, 202
+    )
+    lib = native.LIB
+    try:
+        native.LIB = None
+        aux_p, core_p = ef.exact_boundary_tables(
+            means, scales, family, MIN, MAX, 24, 202
+        )
+    finally:
+        native.LIB = lib
+    np.testing.assert_array_equal(aux_n, aux_p)
+    np.testing.assert_array_equal(core_n, core_p)
