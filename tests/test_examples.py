@@ -10,7 +10,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.parametrize(
-    "script", ["bits_back.py", "multichip_sharded.py", "reference_exact_and_seek.py"]
+    "script",
+    [
+        "bits_back.py",
+        "multichip_sharded.py",
+        "reference_exact_and_seek.py",
+        "default_preset.py",
+    ],
 )
 def test_example_runs(script):
     env = dict(os.environ)
