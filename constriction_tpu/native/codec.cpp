@@ -782,12 +782,69 @@ int64_t ctpu_ilans2_encode(
         end -= k;
         for (int32_t j = 0; j < k; j++) buf[end + j] = chunk[j];
     }
-    for (int32_t l = 0; l < L; l++) states[l] = (uint32_t)st[l];
+    // S > 32 lane states do not fit one u32: write (lo, hi) pairs (the
+    // caller passes a 2*L array), mirroring the range encoder's points.
+    if (state_bits > 32) {
+        for (int32_t l = 0; l < L; l++) {
+            states[2 * l] = (uint32_t)(st[l] & 0xFFFFFFFFull);
+            states[2 * l + 1] = (uint32_t)(st[l] >> 32);
+        }
+    } else {
+        for (int32_t l = 0; l < L; l++) states[l] = (uint32_t)st[l];
+    }
     int64_t len = cap - end;
     delete[] st;
     delete[] chunk;
     delete[] magic;
     return len;
+}
+
+// Shared-stream interleaved rANS decode for S > 32 (u64 lane states as
+// (lo, hi) u32 pairs) with a CDF binary search instead of the 2^P lookup
+// table (default-preset P = 24 would need a 64 MB table).  Same schedule
+// as ctpu_ilans2_decode_lookup.
+void ctpu_ilans2_decode_cdf64(
+    const uint32_t* init_states_pairs, const uint32_t* stream,
+    int64_t stream_len, int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* cdf, int32_t num_boundaries,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    uint64_t* st = new uint64_t[L];
+    for (int32_t l = 0; l < L; l++) {
+        st[l] = (uint64_t)init_states_pairs[2 * l]
+              | ((uint64_t)init_states_pairs[2 * l + 1] << 32);
+    }
+    int64_t base = 0;
+    const int32_t K = num_boundaries - 1;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        const int64_t b0 = t * L;
+        const int32_t lmax =
+            (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));
+        for (int32_t l = 0; l < lmax; l++) {
+            uint64_t s = st[l];
+            uint64_t q = s & qmask;
+            // branchless binary search: largest sym with cdf[sym] <= q
+            int32_t lo = 0, span = K;
+            while (span > 1) {
+                int32_t half = span >> 1;
+                lo += (cdf[lo + half] <= q) ? half : 0;
+                span -= half;
+            }
+            uint32_t sym = (uint32_t)lo;
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            s = (s >> precision) * prob + (q - cum);
+            if (s < lower && base < stream_len) {
+                s = (s << word_bits) | stream[base++];
+            }
+            st[l] = s;
+            out[b0 + l] = (int32_t)sym;
+        }
+    }
+    delete[] st;
 }
 
 void ctpu_ilans2_decode_lookup(

@@ -76,17 +76,22 @@ def encode_shared(
 
     from .. import native
 
-    # native path passes/returns lane states as u32: gate on S <= 32 (the
-    # ILANS2 container stores u32 states anyway; S in (32, 64] would truncate)
-    if native.LIB is not None and n >= 256 and S <= 32:
+    # the native path returns S <= 32 lane states as u32 and S in (32, 64]
+    # (the reference's DEFAULT preset state size) as (lo, hi) u32 pairs
+    if native.LIB is not None and n >= 256:
+        wide = S > 32
         cap = T * L + 8
         buf = np.empty(cap, dtype=np.uint32)
-        states_out = np.empty(L, dtype=np.uint32)
+        states_out = np.empty(2 * L if wide else L, dtype=np.uint32)
         slen = native.LIB.ctpu_ilans2_encode(
             np.ascontiguousarray(cums, dtype=np.uint32),
             np.ascontiguousarray(probs, dtype=np.uint32),
             n, L, T, W, S, P, states_out, buf, cap,
         )
+        if wide:
+            states_out = states_out[0::2].astype(np.uint64) | (
+                states_out[1::2].astype(np.uint64) << np.uint64(32)
+            )
         return states_out, buf[cap - slen :].copy()
 
     cums64 = np.zeros(T * L, dtype=np.uint64)
@@ -149,6 +154,22 @@ def decode_shared_cdf(
         native.LIB.ctpu_ilans2_decode_lookup(
             st32, stream32, len(stream32), num_symbols, L, T,
             lookup, cdf32, W, S, P, out,
+        )
+        return out
+
+    if native.LIB is not None and num_symbols >= 256 and 32 < S <= 64:
+        # default-preset states: (lo, hi) u32 pairs + CDF binary search
+        # (a P = 24 lookup table would be 64 MB)
+        cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
+        st = np.asarray(init_states, dtype=np.uint64)
+        pairs = np.empty(2 * L, dtype=np.uint32)
+        pairs[0::2] = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        pairs[1::2] = (st >> np.uint64(32)).astype(np.uint32)
+        stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
+        out = np.empty(num_symbols, dtype=np.int32)
+        native.LIB.ctpu_ilans2_decode_cdf64(
+            pairs, stream32, len(stream32), num_symbols, L, T,
+            cdf32, len(cdf32), W, S, P, out,
         )
         return out
 

@@ -252,3 +252,40 @@ def test_div64_by_scale_random():
     np.testing.assert_array_equal(
         np.asarray(q_lo).astype(np.uint64)[fits], q_true[fits]
     )
+
+
+def test_native_host_paths_match_numpy_s64():
+    """The C++ ILANS2-64 host paths (encode with (lo, hi) state pairs;
+    decode via CDF binary search) equal the numpy twins bit for bit."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    K, P, n = 100, 24, 50000
+    cdf, probs = _model(K, P, seed=23)
+    cfg = LaneConfig(num_lanes=512, word_bits=32, state_bits=64, precision=P)
+    rng = np.random.RandomState(6)
+    syms = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cdf64 = cdf.astype(np.uint64)
+    cums = cdf64[syms]
+    ps = cdf64[syms + 1] - cums
+
+    st_n, w_n = il2.encode_shared(cums, ps, cfg)
+    lib = native.LIB
+    try:
+        native.LIB = None
+        st_p, w_p = il2.encode_shared(cums, ps, cfg)
+    finally:
+        native.LIB = lib
+    assert st_n.dtype == np.uint64 and st_p.dtype == np.uint64
+    np.testing.assert_array_equal(st_n, st_p)
+    np.testing.assert_array_equal(w_n, w_p)
+
+    out_n = il2.decode_shared_cdf(st_n, w_n, n, cdf, cfg)
+    try:
+        native.LIB = None
+        out_p = il2.decode_shared_cdf(st_n, w_n, n, cdf, cfg)
+    finally:
+        native.LIB = lib
+    np.testing.assert_array_equal(out_n, out_p)
+    np.testing.assert_array_equal(out_n, syms)
