@@ -93,9 +93,15 @@ def pack_sharded(
     )
     lens = np.array([len(s) for s in streams], dtype=np.uint32)
     payloads = [_pack_words(s, cfg.word_bits) for s in streams]
-    return np.concatenate(
-        [header, lens, states.astype(np.uint32).reshape(-1)] + payloads
-    )
+    if cfg.state_bits > 32:
+        st = np.asarray(states, dtype=np.uint64).reshape(-1)
+        states_words = np.concatenate([
+            (st & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (st >> np.uint64(32)).astype(np.uint32),
+        ])
+    else:
+        states_words = states.astype(np.uint32).reshape(-1)
+    return np.concatenate([header, lens, states_words] + payloads)
 
 
 def unpack_sharded(
@@ -115,8 +121,14 @@ def unpack_sharded(
     cfg = LaneConfig(L, W, S, P)
     lens = data[_HDR : _HDR + B].astype(np.int64)
     off = _HDR + B
-    states = data[off : off + B * L].reshape(B, L)
-    off += B * L
+    if S > 32:
+        lo = data[off : off + B * L].astype(np.uint64)
+        hi = data[off + B * L : off + 2 * B * L].astype(np.uint64)
+        states = (lo | (hi << np.uint64(32))).reshape(B, L)
+        off += 2 * B * L
+    else:
+        states = data[off : off + B * L].reshape(B, L)
+        off += B * L
     per = 32 // W
     streams = []
     for b in range(B):
@@ -171,9 +183,13 @@ def encode(
 
         device = jax.default_backend() == "tpu" or mesh is not None
     if device and il2._pallas_eligible(cfg, len(cdf) - 1):
-        states, streams = _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh)
+        enc_dev = (_encode_blocks_device64 if cfg.state_bits > 32
+                   else _encode_blocks_device)
+        states, streams = enc_dev(padded, cdf, cfg, B, block_len, mesh)
     else:
-        states = np.empty((B, L), np.uint32)
+        from ..ops.interleaved import _state_dtype
+
+        states = np.empty((B, L), _state_dtype(cfg))
         streams = []
         for b in range(B):
             blk = padded[b * block_len : (b + 1) * block_len]
@@ -199,9 +215,9 @@ def decode(
 
         device = jax.default_backend() == "tpu" or mesh is not None
     if device and il2._pallas_eligible(cfg, len(cdf) - 1):
-        out = _decode_blocks_device(
-            states, streams, cdf, cfg, block_len, mesh
-        )
+        dec_dev = (_decode_blocks_device64 if cfg.state_bits > 32
+                   else _decode_blocks_device)
+        out = dec_dev(states, streams, cdf, cfg, block_len, mesh)
     else:
         out = np.concatenate(
             [
@@ -318,6 +334,125 @@ def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
     )
     out = fn(
         jnp.asarray(states.reshape(D, bpd, L)),
+        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
+    )
+    return np.asarray(out).reshape(-1)
+
+
+def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh):
+    """Default-preset (S=64) twin of :func:`_encode_blocks_device`: the
+    ILANS2-64 encoder per block, lane states gathered as (hi, lo) planes."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_coder64 as pc64
+    from .sharding import BLOCK_AXIS, make_mesh
+
+    D = _pick_device_count(B, mesh)
+    if mesh is None or len(mesh.devices.reshape(-1)) != D:
+        mesh = make_mesh(D)
+    interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    cap_rows = T * R + 1
+    fn_k = pc64._build_encoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
+        interpret,
+    )
+    pad = T * L - block_len
+    bpd = B // D
+
+    def per_device(syms_b):
+        outs = []
+        for i in range(bpd):
+            s = syms_b[0, i]
+            if pad:
+                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+            buf, hi, lo, end = fn_k(s.reshape(T, R, pc.LANES))
+            outs.append((hi.reshape(-1), lo.reshape(-1), buf.reshape(-1), end))
+        his = jnp.stack([o[0] for o in outs])
+        los = jnp.stack([o[1] for o in outs])
+        bufs = jnp.stack([o[2] for o in outs])
+        ends = jnp.stack([o[3] for o in outs])
+        return (
+            jax.lax.all_gather(his, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(los, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
+            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+        )
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
+    his, los, bufs, ends = (np.asarray(x) for x in fn(syms))
+    states = (his.astype(np.uint64) << np.uint64(32)) | los.astype(np.uint64)
+    streams = [
+        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
+    ]
+    return states, streams
+
+
+def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_coder64 as pc64
+    from .sharding import BLOCK_AXIS, make_mesh
+
+    B = len(streams)
+    D = _pick_device_count(B, mesh)
+    if mesh is None or len(mesh.devices.reshape(-1)) != D:
+        mesh = make_mesh(D)
+    interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pc64._build_decoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
+    rows = max(a.shape[0] for a in aligned)
+    streams_arr = np.zeros((B, rows, pc.LANES), np.uint32)
+    for b, a in enumerate(aligned):
+        streams_arr[b, : a.shape[0]] = a
+    st = np.asarray(states, dtype=np.uint64)
+    his = (st >> np.uint64(32)).astype(np.uint32)
+    los = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bpd = B // D
+
+    def per_device(hi_b, lo_b, stream_b):
+        outs = []
+        for i in range(bpd):
+            syms, _hi, _lo = fn_k(
+                hi_b[0, i].reshape(R, pc.LANES),
+                lo_b[0, i].reshape(R, pc.LANES),
+                stream_b[0, i],
+            )
+            outs.append(syms.reshape(-1)[:block_len])
+        return jnp.stack(outs)[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    out = fn(
+        jnp.asarray(his.reshape(D, bpd, L)),
+        jnp.asarray(los.reshape(D, bpd, L)),
         jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
     )
     return np.asarray(out).reshape(-1)

@@ -93,3 +93,44 @@ def test_container_blocks_not_matching_devices():
     cont3 = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=3, device=True)
     np.testing.assert_array_equal(parallel.decode(cont3, cdf, device=False),
                                   symbols)
+
+
+def test_sharded_container_default_preset_s64():
+    """A default-preset (W=32/S=64/P=24) sharded container round-trips on
+    the mesh device path and the host loop, mesh-shape independently, with
+    u64 lane states stored as lo/hi planes."""
+    import jax
+
+    from constriction_tpu import parallel
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(11)
+    K = 80
+    probs = rng.dirichlet(np.full(K, 2.0))
+    cdf = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    n = 5000
+    symbols = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=32, state_bits=64, precision=24)
+    D = len(jax.devices())
+    mesh = parallel.make_mesh(D)
+
+    cont_dev = parallel.encode(
+        symbols, cdf, cfg=cfg, num_blocks=D, mesh=mesh, device=True
+    )
+    cont_host = parallel.encode(
+        symbols, cdf, cfg=cfg, num_blocks=D, device=False
+    )
+    assert np.array_equal(cont_dev, cont_host)
+    out_dev = parallel.decode(cont_dev, cdf, mesh=mesh, device=True)
+    out_host = parallel.decode(cont_dev, cdf, device=False)
+    assert np.array_equal(out_dev, symbols)
+    assert np.array_equal(out_host, symbols)
+
+    # states round-trip as u64
+    states, streams, n2, bl, cfg2 = parallel.unpack_sharded(cont_dev)
+    assert states.dtype == np.uint64 and cfg2 == cfg and n2 == n
