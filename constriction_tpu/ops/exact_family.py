@@ -691,10 +691,12 @@ def decode_family_exact(
     wide = cfg.state_bits == 64
     assert (cfg.state_bits, cfg.word_bits) in ((32, 16), (64, 32))
     if wide:
+        # wide tables hold one boundary per u32 plane: any cmax works
         assert 16 < cfg.precision <= 24
     else:
+        # narrow tables pack two u16 boundaries per u32
         assert cfg.precision <= 16
-    assert cmax % 2 == 0
+        assert cmax % 2 == 0
     T = -(-num_symbols // L) if num_symbols else 0
     if T == 0:
         return jnp.zeros((0,), jnp.int32)

@@ -33,8 +33,12 @@ Container layout (u32 words):
     [2] word_bits | precision << 8 | state_bits << 16
     [3] num_symbols lo   [4] num_symbols hi   [5] num_lanes L
     [6] stream length (in W-bit words)
-    [7 .. 7+L)        initial decoder states (u32)
+    [7 .. 7+L)        initial decoder states (u32), for state_bits <= 32;
+                      for state_bits in (32, 64] (the DEFAULT preset) the
+                      states occupy [7 .. 7+2L) as two u32 planes, all L
+                      low words then all L high words
     [7+L .. ]         stream, W-bit words packed into u32 (little-endian)
+                      (payload starts at 7+2L for state_bits > 32)
 """
 
 from __future__ import annotations
@@ -476,7 +480,8 @@ def build_checkpoints(
     kernel) with ``(states[c], stream[offsets[c]:])`` to decode the suffix
     bit-exactly without touching the prefix.
 
-    Returns ``(offsets i64[C], states u32[C, L])`` with
+    Returns ``(offsets i64[C], states u32[C, L])`` — u64 states for
+    ``state_bits > 32`` — with
     ``C = ceil(T / interval) - 1`` (the t=0 snapshot is the container header
     itself).
     """
@@ -558,6 +563,15 @@ def decode_from_checkpoint(
         return start, np.zeros(0, dtype=np.int64)
     sub_stream = stream[int(offsets[ckpt_index]) :]
     if device and _pallas_eligible(cfg, len(cdf) - 1):
+        if cfg.state_bits == 64:
+            from . import pallas_coder64 as pc64
+
+            out = np.asarray(
+                pc64.decode_shared64_pallas(
+                    ckpt_states[ckpt_index], sub_stream, cdf, cfg, remaining
+                )
+            )
+            return start, out
         from . import pallas_coder as pc
 
         out = np.asarray(

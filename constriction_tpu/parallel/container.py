@@ -233,13 +233,14 @@ def decode(
 # ---------------------------------------------------------------------------
 
 
-def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+def _device_geometry(B, cfg, block_len, mesh):
+    """Shared prep for the device block codecs: pick the device count,
+    (re)make the mesh, and compute the static kernel geometry.  Returns
+    (mesh, D, interpret, L, R, T, tail, cap_rows)."""
     import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
     from ..ops import pallas_coder as pc
-    from .sharding import BLOCK_AXIS, make_mesh
+    from .sharding import make_mesh
 
     D = _pick_device_count(B, mesh)
     if mesh is None or len(mesh.devices.reshape(-1)) != D:
@@ -249,7 +250,33 @@ def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
     R = L // pc.LANES
     T = -(-block_len // L)
     tail = block_len - (T - 1) * L
-    cap_rows = T * R + 1
+    return mesh, D, interpret, L, R, T, tail, T * R + 1
+
+
+def _stack_streams(streams, R):
+    """Pad each block's word stream to the kernel's [rows, 128] window
+    layout and stack them to one [B, rows, 128] array."""
+    from ..ops import pallas_coder as pc
+
+    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
+    rows = max(a.shape[0] for a in aligned)
+    arr = np.zeros((len(streams), rows, pc.LANES), np.uint32)
+    for b, a in enumerate(aligned):
+        arr[b, : a.shape[0]] = a
+    return arr, rows
+
+
+def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from .sharding import BLOCK_AXIS, make_mesh
+
+    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
+        B, cfg, block_len, mesh
+    )
     fn_k = pc._build_encoder(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
         interpret,
@@ -300,22 +327,13 @@ def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
     from .sharding import BLOCK_AXIS, make_mesh
 
     B = len(streams)
-    D = _pick_device_count(B, mesh)
-    if mesh is None or len(mesh.devices.reshape(-1)) != D:
-        mesh = make_mesh(D)
-    interpret = jax.default_backend() != "tpu"
-    L = cfg.num_lanes
-    R = L // pc.LANES
-    T = -(-block_len // L)
-    tail = block_len - (T - 1) * L
+    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
+        B, cfg, block_len, mesh
+    )
     fn_k = pc._build_decoder(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
     )
-    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
-    rows = max(a.shape[0] for a in aligned)
-    streams_arr = np.zeros((B, rows, pc.LANES), np.uint32)
-    for b, a in enumerate(aligned):
-        streams_arr[b, : a.shape[0]] = a
+    streams_arr, rows = _stack_streams(streams, R)
     bpd = B // D
 
     def per_device(st_b, stream_b):
@@ -350,15 +368,9 @@ def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh):
     from ..ops import pallas_coder64 as pc64
     from .sharding import BLOCK_AXIS, make_mesh
 
-    D = _pick_device_count(B, mesh)
-    if mesh is None or len(mesh.devices.reshape(-1)) != D:
-        mesh = make_mesh(D)
-    interpret = jax.default_backend() != "tpu"
-    L = cfg.num_lanes
-    R = L // pc.LANES
-    T = -(-block_len // L)
-    tail = block_len - (T - 1) * L
-    cap_rows = T * R + 1
+    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
+        B, cfg, block_len, mesh
+    )
     fn_k = pc64._build_encoder64(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
         interpret,
@@ -411,22 +423,13 @@ def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
     from .sharding import BLOCK_AXIS, make_mesh
 
     B = len(streams)
-    D = _pick_device_count(B, mesh)
-    if mesh is None or len(mesh.devices.reshape(-1)) != D:
-        mesh = make_mesh(D)
-    interpret = jax.default_backend() != "tpu"
-    L = cfg.num_lanes
-    R = L // pc.LANES
-    T = -(-block_len // L)
-    tail = block_len - (T - 1) * L
+    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
+        B, cfg, block_len, mesh
+    )
     fn_k = pc64._build_decoder64(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
     )
-    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
-    rows = max(a.shape[0] for a in aligned)
-    streams_arr = np.zeros((B, rows, pc.LANES), np.uint32)
-    for b, a in enumerate(aligned):
-        streams_arr[b, : a.shape[0]] = a
+    streams_arr, rows = _stack_streams(streams, R)
     st = np.asarray(states, dtype=np.uint64)
     his = (st >> np.uint64(32)).astype(np.uint32)
     los = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)

@@ -289,3 +289,24 @@ def test_native_host_paths_match_numpy_s64():
         native.LIB = lib
     np.testing.assert_array_equal(out_n, out_p)
     np.testing.assert_array_equal(out_n, syms)
+
+
+def test_decode_from_checkpoint64_device_path():
+    """decode_from_checkpoint routes S=64 configs to the ILANS2-64 kernel
+    (regression: the widened Pallas eligibility used to send them into the
+    S=32 kernel's assert)."""
+    K, P, n = 60, 24, 256 * 12
+    cdf, probs = _model(K, P, seed=17)
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=P)
+    rng = np.random.RandomState(4)
+    syms = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cdf64 = cdf.astype(np.uint64)
+    st, stream = il2.encode_shared(cdf64[syms], cdf64[syms + 1] - cdf64[syms], cfg)
+    interval = 4
+    offsets, ckpts = il2.build_checkpoints(st, stream, n, cdf, cfg, interval)
+    c = len(offsets) - 1
+    start, suffix = il2.decode_from_checkpoint(
+        c, offsets, ckpts, stream, n, cdf, cfg, interval, device=True
+    )
+    assert start == (c + 1) * interval * cfg.num_lanes
+    assert np.array_equal(np.asarray(suffix), syms[start:])
