@@ -47,6 +47,33 @@ for K, P in ((60, 12), (700, 14)):
         out = il2.decode_shared_range_cdf(pts, sw, len(syms), cdf, cfg)
         assert np.array_equal(out, syms)
 
+# DEFAULT-preset (S=64) native paths: u64-pair state/point output, the
+# CDF-binary-search decode, and the wide (P=24) exact boundary tables
+from constriction_tpu.models.categorical import (
+    ContiguousCategoricalEntropyModel as _CC,
+)
+probs24 = rng.dirichlet(np.full(90, 1.0))
+cdf24 = _CC.from_floating_point_probabilities_fast(probs24, 24).cdf
+syms24 = rng.choice(90, size=3000, p=probs24).astype(np.int64)
+cdf24_64 = cdf24.astype(np.uint64)
+cfg64 = LaneConfig(128, 32, 64, 24)
+st64, w64 = il2.encode_shared(
+    cdf24_64[syms24], cdf24_64[syms24 + 1] - cdf24_64[syms24], cfg64
+)
+assert st64.dtype == np.uint64
+out64 = il2.decode_shared_cdf(st64, w64, len(syms24), cdf24, cfg64)
+assert np.array_equal(out64, syms24)
+rp64, rw64 = il2.encode_shared_range(
+    cdf24_64[syms24], cdf24_64[syms24 + 1] - cdf24_64[syms24], cfg64
+)
+out64r = il2.decode_shared_range_cdf(rp64, rw64, len(syms24), cdf24, cfg64)
+assert np.array_equal(out64r, syms24)
+from constriction_tpu.ops import exact_family as _ef
+_aux, _core = _ef.exact_boundary_tables(
+    rng.uniform(-80, 80, 500), rng.uniform(0.1, 6.0, 500),
+    "gaussian", -100, 100, 24, 202,
+)
+
 # scalar coders + quantized families (ctpu_quantized_ecp, ans/range/chain)
 fam = constriction.stream.model.QuantizedGaussian(-100, 100)
 means = rng.uniform(-80, 80, 200)
