@@ -142,6 +142,16 @@ def main() -> None:
     assert np.array_equal(out_r64, symbols)
     print("DEFAULT preset range decode (ILANS2-R64): OK")
 
+    # TChain-24 bits-back (DEFAULT precision)
+    data24 = rng.randint(0, 1 << 24, size=2 * L).astype(np.uint32)
+    cfg24 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    syms24t, rem24, heads24 = tchain.tchain24_decode_pallas(data24, cdf24, cfg24)
+    q24, h24 = tchain.tchain24_encode_pallas(
+        syms24t, rem24, heads24, cdf24, cfg24
+    )
+    assert np.array_equal(q24, data24) and np.all(h24 == 256)
+    print("TChain-24 DEFAULT-precision bits-back: OK")
+
     print("ALL KERNELS COMPILED AND ROUND-TRIPPED ON TPU")
 
 

@@ -34,7 +34,8 @@ Per-symbol algebra (mirroring chain.rs:1044-1209 at the new preset):
 
 Seeding: heads start at 1 (`from_binary` semantics, chain.rs:326); a full
 decode -> encode round trip returns every head to 1 and reproduces the data
-exactly.
+exactly.  (TChain-24 below seeds heads at 2^(S-W-P) = 2^8 instead -- the
+invariant lower bound is nonzero there.)
 """
 
 from __future__ import annotations
@@ -823,3 +824,392 @@ def tchain12_family_encode_pallas(symbols, remainders, heads, means, scales,
         unpack_q12(np.asarray(qw)).reshape(-1).astype(np.uint16),
         np.asarray(h).reshape(-1),
     )
+
+
+# ---------------------------------------------------------------------------
+# TChain-24: bits-back at the reference's DEFAULT precision.
+# S=64 / W=32 / P=24 (the preset constriction's Python ChainCoder pins,
+# chain.rs:286 with the default 24-bit quantile pulls): remainder heads are
+# u64 (two u32 tiles in-kernel, riding ops/pallas_coder64.py's limb
+# multiplier and digit division), quantiles are packed 24-bit fields (4 per
+# 3 u32 words, row-planar), and every invariant mirrors chain.rs at the new
+# sizes: head < 2^(S-P) = 2^40 before the decode multiply (so one 32-bit
+# flush restores it), refill when head < prob << (S-W-P) = prob << 8 (so
+# one refill suffices and encode quotients stay < 2^40).
+# ---------------------------------------------------------------------------
+
+TCHAIN24_CFG = LaneConfig(num_lanes=32768, word_bits=32, state_bits=64, precision=24)
+
+_M24 = 0xFFFFFF
+
+
+def pack_q24(q: np.ndarray, L: int) -> np.ndarray:
+    """[T*L] u32 (24-bit) quantiles -> [T, 3R/4, 128] u32 planar words."""
+    R = L // 128
+    assert R % 4 == 0, "num_lanes must be a multiple of 512 for 24-bit packing"
+    T = len(q) // L
+    g = q.astype(np.uint32).reshape(T, R // 4, 4, 128)
+    w = np.empty((T, R // 4, 3, 128), dtype=np.uint32)
+    w[:, :, 0] = g[:, :, 0] | (g[:, :, 1] << 24)
+    w[:, :, 1] = (g[:, :, 1] >> 8) | (g[:, :, 2] << 16)
+    w[:, :, 2] = (g[:, :, 2] >> 16) | (g[:, :, 3] << 8)
+    return w.reshape(T, 3 * (R // 4), 128)
+
+
+def unpack_q24(w: np.ndarray, xp=np):
+    """[T, 3R/4, 128] -> [T, R, 128] u32 quantile values (24-bit)."""
+    T, rows, _ = w.shape
+    g = w.reshape(T, rows // 3, 3, 128)
+    w0, w1, w2 = g[:, :, 0], g[:, :, 1], g[:, :, 2]
+    m = np.uint32(_M24)
+    q = xp.stack(
+        [
+            w0 & m,
+            (w0 >> 24) | ((w1 & np.uint32(0xFFFF)) << 8),
+            (w1 >> 16) | ((w2 & np.uint32(0xFF)) << 16),
+            w2 >> 8,
+        ],
+        axis=2,
+    )  # [T, R/4, 4, 128]
+    return q.reshape(T, -1, 128)
+
+
+def _unpack_q24_block(xp, wblk):
+    """[3R/4, 128] word block -> [R, 128] quantiles (kernel-side)."""
+    rows = int(wblk.shape[0])
+    g = wblk.reshape(rows // 3, 3, 128)
+    w0, w1, w2 = g[:, 0], g[:, 1], g[:, 2]
+    m = np.uint32(_M24)
+    q = xp.stack(
+        [
+            w0 & m,
+            (w0 >> 24) | ((w1 & np.uint32(0xFFFF)) << 8),
+            (w1 >> 16) | ((w2 & np.uint32(0xFF)) << 16),
+            w2 >> 8,
+        ],
+        axis=1,
+    )
+    return q.reshape(-1, 128)
+
+
+def _pack_q24_block(xp, q):
+    """[R, 128] quantiles -> [3R/4, 128] words (kernel-side)."""
+    R = int(q.shape[0])
+    g = q.reshape(R // 4, 4, 128)
+    q0, q1, q2, q3_ = [g[:, i] for i in range(4)]
+    w0 = q0 | (q1 << 24)
+    w1 = (q1 >> 8) | (q2 << 16)
+    w2 = (q2 >> 16) | (q3_ << 8)
+    return xp.stack([w0, w1, w2], axis=1).reshape(-1, 128)
+
+
+def tchain24_decode_host(
+    quantiles: np.ndarray,  # [n] u32 (24-bit values, lane order), n % L == 0
+    cdf: np.ndarray,  # [K+1] fixed-point CDF at P=24
+    cfg: LaneConfig = TCHAIN24_CFG,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Numpy oracle decode: (symbols i32[n], remainders u32[*],
+    heads u64[L])."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert (S, W, P) == (64, 32, 24)
+    n = len(quantiles)
+    assert n % L == 0
+    T = n // L
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+
+    # heads live in [2^(S-W-P), 2^(S-P)) = [2^8, 2^40): the lower bound is
+    # what makes the encode-refill test (head < prob << 8) the exact inverse
+    # of the decode-flush test (head >= 2^40) -- the same duality as the
+    # rANS state invariant.  (TChain-16 seeds 1 because there S-W-P = 0.)
+    heads = np.full(L, 1 << (S - W - P), dtype=np.uint64)
+    out = np.empty(n, dtype=np.int32)
+    chunks = []
+    lanes = np.arange(L)
+    inv = np.uint64(1) << np.uint64(S - P)       # flush bound 2^40
+    for t in range(T):
+        q = quantiles[t * L : (t + 1) * L].astype(np.uint64)
+        sym = np.searchsorted(cdf64, q, side="right") - 1
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        heads = heads * prob + (q - cum)
+        m = heads >= inv
+        chunks.append((heads[m] & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        heads = np.where(m, heads >> np.uint64(W), heads)
+        out[t * L + lanes] = sym
+    stream = (
+        np.concatenate(chunks[::-1]) if chunks else np.zeros(0, np.uint32)
+    )
+    return out, stream, heads
+
+
+def tchain24_encode_host(
+    symbols: np.ndarray,
+    remainders: np.ndarray,
+    heads: np.ndarray,  # u64[L] final heads from decode
+    cdf: np.ndarray,
+    cfg: LaneConfig = TCHAIN24_CFG,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy oracle reverse pass: (quantiles u32[n], heads u64[L])."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    n = len(symbols)
+    T = n // L
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+
+    h = np.asarray(heads, dtype=np.uint64).copy()
+    q_out = np.empty(n, dtype=np.uint32)
+    base = 0
+    lanes = np.arange(L)
+    for tt in range(T - 1, -1, -1):
+        sym = np.asarray(symbols[tt * L : (tt + 1) * L], dtype=np.int64)
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        m = h < (prob << np.uint64(S - W - P))
+        k = int(m.sum())
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = remainders[base : base + k]
+            words[: len(avail)] = avail
+            h[m] = (h[m] << np.uint64(W)) | words
+            base += k
+        r = h % prob
+        h = h // prob
+        q_out[tt * L + lanes] = (cum + r).astype(np.uint32)
+    return q_out, h
+
+
+def _tchain24_decode_kernel(pltpu, pl, *, cdf, T: int, R: int,
+                            cap_rows: int):
+    from .pallas_coder import _compare_sum_auto
+    from .pallas_coder64 import _mul40x25
+
+    c = np.asarray(cdf).astype(np.int64)
+
+    def kernel(qw_in, syms_out, stream_out, hh_out, hl_out, end_out,
+               hh_s, hl_s, img, arow_s, sem):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _init():
+            # seed = 2^(S-W-P) = 2^8, the invariant lower bound (see the
+            # host oracle's note on the flush/refill duality)
+            hh_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            hl_s[:] = jnp.full((R, LANES), np.uint32(256), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        hh, hl = hh_s[:], hl_s[:]
+        q = _unpack_q24_block(jnp, qw_in[0])
+        sym, cum, prob = _compare_sum_auto(q, c, 24)
+        nhi, nlo = _mul40x25(hh, hl, prob.astype(jnp.uint32))
+        qc = q - cum.astype(jnp.uint32)
+        nlo = nlo + qc
+        nhi = nhi + jnp.where(nlo < qc, np.uint32(1), np.uint32(0))
+        # flush when head >= 2^40 (restores head < 2^32 <= 2^40)
+        m = (nhi >> 8) != 0
+        vals = jnp.where(m, nlo, np.uint32(0))
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=m, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+        hh_s[:] = jnp.where(m, np.uint32(0), nhi)
+        hl_s[:] = jnp.where(m, nhi, nlo)
+        syms_out[0] = sym
+
+        @pl.when(t == T - 1)
+        def _final():
+            hh_out[:] = hh_s[:]
+            hl_out[:] = hl_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+def _tchain24_encode_kernel(pltpu, pl, *, cdf, T: int, R: int):
+    from .pallas_coder import _cum_prob_from_sym
+    from .pallas_coder64 import _div64
+
+    c = np.asarray(cdf).astype(np.int64)
+
+    def kernel(syms_in, hh_in, hl_in, stream_hbm, qw_out, hh_out, hl_out,
+               hh_s, hl_s, win, base_s, sem):
+        t = pl.program_id(0)  # symbol step is T-1-t (reversed BlockSpec)
+
+        @pl.when(t == 0)
+        def _init():
+            hh_s[:] = hh_in[:]
+            hl_s[:] = hl_in[:]
+            base_s[0] = 0
+            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+
+        hh, hl = hh_s[:], hl_s[:]
+        sym = syms_in[0]
+        cum, prob = _cum_prob_from_sym(sym, c, 24)
+        probu = prob.astype(jnp.uint32)
+
+        # refill when head < prob << 8.  Computed as (head >> 8) < prob
+        # (exactly equivalent for integers), because prob << 8 wraps u32
+        # when prob = 2^24; head < 2^40 by invariant so head >> 8 fits u32.
+        m = ((hh << 24) | (hl >> 8)) < probu
+        ex, nxt = _refill_words(
+            pltpu, pl, stream_hbm=stream_hbm, win=win, sem=sem,
+            base=base_s[0], m=m, t=t, T=T, R=R,
+        )
+        hh = jnp.where(m, hl, hh)
+        hl = jnp.where(m, ex, hl)
+        q_hi, q_lo, r = _div64(hh, hl, probu)
+        q = cum.astype(jnp.uint32) + r.astype(jnp.uint32)
+        hh_s[:] = q_hi
+        hl_s[:] = q_lo
+        base_s[0] = nxt
+        qw_out[0] = _pack_q24_block(jnp, q)
+
+        @pl.when(t == T - 1)
+        def _final():
+            hh_out[:] = hh_s[:]
+            hl_out[:] = hl_s[:]
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tchain24_decoder(cdf_tuple, T: int, L: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    cap_rows = T * R + 1
+    kernel = _tchain24_decode_kernel(
+        pltpu, pl, cdf=cdf_tuple, T=T, R=R, cap_rows=cap_rows
+    )
+    RPAD = -(-(R + 1) // 8) * 8
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 3 * R // 4, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_tchain24_encoder(cdf_tuple, T: int, L: int, interpret: bool):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    kernel = _tchain24_encode_kernel(pltpu, pl, cdf=cdf_tuple, T=T, R=R)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3 * R // 4, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 3 * R // 4, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def tchain24_decode_pallas(quantiles, cdf, cfg: LaneConfig = TCHAIN24_CFG,
+                           interpret: bool | None = None):
+    """Default-preset bits-back decode on TPU: (symbols i32[n], remainders
+    u32[*], heads u64[L]); matches tchain24_decode_host exactly."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    q = np.asarray(quantiles, dtype=np.uint32)
+    n = len(q)
+    assert n % L == 0 and L % 512 == 0
+    T = n // L
+    R = L // LANES
+    cap_rows = T * R + 1
+    qw = jnp.asarray(pack_q24(q, L))
+    fn = _build_tchain24_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), T, L, interpret
+    )
+    syms, buf, hh, hl, end = fn(qw)
+    e = int(end[0])
+    stream = np.asarray(buf).reshape(-1)[e : cap_rows * LANES]
+    heads = (
+        np.asarray(hh, np.uint64).reshape(-1) << np.uint64(32)
+    ) | np.asarray(hl, np.uint64).reshape(-1)
+    return np.asarray(syms).reshape(-1), stream, heads
+
+
+def tchain24_encode_pallas(symbols, remainders, heads, cdf,
+                           cfg: LaneConfig = TCHAIN24_CFG,
+                           interpret: bool | None = None):
+    """Default-preset bits-back reverse pass on TPU: (quantiles u32[n],
+    heads u64[L]); matches tchain24_encode_host exactly."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    symbols = np.asarray(symbols, dtype=np.int32)
+    n = len(symbols)
+    assert n % L == 0
+    T = n // L
+    R = L // LANES
+    syms3d = jnp.asarray(symbols).reshape(T, R, LANES)
+    h = np.asarray(heads, dtype=np.uint64)
+    hh2d = jnp.asarray((h >> np.uint64(32)).astype(np.uint32)).reshape(R, LANES)
+    hl2d = jnp.asarray((h & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(
+        R, LANES
+    )
+    stream2d = _pad_stream2d(np.asarray(remainders, dtype=np.uint32), R)
+    fn = _build_tchain24_encoder(
+        tuple(int(x) for x in np.asarray(cdf)), T, L, interpret
+    )
+    qw, hh, hl = fn(syms3d, hh2d, hl2d, stream2d)
+    heads_out = (
+        np.asarray(hh, np.uint64).reshape(-1) << np.uint64(32)
+    ) | np.asarray(hl, np.uint64).reshape(-1)
+    return unpack_q24(np.asarray(qw)).reshape(-1), heads_out

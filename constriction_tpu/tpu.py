@@ -227,6 +227,23 @@ def bits_back_encode(symbols, remainders, heads, cdf):
     return _tc.tchain_encode_pallas(symbols, remainders, heads, cdf)
 
 
+def bits_back_decode24(quantiles, cdf):
+    """TChain-24 bits-back decode at the reference's DEFAULT precision
+    (S=64/W=32/P=24): returns (symbols, remainders, heads u64); reverse
+    with :func:`bits_back_encode24`.  ``len(quantiles)`` must be a multiple
+    of the lane count (32768); quantiles are 24-bit values in u32."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain24_decode_pallas(quantiles, cdf)
+
+
+def bits_back_encode24(symbols, remainders, heads, cdf):
+    """Reverse pass of :func:`bits_back_decode24` (exact reconstruction)."""
+    from .ops import tchain as _tc
+
+    return _tc.tchain24_encode_pallas(symbols, remainders, heads, cdf)
+
+
 def bits_back_decode_family(quantiles, means, scales, family, min_sym, max_sym):
     """Neural bits-back: per-symbol (mean, scale) models, 12-bit quantiles
     (``len(quantiles)`` must be a multiple of 32768)."""

@@ -103,3 +103,48 @@ def test_pack_q12_roundtrip():
     np.testing.assert_array_equal(
         tchain.unpack_q12(w).reshape(-1).astype(np.uint16), q
     )
+
+
+# ---------------------------------------------------------------------------
+# TChain-24: bits-back at the reference's DEFAULT precision (S=64/W=32/P=24)
+# ---------------------------------------------------------------------------
+
+CFG24 = LaneConfig(num_lanes=512, word_bits=32, state_bits=64, precision=24)
+
+
+def _cdf24(K, seed):
+    rng = np.random.RandomState(seed)
+    p = rng.dirichlet(np.full(K, 1.5))
+    return ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        p, 24
+    ).cdf
+
+
+@pytest.mark.parametrize("K,T", [(40, 4), (1000, 3), (1, 2), (2, 5)])
+def test_tchain24_roundtrip_and_oracle(K, T):
+    """Default-preset bits-back: host round trip, kernel == oracle, heads
+    return to the invariant seed 2^(S-W-P) = 2^8."""
+    cdf = (np.array([0, 1 << 24], np.uint32) if K == 1 else _cdf24(K, K + T))
+    rng = np.random.RandomState(T)
+    n = T * CFG24.num_lanes
+    q0 = rng.randint(0, 1 << 24, size=n).astype(np.uint32)
+
+    syms, rem, heads = tchain.tchain24_decode_host(q0, cdf, CFG24)
+    q1, h1 = tchain.tchain24_encode_host(syms, rem, heads, cdf, CFG24)
+    np.testing.assert_array_equal(q1, q0)
+    assert np.all(h1 == 256)
+
+    syms_k, rem_k, heads_k = tchain.tchain24_decode_pallas(q0, cdf, CFG24)
+    np.testing.assert_array_equal(syms_k, syms)
+    np.testing.assert_array_equal(rem_k, rem)
+    np.testing.assert_array_equal(heads_k, heads)
+    q2, h2 = tchain.tchain24_encode_pallas(syms_k, rem_k, heads_k, cdf, CFG24)
+    np.testing.assert_array_equal(q2, q0)
+    assert np.all(h2 == 256)
+
+
+def test_pack_q24_roundtrip():
+    rng = np.random.RandomState(9)
+    q = rng.randint(0, 1 << 24, size=512 * 8).astype(np.uint32)
+    w = tchain.pack_q24(q, 512)
+    np.testing.assert_array_equal(tchain.unpack_q24(w).reshape(-1), q)

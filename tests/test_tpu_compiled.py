@@ -283,3 +283,28 @@ def test_default_preset_range64(tpu, workload):
     pts, w = il2.encode_iid_categorical_range(symbols, cdf24, cfg)
     out = pc64.decode_shared_range64_pallas(pts, w, cdf24, cfg, n)
     np.testing.assert_array_equal(np.asarray(out), symbols)
+
+
+def test_tchain24_bits_back(tpu, workload):
+    """TChain-24 (DEFAULT-precision bits-back) compiled through Mosaic."""
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+    from constriction_tpu.ops import tchain
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng, L, n, _cfg, _cdf, _symbols = workload
+    cfg24 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    probs = rng.dirichlet(np.full(60, 2.0))
+    cdf24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    data = rng.randint(0, 1 << 24, size=2 * L).astype(np.uint32)
+    syms, rem, heads = tchain.tchain24_decode_pallas(data, cdf24, cfg24)
+    rs, rr, rh = tchain.tchain24_decode_host(data, cdf24, cfg24)
+    np.testing.assert_array_equal(np.asarray(syms), rs)
+    np.testing.assert_array_equal(np.asarray(rem), rr)
+    np.testing.assert_array_equal(heads, rh)
+    q2, h2 = tchain.tchain24_encode_pallas(syms, rem, heads, cdf24, cfg24)
+    np.testing.assert_array_equal(q2, data)
+    assert np.all(h2 == 256)
