@@ -953,6 +953,7 @@ def tchain24_encode_host(
     """Numpy oracle reverse pass: (quantiles u32[n], heads u64[L])."""
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert (S, W, P) == (64, 32, 24)
     n = len(symbols)
     T = n // L
     cdf64 = np.asarray(cdf, dtype=np.uint64)
@@ -1165,11 +1166,17 @@ def tchain24_decode_pallas(quantiles, cdf, cfg: LaneConfig = TCHAIN24_CFG,
     u32[*], heads u64[L]); matches tchain24_decode_host exactly."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert (cfg.state_bits, cfg.word_bits, cfg.precision) == (64, 32, 24)
     L = cfg.num_lanes
     q = np.asarray(quantiles, dtype=np.uint32)
     n = len(q)
     assert n % L == 0 and L % 512 == 0
+    if not (q < (1 << 24)).all():
+        raise ValueError("quantiles must be 24-bit values")
     T = n // L
+    if T == 0:
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint32),
+                np.full(L, 256, np.uint64))
     R = L // LANES
     cap_rows = T * R + 1
     qw = jnp.asarray(pack_q24(q, L))
@@ -1192,11 +1199,14 @@ def tchain24_encode_pallas(symbols, remainders, heads, cdf,
     heads u64[L]); matches tchain24_encode_host exactly."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    assert (cfg.state_bits, cfg.word_bits, cfg.precision) == (64, 32, 24)
     L = cfg.num_lanes
     symbols = np.asarray(symbols, dtype=np.int32)
     n = len(symbols)
-    assert n % L == 0
+    assert n % L == 0 and L % 512 == 0
     T = n // L
+    if T == 0:
+        return np.zeros(0, np.uint32), np.asarray(heads, np.uint64).copy()
     R = L // LANES
     syms3d = jnp.asarray(symbols).reshape(T, R, LANES)
     h = np.asarray(heads, dtype=np.uint64)

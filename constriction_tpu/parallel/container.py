@@ -25,7 +25,11 @@ Container layout (u32 words):
     [3] num_symbols lo  [4] num_symbols hi
     [5] num_lanes L     [6] num_blocks B    [7] block_len (symbols)
     [8 .. 8+B)          per-block stream length (in W-bit words)
-    [8+B .. 8+B+B*L)    per-block initial lane states (u32)
+    [8+B .. 8+B+B*L)    per-block initial lane states (u32), for
+                        state_bits <= 32; for state_bits in (32, 64] (the
+                        DEFAULT preset) the states occupy [8+B .. 8+B+2BL)
+                        as two u32 planes, all B*L low words then all B*L
+                        high words
     [...]               per-block payloads, each u32-aligned
                         (W-bit words packed little-endian as in ILANS2)
 """
@@ -272,7 +276,7 @@ def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
     from jax.sharding import PartitionSpec as P
 
     from ..ops import pallas_coder as pc
-    from .sharding import BLOCK_AXIS, make_mesh
+    from .sharding import BLOCK_AXIS
 
     mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
         B, cfg, block_len, mesh
@@ -324,7 +328,7 @@ def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
     from jax.sharding import PartitionSpec as P
 
     from ..ops import pallas_coder as pc
-    from .sharding import BLOCK_AXIS, make_mesh
+    from .sharding import BLOCK_AXIS
 
     B = len(streams)
     mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
@@ -366,7 +370,7 @@ def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh):
 
     from ..ops import pallas_coder as pc
     from ..ops import pallas_coder64 as pc64
-    from .sharding import BLOCK_AXIS, make_mesh
+    from .sharding import BLOCK_AXIS
 
     mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
         B, cfg, block_len, mesh
@@ -420,7 +424,7 @@ def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
 
     from ..ops import pallas_coder as pc
     from ..ops import pallas_coder64 as pc64
-    from .sharding import BLOCK_AXIS, make_mesh
+    from .sharding import BLOCK_AXIS
 
     B = len(streams)
     mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
