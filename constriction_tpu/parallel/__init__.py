@@ -18,6 +18,7 @@ from .sharding import (
     shard_decode2,
     shard_decode2_pallas,
     shard_decode64_pallas,
+    shard_decode_range64_pallas,
     shard_decode_lookup,
     shard_encode,
     shard_encode2,
@@ -36,6 +37,7 @@ __all__ = [
     "shard_decode2",
     "shard_decode2_pallas",
     "shard_decode64_pallas",
+    "shard_decode_range64_pallas",
     "shard_decode_lookup",
     "shard_encode",
     "shard_encode2",

@@ -269,6 +269,49 @@ def shard_decode64_pallas(
     return fn(states_hi, states_lo, streams2d)
 
 
+def shard_decode_range64_pallas(
+    mesh: Mesh,
+    points_hi: jax.Array,  # [D, L] u32 (point high words)
+    points_lo: jax.Array,  # [D, L] u32
+    streams2d: jax.Array,  # [D, rows, 128] u32
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    block_len: int,
+    interpret: Optional[bool] = None,
+):
+    """Default-preset (ILANS2-R64) twin of :func:`shard_decode_range_pallas`:
+    D equal-length range-coded blocks decoded in parallel.  Returns
+    ``([D, block_len] i32, [D] i32 invalid-data flags)``."""
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_coder64 as pc64
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    R = L // pc.LANES
+    T = -(-block_len // L)
+    tail = block_len - (T - 1) * L
+    fn_k = pc64._build_range_decoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+
+    def per_block(hi_b, lo_b, stream_b):
+        syms, _phi, _plo, bad = fn_k(
+            hi_b[0].reshape(R, pc.LANES), lo_b[0].reshape(R, pc.LANES),
+            stream_b[0],
+        )
+        return syms.reshape(-1)[None, :block_len], bad[None, :1]
+
+    fn = jax.shard_map(
+        per_block,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    return fn(points_hi, points_lo, streams2d)
+
+
 def shard_encode2_pallas(
     mesh: Mesh,
     symbols: jax.Array,  # [D, block_len] i32
