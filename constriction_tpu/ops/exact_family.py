@@ -548,8 +548,8 @@ def _build_exact_decoder(min_sym, max_sym, cfg, T, tail, L, cmax, interpret):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tables [T, CP1, R, 128]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+            pl.BlockSpec(memory_space=pl.ANY),  # tables [T, CP1, R, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # stream
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -592,7 +592,7 @@ def _build_exact_encoder(cfg, T, tail, L, cap_rows, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -896,8 +896,8 @@ def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
         in_specs=[
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tables [T, CP1, R, 128]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+            pl.BlockSpec(memory_space=pl.ANY),  # tables [T, CP1, R, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # stream
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
@@ -1005,7 +1005,7 @@ def _build_exact_encoder64(cfg, T, tail, L, cap_rows, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),

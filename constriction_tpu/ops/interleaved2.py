@@ -73,6 +73,10 @@ def encode_shared(
     being W-bit words in decode-consumption order.
     """
     n = len(cums)
+    if len(probs) != n:
+        raise ValueError(
+            f"cums and probs must have equal length, got {n} vs {len(probs)}"
+        )
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     T = -(-n // L) if n else 0
@@ -144,6 +148,14 @@ def decode_shared_cdf(
     """
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    if len(init_states) != L:
+        raise ValueError(
+            f"init_states must have num_lanes={L} entries, got {len(init_states)}"
+        )
+    if int(np.asarray(cdf)[-1]) != 1 << P:
+        raise ValueError(
+            f"cdf[-1] must equal 2**precision = {1 << P}, got {int(np.asarray(cdf)[-1])}"
+        )
     T = -(-num_symbols // L) if num_symbols else 0
     lower = np.uint64(1 << (S - W))
 
@@ -221,6 +233,10 @@ def encode_shared_range(
     if native.LIB is None:
         raise RuntimeError("native codec required for range shared-stream encode")
     n = len(cums)
+    if len(probs) != n:
+        raise ValueError(
+            f"cums and probs must have equal length, got {n} vs {len(probs)}"
+        )
     L = cfg.num_lanes
     T = -(-n // L) if n else 0
     wide = cfg.state_bits > 32
@@ -252,6 +268,10 @@ def decode_shared_range_cdf(
     lanes per step; mirrors the JAX kernel exactly)."""
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    if len(points) != L:
+        raise ValueError(
+            f"points must have num_lanes={L} entries, got {len(points)}"
+        )
     T = -(-num_symbols // L) if num_symbols else 0
     mask = np.uint64((1 << S) - 1)
     lower_bound = np.uint64(1 << (S - W))

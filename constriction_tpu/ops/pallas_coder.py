@@ -1101,7 +1101,7 @@ def _build_encoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stream buffer in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # stream buffer in HBM
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -1257,7 +1257,7 @@ def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -1342,7 +1342,7 @@ def _build_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
         grid=(T,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stream stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # stream stays in HBM
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),

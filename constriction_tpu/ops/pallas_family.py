@@ -448,8 +448,8 @@ def _build_family_decoder(family, min_sym, max_sym, cfg, T, tail, L, interpret):
         grid=(T,),
         in_specs=[
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # params [T, 2, R, 128]
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stream
+            pl.BlockSpec(memory_space=pl.ANY),  # params [T, 2, R, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # stream
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -496,7 +496,7 @@ def _build_family_encoder(family, min_sym, max_sym, cfg, T, tail, L, cap_rows,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],

@@ -268,7 +268,7 @@ def _build_tchain_decoder(cdf_tuple, T: int, L: int, interpret: bool):
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -304,7 +304,7 @@ def _build_tchain_encoder(cdf_tuple, T: int, L: int, interpret: bool):
             pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, R // 2, LANES), lambda t: (T - 1 - t, 0, 0),
@@ -697,11 +697,11 @@ def _build_tchain12_family_decoder(family, min_sym, max_sym, T, L, interpret):
         in_specs=[
             pl.BlockSpec((1, 3 * R // 8, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # params [T, 2, R, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # params [T, 2, R, 128]
         ],
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -739,9 +739,9 @@ def _build_tchain12_family_encoder(family, min_sym, max_sym, T, L, interpret):
         in_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # params
+            pl.BlockSpec(memory_space=pl.ANY),  # params
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # remainders stream
+            pl.BlockSpec(memory_space=pl.ANY),  # remainders stream
         ],
         out_specs=[
             pl.BlockSpec((1, 3 * R // 8, LANES), lambda t: (T - 1 - t, 0, 0),
@@ -1096,7 +1096,7 @@ def _build_tchain24_decoder(cdf_tuple, T: int, L: int, interpret: bool):
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1135,7 +1135,7 @@ def _build_tchain24_encoder(cdf_tuple, T: int, L: int, interpret: bool):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((1, 3 * R // 4, LANES), lambda t: (T - 1 - t, 0, 0),

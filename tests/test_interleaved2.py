@@ -216,3 +216,32 @@ def test_checkpoint_numpy_twin_matches_native():
         native.LIB = lib
     np.testing.assert_array_equal(offs_n, offs_p)
     np.testing.assert_array_equal(cst_n, cst_p)
+
+
+def test_mismatched_args_raise_not_crash():
+    """Misuse of the ops-level entry points (e.g. passing (symbols, cdf)
+    instead of per-symbol (cums, probs)) must raise ValueError up front
+    instead of handing bogus lengths to the native codec (which would read
+    out of bounds)."""
+    rng = np.random.RandomState(0)
+    probs = rng.dirichlet(np.full(100, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, precision=12
+    )
+    cdf = model.cdf
+    cfg = LaneConfig(num_lanes=512, word_bits=16, state_bits=32, precision=12)
+    syms = rng.randint(0, 100, 512 * 4).astype(np.int32)
+    with pytest.raises(ValueError, match="equal length"):
+        il2.encode_shared(syms, cdf, cfg)
+    cdf64 = cdf.astype(np.uint64)
+    st, stream = il2.encode_shared(
+        cdf64[syms].astype(np.uint32),
+        (cdf64[syms + 1] - cdf64[syms]).astype(np.uint32),
+        cfg,
+    )
+    with pytest.raises(ValueError, match="num_lanes"):
+        il2.decode_shared_cdf(stream, st, len(syms), cdf, cfg)
+    with pytest.raises(ValueError, match="cdf"):
+        il2.decode_shared_cdf(st, stream, len(syms), cdf[:-1], cfg)
+    with pytest.raises(ValueError, match="num_lanes"):
+        il2.decode_shared_range_cdf(stream, st, len(syms), cdf, cfg)
