@@ -132,15 +132,25 @@ def main() -> None:
     assert np.array_equal(out64, symbols)
     print("DEFAULT preset (W=32/S=64/P=24) encode+decode: OK")
 
-    # DEFAULT-preset range decode (ILANS2-R64)
+    # DEFAULT-preset range encode + decode (ILANS2-R64)
     cfgr64 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
-    rp64, rw64 = il2.encode_iid_categorical_range(symbols, cdf24, cfgr64)
+    rp64, rw64 = il2.encode_iid_categorical_range(symbols, cdf24, cfgr64,
+                                                  device=True)
     assert rp64.dtype.name == "uint64"
+    from constriction_tpu import native as _native
+
+    if _native.LIB is not None:
+        ref_rp64, ref_rw64 = il2.encode_shared_range(
+            cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols],
+            cfgr64,
+        )
+        assert np.array_equal(rp64, ref_rp64)
+        assert np.array_equal(rw64, ref_rw64)
     out_r64 = np.asarray(
         pc64.decode_shared_range64_pallas(rp64, rw64, cdf24, cfgr64, n)
     )
     assert np.array_equal(out_r64, symbols)
-    print("DEFAULT preset range decode (ILANS2-R64): OK")
+    print("DEFAULT preset range encode+decode (ILANS2-R64): OK")
 
     # TChain-24 bits-back (DEFAULT precision)
     data24 = rng.randint(0, 1 << 24, size=2 * L).astype(np.uint32)

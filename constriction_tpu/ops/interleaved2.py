@@ -316,11 +316,11 @@ def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig, device: bool = F
     """``device=True`` runs the Pallas two-phase range encoder (bit-exact
     with the host C++ path)."""
     symbols = np.asarray(symbols, dtype=np.int64)
-    # the on-device range ENCODER covers the S=32 sizes; S=64 encodes on
-    # the host (the C++ core is width-generic) and decodes on device
-    if device and cfg.state_bits == 32 and _pallas_eligible(cfg, len(cdf) - 1):
+    if device and _pallas_eligible(cfg, len(cdf) - 1):
         from . import pallas_range_enc as pre
 
+        if cfg.state_bits == 64:
+            return pre.encode_iid_range64_pallas(symbols, cdf, cfg)
         return pre.encode_iid_range_pallas(symbols, cdf, cfg)
     cdf64 = np.asarray(cdf, dtype=np.uint64)
     cums = cdf64[symbols]

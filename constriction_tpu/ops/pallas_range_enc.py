@@ -271,3 +271,275 @@ def encode_iid_range_pallas(
     stream = np.asarray(stream_buf).reshape(-1)[e : cap_rows * LANES]
     points = np.asarray(hdr).reshape(-1)
     return points, stream
+
+
+# ---------------------------------------------------------------------------
+# ILANS2-R64: the DEFAULT preset (W=32 / S=64 / P <= 24) encoder on device.
+# Same two-phase big-number formulation as above at doubled widths: lane
+# (lower, range) are u32 pairs (pallas_coder64's pair/limb algebra), the
+# provisional renorm word is the full high u32 of the updated lower, and the
+# carry record is the pair-add wrap.  Phase B is word-width-generic: the
+# pending-+1 ripple works on u32 digits with wrap detection instead of a
+# >> 16 overflow field, and the two-word point header comes out as separate
+# (hi, lo) planes (the container stores S/W = 2 words per lane either way).
+# Bit-exact with the width-generic host C++ encoder
+# (codec.cpp ctpu_ilans2_range_encode; per-lane algebra queue.rs:637-702).
+# ---------------------------------------------------------------------------
+
+
+def _range_record_kernel64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
+                           tail: int, R: int):
+    from .pallas_coder64 import _mul40x25
+
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert (S, W) == (64, 32) and P <= 24
+    L = R * LANES
+
+    def kernel(syms_in, rec_out, flg_out, lhi_out, llo_out, rhi_out, rlo_out,
+               lhi_s, llo_s, rhi_s, rlo_s):
+        t = pl.program_id(0)
+        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
+
+        @pl.when(t == 0)
+        def _init():
+            lhi_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            llo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            rhi_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            rlo_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+
+        lhi, llo = lhi_s[:], llo_s[:]
+        rhi, rlo = rhi_s[:], rlo_s[:]
+        sym = syms_in[0]
+        cum, prob = _cum_prob_from_sym(sym, cdf, P)
+
+        # scale = range >> P (< 2^(64-P) <= 2^40); products via 16-bit limbs
+        s_lo = (rhi << (32 - P)) | (rlo >> P)
+        s_hi = rhi >> P
+        nr_hi, nr_lo = _mul40x25(s_hi, s_lo, prob.astype(jnp.uint32))
+        a_hi, a_lo = _mul40x25(s_hi, s_lo, cum.astype(jnp.uint32))
+        # lower += scale*cum with carry-out (the big-number +1 event)
+        nl_lo = llo + a_lo
+        c1 = jnp.where(nl_lo < a_lo, np.uint32(1), np.uint32(0))
+        hi_sum = lhi + a_hi
+        c2a = hi_sum < lhi
+        nl_hi = hi_sum + c1
+        c2b = jnp.logical_and(nl_hi < hi_sum, c1 != 0)
+        carry = jnp.where(jnp.logical_or(c2a, c2b), np.uint32(1), np.uint32(0))
+
+        if tail < L:
+            active = jnp.logical_or(t < T - 1, lane_flat < tail)
+            nl_hi = jnp.where(active, nl_hi, lhi)
+            nl_lo = jnp.where(active, nl_lo, llo)
+            nr_hi = jnp.where(active, nr_hi, rhi)
+            nr_lo = jnp.where(active, nr_lo, rlo)
+            carry = jnp.where(active, carry, np.uint32(0))
+
+        # renorm: range < 2^(S-W) = 2^32 <=> hi limb == 0
+        m = nr_hi == 0
+        rec_out[0] = jnp.where(m, nl_hi, np.uint32(0))
+        flg_out[0] = jnp.where(m, np.uint32(1), np.uint32(0)) | (carry << 1)
+
+        lhi_s[:] = jnp.where(m, nl_lo, nl_hi)
+        llo_s[:] = jnp.where(m, np.uint32(0), nl_lo)
+        rhi_s[:] = jnp.where(m, nr_lo, nr_hi)
+        rlo_s[:] = jnp.where(m, np.uint32(0), nr_lo)
+
+        @pl.when(t == T - 1)
+        def _final():
+            lhi_out[:] = lhi_s[:]
+            llo_out[:] = llo_s[:]
+            rhi_out[:] = rhi_s[:]
+            rlo_out[:] = rlo_s[:]
+
+    return kernel
+
+
+def _range_resolve_kernel64(pltpu, pl, *, T: int, R: int, cap_rows: int):
+    def kernel(rec_in, flg_in, d1_init, p_init, stream_out, hdr_hi_out,
+               hdr_lo_out, end_out, p_s, d1_s, d2_s, img, arow_s, sem):
+        t = pl.program_id(0)  # processes encode step T-1-t (reversed blocks)
+
+        @pl.when(t == 0)
+        def _init():
+            p_s[:] = p_init[:]
+            d1_s[:] = d1_init[:]
+            d2_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            arow_s[0] = cap_rows * LANES
+            arow_s[1] = cap_rows
+
+        w = rec_in[0]
+        flg = flg_in[0]
+        m = (flg & 1) != 0
+        c = flg >> 1
+
+        p, d1, d2 = p_s[:], d1_s[:], d2_s[:]
+        vfull = w + p
+        ovf = jnp.where(vfull < w, np.uint32(1), np.uint32(0))  # u32 wrap
+        placed = d2  # the word resolved two emissions later fills this slot
+        e_new = _emit_words(
+            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
+            renorm=m, vals=jnp.where(m, placed, np.uint32(0)),
+            t=t, T=T, R=R, cap_rows=cap_rows,
+        )
+        p_s[:] = jnp.where(m, ovf, p) + c
+        d2_s[:] = jnp.where(m, d1, d2)
+        d1_s[:] = jnp.where(m, vfull, d1)
+
+        @pl.when(t == T - 1)
+        def _final():
+            # point header = first two resolved words of each lane
+            hdr_hi_out[:] = d1_s[:]
+            hdr_lo_out[:] = d2_s[:]
+            end_out[0] = e_new
+            end_out[1] = 0
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=16)
+def _build_range_recorder64(cdf_tuple, cfg: LaneConfig, T, tail, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    cdf = np.asarray(cdf_tuple, dtype=np.int64)
+    R = L // LANES
+    kernel = _range_record_kernel64(
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+    )
+    plane = pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plane, plane, plane, plane,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=16)
+def _build_range_resolver64(T, L, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    cap_rows = T * R + 1
+    kernel = _range_resolve_kernel64(pltpu, pl, T=T, R=R, cap_rows=cap_rows)
+    RPAD = -(-(R + 1) // 8) * 8
+    plane = pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM)
+    fn = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            plane, plane,
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            plane, plane,
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap_rows + R + 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((2,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
+            pltpu.VMEM((2, RPAD, LANES), jnp.uint32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+def encode_iid_range64_pallas(
+    symbols,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interpret: bool | None = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Encode i.i.d. categorical symbols into ILANS2-R64 (DEFAULT preset
+    range coding, W=32/S=64/P<=24) on TPU.
+
+    Returns ``(points u64[L], stream u32[num_words])``, bit-exact with the
+    host C++ encoder (native.ctpu_ilans2_range_encode at the wide sizes).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    assert L % LANES == 0 and (S, W) == (64, 32) and P <= 24
+    symbols = np.asarray(symbols, dtype=np.int64)
+    n = len(symbols)
+    T = -(-n // L) if n else 0
+    if T == 0:
+        return np.zeros(L, np.uint64), np.zeros(0, np.uint32)
+    tail = n - (T - 1) * L
+    R = L // LANES
+    cap_rows = T * R + 1
+
+    syms3d = jnp.concatenate(
+        [jnp.asarray(symbols, jnp.int32), jnp.zeros(T * L - n, jnp.int32)]
+    ).reshape(T, R, LANES)
+    rec_fn = _build_range_recorder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(syms3d)
+
+    # --- seal per lane (closed-form, host vector math) ----------------------
+    low_f = np.asarray(llo_f).reshape(-1).astype(np.uint64) | (
+        np.asarray(lhi_f).reshape(-1).astype(np.uint64) << np.uint64(32)
+    )
+    rng_f = np.asarray(rlo_f).reshape(-1).astype(np.uint64) | (
+        np.asarray(rhi_f).reshape(-1).astype(np.uint64) << np.uint64(32)
+    )
+    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+    touched = rng_f != mask64  # lanes that encoded at least one symbol
+    point = low_f + np.uint64((1 << (S - W)) - 1)  # u64 wrapping add
+    seal_carry = np.where(touched & (point < low_f), 1, 0).astype(np.uint32)
+    s0 = np.where(touched, point >> np.uint64(S - W), 0).astype(np.uint32)
+
+    res_fn = _build_range_resolver64(T, L, interpret)
+    stream_buf, hdr_hi, hdr_lo, end = res_fn(
+        records, flags,
+        jnp.asarray(s0, jnp.uint32).reshape(R, LANES),
+        jnp.asarray(seal_carry, jnp.uint32).reshape(R, LANES),
+    )
+    e = int(end[0])
+    stream = np.asarray(stream_buf).reshape(-1)[e : cap_rows * LANES]
+    points = np.asarray(hdr_lo).reshape(-1).astype(np.uint64) | (
+        np.asarray(hdr_hi).reshape(-1).astype(np.uint64) << np.uint64(32)
+    )
+    return points, stream

@@ -187,7 +187,8 @@ def decode_chain_rows(data, rows):
 
 def encode_iid_range(symbols, cdf, cfg: LaneConfig | None = None):
     """Range-coder twin of :func:`encode_iid`: returns ``(points, stream)``
-    (ILANS2-R), encoded on-device; decode with :func:`decode_iid_range`."""
+    (ILANS2-R), encoded on-device; decode with :func:`decode_iid_range`.
+    Default-preset configs (S=64) route to the ILANS2-R64 Pallas encoder."""
     symbols = np.asarray(symbols)
     cfg = _pick_cfg(len(symbols), cfg)
     _check_cdf(cdf, cfg)

@@ -205,6 +205,56 @@ def test_range64_decode_matches_oracle(K, P, n):
     assert np.array_equal(np.asarray(out), syms)
 
 
+@pytest.mark.parametrize("K,P,n", [
+    (16, 24, 2000),
+    (100, 24, 5000),
+    (100, 16, 3000),
+    (100, 24, 256 * 5),
+    (100, 24, 1),
+])
+def test_range64_encode_bit_exact_with_host(K, P, n):
+    """ILANS2-R64 device-side range ENCODER (two-phase big-number carry
+    resolution at W=32/S=64) equals the host path bit for bit and round
+    trips through the oracle decoder (per-lane algebra queue.rs:637-702)."""
+    from constriction_tpu.ops import pallas_range_enc as pre
+
+    cdf, probs = _model(K, P, seed=11 * K + P)
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=P)
+    rng = np.random.RandomState(n + 9)
+    syms = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cdf64 = cdf.astype(np.uint64)
+    ref_pts, ref_w = il2.encode_shared_range(
+        cdf64[syms], cdf64[syms + 1] - cdf64[syms], cfg
+    )
+    pts, w = pre.encode_iid_range64_pallas(syms, cdf, cfg)
+    assert pts.dtype == np.uint64
+    np.testing.assert_array_equal(pts, ref_pts)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out = il2.decode_shared_range_cdf(pts, w, n, cdf, cfg)
+    assert np.array_equal(out, syms)
+
+
+def test_range64_encode_skewed_carry_runs():
+    """A 99.9%-mass symbol produces long deferred-carry (Inverted) runs;
+    the device encoder's pending-+1 ripple must resolve them identically
+    to the host scan (queue.rs:647-666)."""
+    from constriction_tpu.ops import pallas_range_enc as pre
+
+    P, K, n = 24, 4, 3000
+    q = np.array([(1 << P) - 3, 1, 1, 1], dtype=np.int64)
+    cdf = np.concatenate([[0], np.cumsum(q)])
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=P)
+    rng = np.random.RandomState(13)
+    syms = np.where(rng.random(n) < 0.999, 0, rng.randint(1, K, n)).astype(np.int64)
+    cdf64 = cdf.astype(np.uint64)
+    ref_pts, ref_w = il2.encode_shared_range(
+        cdf64[syms], cdf64[syms + 1] - cdf64[syms], cfg
+    )
+    pts, w = pre.encode_iid_range64_pallas(syms, cdf, cfg)
+    np.testing.assert_array_equal(pts, ref_pts)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+
+
 def test_range64_invalid_data_detection():
     """A quantile >= 2^P raises the reference's InvalidData error
     (queue.rs:991-993)."""

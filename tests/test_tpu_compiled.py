@@ -283,6 +283,12 @@ def test_default_preset_range64(tpu, workload):
     pts, w = il2.encode_iid_categorical_range(symbols, cdf24, cfg)
     out = pc64.decode_shared_range64_pallas(pts, w, cdf24, cfg, n)
     np.testing.assert_array_equal(np.asarray(out), symbols)
+    # device-side ENCODER (two-phase big-number carry resolution) bit-exact
+    from constriction_tpu.ops import pallas_range_enc as pre
+
+    pts_d, w_d = pre.encode_iid_range64_pallas(symbols, cdf24, cfg)
+    np.testing.assert_array_equal(pts_d, pts)
+    np.testing.assert_array_equal(np.asarray(w_d), w)
 
 
 def test_tchain24_bits_back(tpu, workload):
