@@ -21,11 +21,15 @@ holds the complete container.
 Container layout (u32 words):
 
     [0] magic 0x494C4E53 ("ILNS")   [1] version=1
-    [2] word_bits | precision << 8 | state_bits << 16
+    [2] word_bits | precision << 8 | state_bits << 16 | coder << 24
+        (coder: 0 = rANS stack semantics, 1 = range queue semantics;
+         the byte was previously implicit zero, so all existing
+         containers read back as rANS)
     [3] num_symbols lo  [4] num_symbols hi
     [5] num_lanes L     [6] num_blocks B    [7] block_len (symbols)
     [8 .. 8+B)          per-block stream length (in W-bit words)
-    [8+B .. 8+B+B*L)    per-block initial lane states (u32), for
+    [8+B .. 8+B+B*L)    per-block initial lane states (u32) -- rANS lane
+                        states or range-decoder point headers -- for
                         state_bits <= 32; for state_bits in (32, 64] (the
                         DEFAULT preset) the states occupy [8+B .. 8+B+2BL)
                         as two u32 planes, all B*L low words then all B*L
@@ -46,6 +50,10 @@ from ..ops.interleaved import LaneConfig
 MAGIC_S = 0x494C4E53
 
 _HDR = 8
+
+CODER_RANS = 0
+CODER_RANGE = 1
+_CODER_IDS = {"rans": CODER_RANS, "range": CODER_RANGE}
 
 
 def _pack_words(stream: np.ndarray, word_bits: int) -> np.ndarray:
@@ -79,6 +87,7 @@ def pack_sharded(
     num_symbols: int,
     block_len: int,
     cfg: LaneConfig,
+    coder: int = CODER_RANS,
 ) -> np.ndarray:
     B = len(streams)
     L = cfg.num_lanes
@@ -86,7 +95,8 @@ def pack_sharded(
         [
             MAGIC_S,
             1,
-            cfg.word_bits | (cfg.precision << 8) | (cfg.state_bits << 16),
+            cfg.word_bits | (cfg.precision << 8) | (cfg.state_bits << 16)
+            | (coder << 24),
             num_symbols & 0xFFFFFFFF,
             (num_symbols >> 32) & 0xFFFFFFFF,
             L,
@@ -110,9 +120,11 @@ def pack_sharded(
 
 def unpack_sharded(
     data: np.ndarray,
-) -> Tuple[np.ndarray, list, int, int, LaneConfig]:
+) -> Tuple[np.ndarray, list, int, int, LaneConfig, int]:
     """-> (states [B, L], streams (list of B word arrays), num_symbols,
-    block_len, cfg)"""
+    block_len, cfg, coder) -- ``coder`` is CODER_RANS or CODER_RANGE;
+    for range containers ``states`` holds the per-block decoder point
+    headers."""
     data = np.asarray(data, dtype=np.uint32)
     if int(data[0]) != MAGIC_S or int(data[1]) != 1:
         raise ValueError("not a sharded ILANS2 container")
@@ -120,6 +132,7 @@ def unpack_sharded(
     W = flags & 0xFF
     P = (flags >> 8) & 0xFF
     S = (flags >> 16) & 0xFF
+    coder = (flags >> 24) & 0xFF
     num_symbols = int(data[3]) | (int(data[4]) << 32)
     L, B, block_len = int(data[5]), int(data[6]), int(data[7])
     cfg = LaneConfig(L, W, S, P)
@@ -140,7 +153,7 @@ def unpack_sharded(
         n_u32 = -(-nwords // per)
         streams.append(_unpack_words(data[off : off + n_u32], W, nwords))
         off += n_u32
-    return states, streams, num_symbols, block_len, cfg
+    return states, streams, num_symbols, block_len, cfg, coder
 
 
 def _pick_device_count(B: int, mesh=None) -> int:
@@ -160,6 +173,7 @@ def encode(
     num_blocks: int = 8,
     mesh=None,
     device: Optional[bool] = None,
+    coder: str = "rans",
 ) -> np.ndarray:
     """Encode ``symbols`` into a sharded container in ONE call.
 
@@ -167,7 +181,13 @@ def encode(
     encoder data-parallel over the mesh with an in-order all_gather of the
     per-block results; ``device=False`` runs the bit-identical host loop.
     The container bytes do not depend on the mesh shape.
+
+    ``coder`` selects the per-block stream coder: ``"rans"`` (stack
+    semantics; default) or ``"range"`` (queue semantics -- each block is an
+    ILANS2-R unit whose stored states are the decoder point headers,
+    queue.rs:847-868).  :func:`decode` reads the choice from the header.
     """
+    coder_id = _CODER_IDS[coder]
     symbols = np.asarray(symbols, dtype=np.int64)
     n = len(symbols)
     if cfg is None:
@@ -187,22 +207,26 @@ def encode(
 
         device = jax.default_backend() == "tpu" or mesh is not None
     if device and il2._pallas_eligible(cfg, len(cdf) - 1):
-        enc_dev = (_encode_blocks_device64 if cfg.state_bits > 32
-                   else _encode_blocks_device)
+        if coder_id == CODER_RANGE:
+            enc_dev = (_encode_blocks_device_range64 if cfg.state_bits > 32
+                       else _encode_blocks_device_range)
+        else:
+            enc_dev = (_encode_blocks_device64 if cfg.state_bits > 32
+                       else _encode_blocks_device)
         states, streams = enc_dev(padded, cdf, cfg, B, block_len, mesh)
     else:
         from ..ops.interleaved import _state_dtype
 
         states = np.empty((B, L), _state_dtype(cfg))
         streams = []
+        enc_host = (il2.encode_shared_range if coder_id == CODER_RANGE
+                    else il2.encode_shared)
         for b in range(B):
             blk = padded[b * block_len : (b + 1) * block_len]
-            st, sw = il2.encode_shared(
-                cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg
-            )
+            st, sw = enc_host(cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg)
             states[b] = st
             streams.append(sw)
-    return pack_sharded(states, streams, n, block_len, cfg)
+    return pack_sharded(states, streams, n, block_len, cfg, coder_id)
 
 
 def decode(
@@ -211,17 +235,31 @@ def decode(
     mesh=None,
     device: Optional[bool] = None,
 ) -> np.ndarray:
-    """Decode a sharded container in ONE call; mesh-shape independent."""
-    states, streams, n, block_len, cfg = unpack_sharded(container)
+    """Decode a sharded container in ONE call; mesh-shape independent.
+    The stream coder (rANS / range) is read from the container header."""
+    states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
     B = len(streams)
     if device is None:
         import jax
 
         device = jax.default_backend() == "tpu" or mesh is not None
     if device and il2._pallas_eligible(cfg, len(cdf) - 1):
-        dec_dev = (_decode_blocks_device64 if cfg.state_bits > 32
-                   else _decode_blocks_device)
+        if coder_id == CODER_RANGE:
+            dec_dev = (_decode_blocks_device_range64 if cfg.state_bits > 32
+                       else _decode_blocks_device_range)
+        else:
+            dec_dev = (_decode_blocks_device64 if cfg.state_bits > 32
+                       else _decode_blocks_device)
         out = dec_dev(states, streams, cdf, cfg, block_len, mesh)
+    elif coder_id == CODER_RANGE:
+        out = np.concatenate(
+            [
+                il2.decode_shared_range_cdf(
+                    states[b], streams[b], block_len, cdf, cfg
+                )
+                for b in range(B)
+            ]
+        )
     else:
         out = np.concatenate(
             [
@@ -462,4 +500,246 @@ def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
         jnp.asarray(los.reshape(D, bpd, L)),
         jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
     )
+    return np.asarray(out).reshape(-1)
+
+
+def _encode_blocks_device_range(padded, cdf, cfg, B, block_len, mesh):
+    """Range-coder (ILANS2-R) twin of :func:`_encode_blocks_device`: the
+    two-phase Pallas range encoder per block, with the closed-form per-lane
+    seal (queue.rs:458-523) computed in jnp between the phases so the whole
+    mesh step stays one SPMD program."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_range_enc as pre
+    from .sharding import BLOCK_AXIS
+
+    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
+        B, cfg, block_len, mesh
+    )
+    S, W = cfg.state_bits, cfg.word_bits
+    rec_fn = pre._build_range_recorder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    res_fn = pre._build_range_resolver(T, L, interpret)
+    pad = T * L - block_len
+    bpd = B // D
+
+    def encode_one(s):
+        records, low_f, rng_f = rec_fn(s.reshape(T, R, pc.LANES))
+        touched = rng_f != jnp.uint32(0xFFFFFFFF)
+        point = low_f + jnp.uint32((1 << (S - W)) - 1)  # u32 wrapping add
+        seal_carry = jnp.where(
+            jnp.logical_and(touched, point < low_f),
+            jnp.uint32(1), jnp.uint32(0),
+        )
+        s0 = jnp.where(touched, point >> (S - W), jnp.uint32(0))
+        buf, hdr, end = res_fn(records, s0, seal_carry)
+        return hdr.reshape(-1), buf.reshape(-1), end
+
+    def per_device(syms_b):
+        outs = []
+        for i in range(bpd):
+            s = syms_b[0, i]
+            if pad:
+                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+            outs.append(encode_one(s))
+        pts = jnp.stack([o[0] for o in outs])
+        bufs = jnp.stack([o[1] for o in outs])
+        ends = jnp.stack([o[2] for o in outs])
+        return (
+            jax.lax.all_gather(pts, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
+            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+        )
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
+    pts, bufs, ends = (np.asarray(x) for x in fn(syms))
+    streams = [
+        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
+    ]
+    return pts, streams
+
+
+def _encode_blocks_device_range64(padded, cdf, cfg, B, block_len, mesh):
+    """Default-preset (ILANS2-R64) twin: u32-pair lane registers, point
+    headers gathered as (hi, lo) planes and repacked to u64."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_range_enc as pre
+    from .sharding import BLOCK_AXIS
+
+    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
+        B, cfg, block_len, mesh
+    )
+    rec_fn = pre._build_range_recorder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    res_fn = pre._build_range_resolver64(T, L, interpret)
+    pad = T * L - block_len
+    bpd = B // D
+
+    def encode_one(s):
+        records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(
+            s.reshape(T, R, pc.LANES)
+        )
+        touched = jnp.logical_or(
+            rlo_f != jnp.uint32(0xFFFFFFFF), rhi_f != jnp.uint32(0xFFFFFFFF)
+        )
+        # point = lower + (2^32 - 1): low-limb wrap carries into the high
+        # limb; a high-limb wrap is the seal's big-number +1 event
+        plus = llo_f + jnp.uint32(0xFFFFFFFF)
+        p_hi = lhi_f + jnp.where(plus < llo_f, jnp.uint32(1), jnp.uint32(0))
+        s0 = jnp.where(touched, p_hi, jnp.uint32(0))
+        seal_carry = jnp.where(
+            jnp.logical_and(touched, p_hi < lhi_f),
+            jnp.uint32(1), jnp.uint32(0),
+        )
+        buf, hdr_hi, hdr_lo, end = res_fn(records, flags, s0, seal_carry)
+        return hdr_hi.reshape(-1), hdr_lo.reshape(-1), buf.reshape(-1), end
+
+    def per_device(syms_b):
+        outs = []
+        for i in range(bpd):
+            s = syms_b[0, i]
+            if pad:
+                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
+            outs.append(encode_one(s))
+        his = jnp.stack([o[0] for o in outs])
+        los = jnp.stack([o[1] for o in outs])
+        bufs = jnp.stack([o[2] for o in outs])
+        ends = jnp.stack([o[3] for o in outs])
+        return (
+            jax.lax.all_gather(his, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(los, BLOCK_AXIS).reshape(B, L),
+            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
+            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+        )
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS),),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
+    his, los, bufs, ends = (np.asarray(x) for x in fn(syms))
+    points = (his.astype(np.uint64) << np.uint64(32)) | los.astype(np.uint64)
+    streams = [
+        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
+    ]
+    return points, streams
+
+
+def _decode_blocks_device_range(states, streams, cdf, cfg, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from .sharding import BLOCK_AXIS
+
+    B = len(streams)
+    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
+        B, cfg, block_len, mesh
+    )
+    fn_k = pc._build_range_decoder(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    streams_arr, rows = _stack_streams(streams, R)
+    bpd = B // D
+
+    def per_device(pt_b, stream_b):
+        outs, bads = [], []
+        for i in range(bpd):
+            syms, _pts, bad = fn_k(
+                pt_b[0, i].reshape(R, pc.LANES), stream_b[0, i]
+            )
+            outs.append(syms.reshape(-1)[:block_len])
+            bads.append(bad[:1])
+        return jnp.stack(outs)[None], jnp.stack(bads)[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    out, bad = fn(
+        jnp.asarray(states.reshape(D, bpd, L)),
+        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
+    )
+    if int(np.asarray(bad).max()):
+        raise ValueError(
+            "compressed data inconsistent with the entropy model "
+            "(quantile >= 2^precision)"
+        )
+    return np.asarray(out).reshape(-1)
+
+
+def _decode_blocks_device_range64(states, streams, cdf, cfg, block_len, mesh):
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from ..ops import pallas_coder64 as pc64
+    from .sharding import BLOCK_AXIS
+
+    B = len(streams)
+    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
+        B, cfg, block_len, mesh
+    )
+    fn_k = pc64._build_range_decoder64(
+        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+    )
+    streams_arr, rows = _stack_streams(streams, R)
+    st = np.asarray(states, dtype=np.uint64)
+    his = (st >> np.uint64(32)).astype(np.uint32)
+    los = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bpd = B // D
+
+    def per_device(hi_b, lo_b, stream_b):
+        outs, bads = [], []
+        for i in range(bpd):
+            syms, _phi, _plo, bad = fn_k(
+                hi_b[0, i].reshape(R, pc.LANES),
+                lo_b[0, i].reshape(R, pc.LANES),
+                stream_b[0, i],
+            )
+            outs.append(syms.reshape(-1)[:block_len])
+            bads.append(bad[:1])
+        return jnp.stack(outs)[None], jnp.stack(bads)[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
+        check_vma=False,
+    )
+    out, bad = fn(
+        jnp.asarray(his.reshape(D, bpd, L)),
+        jnp.asarray(los.reshape(D, bpd, L)),
+        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
+    )
+    if int(np.asarray(bad).max()):
+        raise ValueError(
+            "compressed data inconsistent with the entropy model "
+            "(quantile >= 2^precision)"
+        )
     return np.asarray(out).reshape(-1)

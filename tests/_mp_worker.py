@@ -60,7 +60,7 @@ def main() -> None:
 
     # deterministic host encode -> container bytes agree across processes
     cont = parallel.encode(symbols, cdf, cfg=cfg, num_blocks=B, device=False)
-    states, streams, n_true, block_len, cfg2 = parallel.unpack_sharded(cont)
+    states, streams, n_true, block_len, cfg2, _coder = parallel.unpack_sharded(cont)
     assert n_true == n
 
     L = cfg.num_lanes

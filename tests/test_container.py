@@ -64,7 +64,7 @@ def test_container_ragged_tail():
     records the true length."""
     symbols, cdf = _workload(8 * 513 - 311)
     cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=8, device=False)
-    states, streams, n, block_len, cfg = parallel.unpack_sharded(cont)
+    states, streams, n, block_len, cfg, _coder = parallel.unpack_sharded(cont)
     assert n == len(symbols) and len(streams) == 8
     out = parallel.decode(cont, cdf, device=True)
     np.testing.assert_array_equal(out, symbols)
@@ -132,5 +132,103 @@ def test_sharded_container_default_preset_s64():
     assert np.array_equal(out_host, symbols)
 
     # states round-trip as u64
-    states, streams, n2, bl, cfg2 = parallel.unpack_sharded(cont_dev)
+    states, streams, n2, bl, cfg2, _coder = parallel.unpack_sharded(cont_dev)
     assert states.dtype == np.uint64 and cfg2 == cfg and n2 == n
+
+
+def _needs_native():
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+
+
+def test_container_range_roundtrip():
+    """coder="range": each block is an ILANS2-R unit (stored states are the
+    decoder point headers, queue.rs:847-868).  Device and host encodes give
+    identical bytes; any D | B mesh decodes them."""
+    import jax
+
+    _needs_native()
+    symbols, cdf = _workload(6000, seed=21)
+    cont_host = parallel.encode(
+        symbols, cdf, cfg=CFG, num_blocks=8, device=False, coder="range"
+    )
+    mesh8 = parallel.make_mesh(min(8, len(jax.devices())))
+    cont_dev = parallel.encode(
+        symbols, cdf, cfg=CFG, num_blocks=8, mesh=mesh8, device=True,
+        coder="range",
+    )
+    np.testing.assert_array_equal(cont_host, cont_dev)
+    # header records queue semantics
+    *_, coder = parallel.unpack_sharded(cont_dev)
+    assert coder == parallel.CODER_RANGE
+
+    for d in (1, 2, 8):
+        if d > len(jax.devices()):
+            continue
+        mesh = parallel.make_mesh(d)
+        out = parallel.decode(cont_host, cdf, mesh=mesh, device=True)
+        np.testing.assert_array_equal(out, symbols)
+    out = parallel.decode(cont_dev, cdf, device=False)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_range_ragged_tail_device_encode():
+    """Range container with a mostly-padding tail block, device encode
+    without a host-encoder reference (no native requirement)."""
+    symbols, cdf = _workload(8 * 513 - 311, seed=23)
+    cont = parallel.encode(
+        symbols, cdf, cfg=CFG, num_blocks=8, device=True, coder="range"
+    )
+    out = parallel.decode(cont, cdf, device=True)
+    np.testing.assert_array_equal(out, symbols)
+
+
+def test_container_range_default_preset_s64():
+    """coder="range" at the DEFAULT preset (W=32/S=64/P=24): u64 point
+    headers as lo/hi planes; device == host bytes; both decodes agree."""
+    import jax
+
+    _needs_native()
+    rng = np.random.RandomState(31)
+    K = 80
+    probs = rng.dirichlet(np.full(K, 2.0))
+    cdf = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    ).cdf
+    n = 5000
+    symbols = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=32, state_bits=64, precision=24)
+    D = len(jax.devices())
+    mesh = parallel.make_mesh(D)
+
+    cont_dev = parallel.encode(
+        symbols, cdf, cfg=cfg, num_blocks=D, mesh=mesh, device=True,
+        coder="range",
+    )
+    cont_host = parallel.encode(
+        symbols, cdf, cfg=cfg, num_blocks=D, device=False, coder="range"
+    )
+    assert np.array_equal(cont_dev, cont_host)
+    out_dev = parallel.decode(cont_dev, cdf, mesh=mesh, device=True)
+    out_host = parallel.decode(cont_dev, cdf, device=False)
+    assert np.array_equal(out_dev, symbols)
+    assert np.array_equal(out_host, symbols)
+    states, *_ = parallel.unpack_sharded(cont_dev)
+    assert states.dtype == np.uint64
+
+
+def test_container_range_invalid_data():
+    """Corrupt point headers trip the queue decoder's InvalidData check
+    (queue.rs:991-993) through the container device path."""
+    symbols, cdf = _workload(2000, seed=25)
+    cont = parallel.encode(
+        symbols, cdf, cfg=CFG, num_blocks=4, device=True, coder="range"
+    )
+    states, streams, n, bl, cfg, coder = parallel.unpack_sharded(cont)
+    bad = parallel.pack_sharded(
+        np.full_like(states, 0xFFFFFFFF), streams, n, bl, cfg, coder
+    )
+    with pytest.raises(ValueError, match="inconsistent with the entropy"):
+        parallel.decode(bad, cdf, device=True)
