@@ -162,6 +162,18 @@ def _load() -> Optional[ctypes.CDLL]:
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
         u32p, c.c_int32, c.c_int32, c.c_int32, c.c_int32, i32p,
     ]
+    lib.ctpu_ilans2_decode_cdf64_l1.restype = None
+    lib.ctpu_ilans2_decode_cdf64_l1.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        u32p, c.c_int32, u32p, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32, i32p,
+    ]
+    lib.ctpu_ilans2_range_decode_cdf_l1.restype = c.c_int64
+    lib.ctpu_ilans2_range_decode_cdf_l1.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
+        u32p, c.c_int32, u32p, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32, i32p,
+    ]
     lib.ctpu_ilans2_decode_lookup.restype = None
     lib.ctpu_ilans2_decode_lookup.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,

@@ -847,6 +847,62 @@ void ctpu_ilans2_decode_cdf64(
     delete[] st;
 }
 
+// Two-level variant of ctpu_ilans2_decode_cdf64: `l1` has (1 << l1_bits) + 1
+// entries; l1[i] is the largest symbol whose left cumulative is
+// <= (i << (precision - l1_bits)).  The per-symbol search is confined to the
+// bucket's symbol span [l1[b], l1[b+1]] -- for alphabets much smaller than
+// the bucket count the span is almost always 1 and the while loop never
+// runs, replacing the log2(K)-deep branchless search with one table read.
+// (The reference's O(1) lookup decoder, lookup_contiguous.rs:564-595, needs
+// a 2^P-entry table -- 64 MB at the default precision 24; the l1 table at
+// l1_bits = 16 is 256 KB and cache-resident.)
+void ctpu_ilans2_decode_cdf64_l1(
+    const uint32_t* init_states_pairs, const uint32_t* stream,
+    int64_t stream_len, int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* cdf, int32_t num_boundaries,
+    const uint32_t* l1, int32_t l1_bits,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    (void)num_boundaries;
+    const uint64_t qmask = (1ull << precision) - 1;
+    const uint64_t lower = 1ull << (state_bits - word_bits);
+    const int32_t shift = precision - l1_bits;
+    uint64_t* st = new uint64_t[L];
+    for (int32_t l = 0; l < L; l++) {
+        st[l] = (uint64_t)init_states_pairs[2 * l]
+              | ((uint64_t)init_states_pairs[2 * l + 1] << 32);
+    }
+    int64_t base = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        const int64_t b0 = t * L;
+        const int32_t lmax =
+            (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));
+        for (int32_t l = 0; l < lmax; l++) {
+            uint64_t s = st[l];
+            uint64_t q = s & qmask;
+            uint32_t b = (uint32_t)(q >> shift);
+            int32_t lo = (int32_t)l1[b];
+            int32_t span = (int32_t)l1[b + 1] - lo + 1;
+            while (span > 1) {
+                int32_t half = span >> 1;
+                lo += (cdf[lo + half] <= q) ? half : 0;
+                span -= half;
+            }
+            uint32_t sym = (uint32_t)lo;
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            s = (s >> precision) * prob + (q - cum);
+            if (s < lower && base < stream_len) {
+                s = (s << word_bits) | stream[base++];
+            }
+            st[l] = s;
+            out[b0 + l] = (int32_t)sym;
+        }
+    }
+    delete[] st;
+}
+
 void ctpu_ilans2_decode_lookup(
     const uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
     int64_t num_symbols, int32_t L, int32_t num_steps,
@@ -1139,6 +1195,65 @@ void ctpu_ilans2_range_decode_lookup(
             out[idx] = (int32_t)sym;
         }
     }
+}
+
+// Width-generic shared-stream range decode (ILANS2-R / -R64) with the
+// two-level CDF search (see ctpu_ilans2_decode_cdf64_l1).  Points arrive as
+// (lo, hi) u32 pairs per lane (hi = 0 for state_bits <= 32).  For
+// precision <= l1_bits the bucket table IS the quantile lookup (span is 1
+// or 2).  Returns -1 on success or the index of the first symbol whose
+// quantile is >= 2^precision -- the reference's InvalidData condition
+// (queue.rs:991-993).
+int64_t ctpu_ilans2_range_decode_cdf_l1(
+    const uint32_t* points_pairs, const uint32_t* stream, int64_t stream_len,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    const uint32_t* cdf, int32_t num_boundaries,
+    const uint32_t* l1, int32_t l1_bits,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    int32_t* out)
+{
+    (void)num_boundaries;
+    const uint64_t state_mask =
+        (state_bits == 64) ? ~0ull : ((1ull << state_bits) - 1);
+    const uint64_t lower_bound = 1ull << (state_bits - word_bits);
+    const int32_t shift = precision - l1_bits;
+    std::vector<uint64_t> lows((size_t)L, 0), rngs((size_t)L, state_mask),
+        pts((size_t)L);
+    for (int32_t l = 0; l < L; l++) {
+        pts[l] = (uint64_t)points_pairs[2 * l]
+               | ((uint64_t)points_pairs[2 * l + 1] << 32);
+    }
+    int64_t base = 0;
+
+    for (int64_t t = 0; t < num_steps; t++) {
+        const int64_t b0 = t * L;
+        const int32_t lmax =
+            (int32_t)(b0 + L <= num_symbols ? L : (num_symbols > b0 ? num_symbols - b0 : 0));
+        for (int32_t l = 0; l < lmax; l++) {
+            uint64_t scale = rngs[l] >> precision;
+            uint64_t q = ((pts[l] - lows[l]) & state_mask) / scale;
+            if (q >> precision) return b0 + l;  // InvalidData
+            int32_t lo = (int32_t)l1[q >> shift];
+            int32_t span = (int32_t)l1[(q >> shift) + 1] - lo + 1;
+            while (span > 1) {
+                int32_t half = span >> 1;
+                lo += (cdf[lo + half] <= q) ? half : 0;
+                span -= half;
+            }
+            uint32_t sym = (uint32_t)lo;
+            uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
+            lows[l] = (lows[l] + scale * cum) & state_mask;
+            rngs[l] = scale * prob;
+            if (rngs[l] < lower_bound) {
+                lows[l] = (lows[l] << word_bits) & state_mask;
+                rngs[l] = rngs[l] << word_bits;
+                pts[l] = (pts[l] << word_bits) & state_mask;
+                if (base < stream_len) pts[l] |= stream[base++];
+            }
+            out[b0 + l] = (int32_t)sym;
+        }
+    }
+    return -1;
 }
 
 // ---------------------------------------------------------------------------

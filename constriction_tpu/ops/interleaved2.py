@@ -63,6 +63,23 @@ def _lookup_table_cached(cdf_bytes: bytes, precision: int) -> np.ndarray:
     return (np.searchsorted(cdf, qs, side="right") - 1).astype(np.uint32)
 
 
+L1_BITS = 16
+
+
+@lru_cache(maxsize=16)
+def _l1_table_cached(cdf_bytes: bytes, precision: int,
+                     l1_bits: int = L1_BITS) -> np.ndarray:
+    """Bucket table for the native two-level CDF search (wide presets where
+    the full 2^P lookup would be 64 MB): entry i is the largest symbol whose
+    left cumulative is <= (i << (P - l1_bits)).  (1 << l1_bits) + 1 u32
+    entries (256 KB at the default l1_bits=16), memoized per model."""
+    cdf = np.frombuffer(cdf_bytes, dtype=np.uint32).astype(np.uint64)
+    bases = np.arange((1 << l1_bits) + 1, dtype=np.uint64) << np.uint64(
+        precision - l1_bits
+    )
+    return (np.searchsorted(cdf, bases, side="right") - 1).astype(np.uint32)
+
+
 def encode_shared(
     cums: np.ndarray, probs: np.ndarray, cfg: LaneConfig
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -174,8 +191,9 @@ def decode_shared_cdf(
         return out
 
     if native.LIB is not None and num_symbols >= 256 and 32 < S <= 64:
-        # default-preset states: (lo, hi) u32 pairs + CDF binary search
-        # (a P = 24 lookup table would be 64 MB)
+        # default-preset states: (lo, hi) u32 pairs + two-level CDF search
+        # (a P = 24 full lookup table would be 64 MB; the bucket table is
+        # 256 KB and confines the search to a span that is almost always 1)
         cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
         st = np.asarray(init_states, dtype=np.uint64)
         pairs = np.empty(2 * L, dtype=np.uint32)
@@ -183,10 +201,17 @@ def decode_shared_cdf(
         pairs[1::2] = (st >> np.uint64(32)).astype(np.uint32)
         stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
         out = np.empty(num_symbols, dtype=np.int32)
-        native.LIB.ctpu_ilans2_decode_cdf64(
-            pairs, stream32, len(stream32), num_symbols, L, T,
-            cdf32, len(cdf32), W, S, P, out,
-        )
+        if P > L1_BITS:
+            l1 = _l1_table_cached(cdf32.tobytes(), P)
+            native.LIB.ctpu_ilans2_decode_cdf64_l1(
+                pairs, stream32, len(stream32), num_symbols, L, T,
+                cdf32, len(cdf32), l1, L1_BITS, W, S, P, out,
+            )
+        else:
+            native.LIB.ctpu_ilans2_decode_cdf64(
+                pairs, stream32, len(stream32), num_symbols, L, T,
+                cdf32, len(cdf32), W, S, P, out,
+            )
         return out
 
     states = init_states.astype(np.uint64)
@@ -275,6 +300,29 @@ def decode_shared_range_cdf(
     T = -(-num_symbols // L) if num_symbols else 0
     mask = np.uint64((1 << S) - 1)
     lower_bound = np.uint64(1 << (S - W))
+
+    from .. import native
+
+    if native.LIB is not None and num_symbols >= 256 and S <= 64:
+        cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
+        l1_bits = min(P, L1_BITS)
+        l1 = _l1_table_cached(cdf32.tobytes(), P, l1_bits)
+        pts64 = np.asarray(points, dtype=np.uint64)
+        pairs = np.empty(2 * L, dtype=np.uint32)
+        pairs[0::2] = (pts64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        pairs[1::2] = (pts64 >> np.uint64(32)).astype(np.uint32)
+        stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
+        out = np.empty(num_symbols, dtype=np.int32)
+        bad = native.LIB.ctpu_ilans2_range_decode_cdf_l1(
+            pairs, stream32, len(stream32), num_symbols, L, T,
+            cdf32, len(cdf32), l1, l1_bits, W, S, P, out,
+        )
+        if bad >= 0:
+            raise ValueError(
+                "Tried to decode data that is inconsistent with the entropy "
+                f"model (quantile >= 2**precision at symbol {bad})."
+            )
+        return out
 
     lows = np.zeros(L, dtype=np.uint64)
     rngs = np.full(L, mask, dtype=np.uint64)

@@ -28,6 +28,14 @@ SMALL = "--tpu" not in sys.argv
 
 
 def main() -> None:
+    import jax
+
+    if SMALL:
+        # stay off the chip (and robust to its tunnel being down): this
+        # must run before any jax op -- the site plugin presets
+        # jax_platforms, so the env var alone is not enough
+        jax.config.update("jax_platforms", "cpu")
+
     from constriction_tpu.models.categorical import (
         ContiguousCategoricalEntropyModel,
     )
