@@ -536,6 +536,115 @@ def main() -> None:
         f"| {row['encode_GBps']} |"
     )
 
+    # --- TChain bits-back (P=16 and the DEFAULT precision P=24) ---
+    # Decode turns data words (quantiles) into symbols and pushes leftover
+    # information to a remainder stream; encode is the exact inverse.  The
+    # "overhead" column is n/a: bits-back is rate-free by construction (the
+    # remainders carry back exactly the non-symbol information).  Timing
+    # follows the suite convention: chained jits with a 1-bit data
+    # dependency folded into the inputs; the encoder's remainder stream gets
+    # 4R rows of zero margin so the perturbed chain can never read past it.
+    from constriction_tpu.ops import tchain as tc
+
+    p = _entropy_model("high", alphabet, rng)
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 16)
+    cdf16 = model.cdf
+    cfg16 = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=16)
+    n_tc = total
+    T = n_tc // L
+    q16 = rng.randint(0, 1 << 16, size=n_tc).astype(np.uint16)
+    syms16, rem16, heads16 = tc.tchain_decode_pallas(q16, cdf16, cfg16, not on_tpu)
+    q16b, h16b = tc.tchain_encode_pallas(syms16, rem16, heads16, cdf16, cfg16, not on_tpu)
+    assert np.array_equal(q16b, q16) and np.all(h16b == 1), "TChain-16 round trip"
+
+    qw16 = jax.device_put(jnp.asarray(tc.pack_quantiles(q16, L)))
+    dec16 = tc._build_tchain_decoder(tuple(int(x) for x in cdf16), T, L, not on_tpu)
+
+    def _tdec16(qw_):
+        syms, _buf, heads, _end = dec16(qw_)
+        dep = syms[:, : qw_.shape[1], :].astype(jnp.uint32) & np.uint32(1)
+        return qw_ ^ dep, heads[0, 0]
+
+    dt_dec16 = _chain_time(_tdec16, (qw16,))
+
+    enc16 = tc._build_tchain_encoder(tuple(int(x) for x in cdf16), T, L, not on_tpu)
+    syms3d = jax.device_put(jnp.asarray(syms16, jnp.int32).reshape(T, R, 128))
+    heads2d = jax.device_put(jnp.asarray(heads16, jnp.uint32).reshape(R, 128))
+    stream2d = np.asarray(tc._pad_stream2d(rem16, R))
+    stream2d = jax.device_put(
+        jnp.asarray(np.vstack([stream2d, np.zeros((4 * R, 128), np.uint32)]))
+    )
+
+    def _tenc16(s3):
+        qw_, h = enc16(s3, heads2d, stream2d)
+        dep = ((qw_[0, 0, 0] >> 31) & 1).astype(jnp.int32)
+        return s3 ^ dep, h[0, 0]
+
+    dt_enc16 = _chain_time(_tenc16, (syms3d,))
+    row = {
+        "workload": "TChain-16 bits-back (K=100, P=16)",
+        "entropy_bits": None,
+        "overhead_pct": None,
+        "marginal_overhead_pct": None,
+        "decode_GBps": round(n_tc / dt_dec16 / 1e9, 2),
+        "encode_GBps": round(n_tc / dt_enc16 / 1e9, 2),
+    }
+    rows.append(row)
+    print(
+        f"| {row['workload']} | — | — | — | {row['decode_GBps']} "
+        f"| {row['encode_GBps']} |"
+    )
+
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 24)
+    cdf24t = model.cdf
+    cfg24t = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    q24 = rng.randint(0, 1 << 24, size=n_tc).astype(np.uint32)
+    syms24, rem24, heads24 = tc.tchain24_decode_pallas(q24, cdf24t, cfg24t, not on_tpu)
+    q24b, h24b = tc.tchain24_encode_pallas(
+        syms24, rem24, heads24, cdf24t, cfg24t, not on_tpu
+    )
+    assert np.array_equal(q24b, q24) and np.all(h24b == 256), "TChain-24 round trip"
+
+    qw24 = jax.device_put(jnp.asarray(tc.pack_q24(q24, L)))
+    dec24 = tc._build_tchain24_decoder(tuple(int(x) for x in cdf24t), T, L, not on_tpu)
+
+    def _tdec24(qw_):
+        syms, _buf, hh, _hl, _end = dec24(qw_)
+        dep = syms[:, : qw_.shape[1], :].astype(jnp.uint32) & np.uint32(1)
+        return qw_ ^ dep, hh[0, 0]
+
+    dt_dec24 = _chain_time(_tdec24, (qw24,))
+
+    enc24 = tc._build_tchain24_encoder(tuple(int(x) for x in cdf24t), T, L, not on_tpu)
+    syms3d = jax.device_put(jnp.asarray(syms24, jnp.int32).reshape(T, R, 128))
+    h64 = np.asarray(heads24, np.uint64)
+    hh2d = jax.device_put(jnp.asarray((h64 >> np.uint64(32)).astype(np.uint32)).reshape(R, 128))
+    hl2d = jax.device_put(jnp.asarray((h64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R, 128))
+    stream2d = np.asarray(tc._pad_stream2d(rem24, R))
+    stream2d = jax.device_put(
+        jnp.asarray(np.vstack([stream2d, np.zeros((4 * R, 128), np.uint32)]))
+    )
+
+    def _tenc24(s3):
+        qw_, hh, _hl = enc24(s3, hh2d, hl2d, stream2d)
+        dep = ((qw_[0, 0, 0] >> 31) & 1).astype(jnp.int32)
+        return s3 ^ dep, hh[0, 0]
+
+    dt_enc24 = _chain_time(_tenc24, (syms3d,))
+    row = {
+        "workload": "TChain-24 bits-back (K=100, DEFAULT precision)",
+        "entropy_bits": None,
+        "overhead_pct": None,
+        "marginal_overhead_pct": None,
+        "decode_GBps": round(n_tc / dt_dec24 / 1e9, 2),
+        "encode_GBps": round(n_tc / dt_enc24 / 1e9, 2),
+    }
+    rows.append(row)
+    print(
+        f"| {row['workload']} | — | — | — | {row['decode_GBps']} "
+        f"| {row['encode_GBps']} |"
+    )
+
     print()
     for r in rows:
         print(json.dumps(r))
