@@ -37,6 +37,7 @@ Layout conventions
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -601,6 +602,21 @@ def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
             _bitmap_cost(P, bb) for bb in range(5, P)
         )))
     best = min(candidates, key=lambda kv: kv[1])[0]
+    forced = os.environ.get("CTPU_FORCE_INVERSION", "")
+    if forced:
+        # perf-experiment knob: every form returns identical (sym, cum,
+        # prob), so forcing one only changes speed.  Honored only when the
+        # form's static constraints hold for this (K, P, cdf).
+        valid = {name for name, _ in candidates}
+        if forced in valid:
+            best = forced
+        else:
+            import warnings
+
+            warnings.warn(
+                f"CTPU_FORCE_INVERSION={forced!r} is not valid for "
+                f"K={K}, P={P} (valid: {sorted(valid)}); using {best!r}"
+            )
     if best == "packed":
         return _compare_sum_packed(q, cdf, P)
     if best == "segtree":

@@ -562,3 +562,35 @@ def test_all_inversion_forms_agree(K, precision):
         np.testing.assert_array_equal(sym, want, err_msg=name)
         np.testing.assert_array_equal(cum, c[want], err_msg=name)
         np.testing.assert_array_equal(prob, c[want + 1] - c[want], err_msg=name)
+
+
+def test_force_inversion_env_knob(monkeypatch):
+    """CTPU_FORCE_INVERSION steers the dispatcher to an eligible form
+    (identical answers); an ineligible name warns and falls back to auto."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(3)
+    K, P = 100, 12
+    extra = rng.multinomial((1 << P) - K, rng.dirichlet(np.full(K, 0.5)))
+    c = np.concatenate([[0], np.cumsum(1 + extra)]).astype(np.int64)
+    qs = jnp.asarray(rng.randint(0, 1 << P, 512).astype(np.uint32))
+    want = np.searchsorted(c, np.asarray(qs, np.int64), side="right") - 1
+
+    for forced in ("segtree", "segmented", "wide", "bitmap"):
+        monkeypatch.setenv("CTPU_FORCE_INVERSION", forced)
+        sym, cum, prob = (np.asarray(x) for x in pc._compare_sum_auto(qs, c, P))
+        np.testing.assert_array_equal(sym, want, err_msg=forced)
+        np.testing.assert_array_equal(cum, c[want], err_msg=forced)
+        np.testing.assert_array_equal(prob, c[want + 1] - c[want], err_msg=forced)
+
+    # ineligible form: packed needs 2P + log2(K) <= 32, violated at P=16
+    P16 = 16
+    extra16 = rng.multinomial((1 << P16) - K, rng.dirichlet(np.full(K, 0.5)))
+    c16 = np.concatenate([[0], np.cumsum(1 + extra16)]).astype(np.int64)
+    qs16 = jnp.asarray(rng.randint(0, 1 << P16, 512).astype(np.uint32))
+    want16 = np.searchsorted(c16, np.asarray(qs16, np.int64), side="right") - 1
+    monkeypatch.setenv("CTPU_FORCE_INVERSION", "packed")
+    with pytest.warns(UserWarning, match="not valid"):
+        sym, _, _ = pc._compare_sum_auto(qs16, c16, P16)
+    np.testing.assert_array_equal(np.asarray(sym), want16)
