@@ -107,6 +107,45 @@ def main() -> None:
     assert np.array_equal(out, symbols), "multi-process sharded decode mismatch"
     print(f"MP_OK pid={pid} devices={n_global}", flush=True)
 
+    # same mesh + cross-process gather for the RANGE-semantics container
+    # (queue coder blocks: stored states are the decoder point headers)
+    cont_r = parallel.encode(
+        symbols, cdf, cfg=cfg, num_blocks=B, device=False, coder="range"
+    )
+    pts, streams_r, n_r, block_len_r, _, coder_id = parallel.unpack_sharded(cont_r)
+    assert n_r == n and coder_id == 1
+    T_r = -(-block_len_r // L)
+    tail_r = block_len_r - (T_r - 1) * L
+    fn_rk = pc._build_range_decoder(
+        tuple(int(x) for x in cdf), cfg, T_r, tail_r, L, True
+    )
+    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams_r]
+    rows = max(a.shape[0] for a in aligned)
+    streams_arr_r = np.zeros((B, rows, pc.LANES), np.uint32)
+    for b, a in enumerate(aligned):
+        streams_arr_r[b, : a.shape[0]] = a
+    pts_g = to_global(pts.astype(np.uint32))
+    streams_rg = to_global(streams_arr_r)
+
+    def per_device_range(pt_b, stream_b):
+        syms = fn_rk(pt_b[0].reshape(R, pc.LANES), stream_b[0])[0]
+        return jax.lax.all_gather(
+            syms.reshape(-1)[:block_len_r], parallel.BLOCK_AXIS
+        )
+
+    fn_r = jax.jit(
+        jax.shard_map(
+            per_device_range,
+            mesh=mesh,
+            in_specs=(P(parallel.BLOCK_AXIS), P(parallel.BLOCK_AXIS)),
+            out_specs=P(),
+            check_vma=False,
+        )
+    )
+    out_r = np.asarray(fn_r(pts_g, streams_rg)).reshape(-1)[:n]
+    assert np.array_equal(out_r, symbols), "multi-process range decode mismatch"
+    print(f"MP_RANGE_OK pid={pid} devices={n_global}", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -57,3 +57,4 @@ def test_two_process_mesh_decode():
             pytest.skip("jax.distributed CPU backend unavailable here")
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"MP_OK pid={pid} devices=8" in out, out[-3000:]
+        assert f"MP_RANGE_OK pid={pid} devices=8" in out, out[-3000:]
