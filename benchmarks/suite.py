@@ -351,19 +351,7 @@ def main() -> None:
         dt_renc_a = _chain_time(_sra64, (syms3d64,))
         records64, flags64, lhi_f, llo_f, rhi_f, rlo_f = rec64(syms3d64)
         res64 = pre._build_range_resolver64(T, L, not on_tpu)
-        touched = jnp.logical_or(
-            rlo_f != jnp.uint32(0xFFFFFFFF), rhi_f != jnp.uint32(0xFFFFFFFF)
-        )
-        plus = llo_f + jnp.uint32(0xFFFFFFFF)
-        s0_64 = jnp.where(
-            touched, lhi_f + jnp.where(plus < llo_f, jnp.uint32(1),
-                                       jnp.uint32(0)), jnp.uint32(0)
-        )
-        # seal carry out of the u64 add (hi limb wrapped)
-        p0_64 = jnp.where(
-            jnp.logical_and(touched, s0_64 < lhi_f),
-            jnp.uint32(1), jnp.uint32(0),
-        )
+        s0_64, p0_64 = pre.seal64_limbs(jnp, lhi_f, llo_f, rhi_f, rlo_f)
 
         def _srb64(r, f, a, b):
             _buf, _hh, _hl, end = res64(r, f, a, b)

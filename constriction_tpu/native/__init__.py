@@ -84,6 +84,20 @@ def _load() -> Optional[ctypes.CDLL]:
             raise
         return None
 
+    try:
+        return _bind(lib)
+    except AttributeError as e:
+        # The .so predates a binding (possible only with CTPU_NATIVE_SO
+        # pointing at an old build; the default path rebuilds on staleness).
+        if os.environ.get("CTPU_NATIVE") == "1":
+            raise RuntimeError(
+                f"native library {_SO} is stale (missing symbol): {e}; "
+                "rebuild it with python -m constriction_tpu.native.build"
+            ) from e
+        return None
+
+
+def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     c = ctypes
     lib.ctpu_erf_array.restype = None
     lib.ctpu_erf_array.argtypes = [f64p, f64p, c.c_int64]

@@ -68,7 +68,7 @@ L1_BITS = 16
 
 @lru_cache(maxsize=16)
 def _l1_table_cached(cdf_bytes: bytes, precision: int,
-                     l1_bits: int = L1_BITS) -> np.ndarray:
+                     l1_bits: int) -> np.ndarray:
     """Bucket table for the native two-level CDF search (wide presets where
     the full 2^P lookup would be 64 MB): entry i is the largest symbol whose
     left cumulative is <= (i << (P - l1_bits)).  (1 << l1_bits) + 1 u32
@@ -202,7 +202,7 @@ def decode_shared_cdf(
         stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
         out = np.empty(num_symbols, dtype=np.int32)
         if P > L1_BITS:
-            l1 = _l1_table_cached(cdf32.tobytes(), P)
+            l1 = _l1_table_cached(cdf32.tobytes(), P, L1_BITS)
             native.LIB.ctpu_ilans2_decode_cdf64_l1(
                 pairs, stream32, len(stream32), num_symbols, L, T,
                 cdf32, len(cdf32), l1, L1_BITS, W, S, P, out,
@@ -297,6 +297,10 @@ def decode_shared_range_cdf(
         raise ValueError(
             f"points must have num_lanes={L} entries, got {len(points)}"
         )
+    if int(np.asarray(cdf)[-1]) != 1 << P:
+        raise ValueError(
+            f"cdf[-1] must equal 2**precision = {1 << P}, got {int(np.asarray(cdf)[-1])}"
+        )
     T = -(-num_symbols // L) if num_symbols else 0
     mask = np.uint64((1 << S) - 1)
     lower_bound = np.uint64(1 << (S - W))
@@ -337,6 +341,12 @@ def decode_shared_range_cdf(
         active = idx < num_symbols
         scale = rngs >> np.uint64(P)
         q = ((pts - lows) & mask) // scale
+        bad = active & (q >= cdf64[-1])
+        if bad.any():
+            raise ValueError(
+                "Tried to decode data that is inconsistent with the entropy "
+                f"model (quantile >= 2**precision at symbol {int(idx[bad][0])})."
+            )
         sym = np.searchsorted(cdf64, q, side="right") - 1
         cum = cdf64[sym]
         prob = cdf64[sym + 1] - cum

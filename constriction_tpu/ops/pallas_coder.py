@@ -49,6 +49,29 @@ from .interleaved import LaneConfig
 LANES = 128  # TPU vector lane width; minor dim of every tile
 
 
+def inversion_keyed_cache(maxsize: int):
+    """lru_cache for decoder builders whose kernel form depends on the
+    CTPU_FORCE_INVERSION knob (read at trace time by _compare_sum_auto):
+    the key includes the knob's current value, so flipping it mid-process
+    rebuilds the kernel instead of silently reusing the cached form."""
+
+    def deco(fn):
+        @functools.lru_cache(maxsize=maxsize)
+        def keyed(_forced_env, *args, **kw):
+            return fn(*args, **kw)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kw):
+            return keyed(
+                os.environ.get("CTPU_FORCE_INVERSION", ""), *args, **kw
+            )
+
+        wrapper.cache_clear = keyed.cache_clear
+        return wrapper
+
+    return deco
+
+
 def _log2(x: int) -> int:
     n = 0
     while (1 << n) < x:
@@ -1256,7 +1279,7 @@ def _range_decode_kernel_body(
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@inversion_keyed_cache(maxsize=32)
 def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
                          interpret: bool):
     import jax.experimental.pallas as pl
@@ -1341,7 +1364,7 @@ def decode_shared_range_pallas(
     return syms.reshape(-1)[:num_symbols]
 
 
-@functools.lru_cache(maxsize=32)
+@inversion_keyed_cache(maxsize=32)
 def _build_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
                    interpret: bool):
     import jax.experimental.pallas as pl

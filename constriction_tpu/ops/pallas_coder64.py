@@ -61,6 +61,7 @@ from .pallas_coder import (
     _refill_words,
     _row_iota,
     _u32_to_f32,
+    inversion_keyed_cache,
 )
 
 
@@ -171,7 +172,7 @@ def _decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@inversion_keyed_cache(maxsize=32)
 def _build_decoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
                      interpret: bool):
     import jax.experimental.pallas as pl
@@ -571,7 +572,7 @@ def _range_decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
     return kernel
 
 
-@functools.lru_cache(maxsize=32)
+@inversion_keyed_cache(maxsize=32)
 def _build_range_decoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int,
                            L: int, interpret: bool):
     import jax.experimental.pallas as pl

@@ -214,6 +214,38 @@ def _build_range_resolver(T, L, interpret):
     return jax.jit(fn)
 
 
+def seal32(xp, low_f, rng_f, S: int, W: int):
+    """(s0, seal_carry) from the 32-bit recorder's final (lower, range)
+    planes: point = lower + (2^(S-W) - 1) with u32 wrap; a wrap is the
+    seal's big-number +1 event.  Untouched lanes (range still all-ones,
+    i.e. no symbol encoded) seal to zero.  ``xp`` is numpy or jax.numpy —
+    the ONLY implementation of this rule (host and device paths share it)."""
+    touched = rng_f != xp.uint32(0xFFFFFFFF)
+    point = low_f + xp.uint32((1 << (S - W)) - 1)
+    seal_carry = xp.where(
+        touched & (point < low_f), xp.uint32(1), xp.uint32(0)
+    )
+    s0 = xp.where(touched, point >> (S - W), xp.uint32(0))
+    return s0, seal_carry
+
+
+def seal64_limbs(xp, lhi, llo, rhi, rlo):
+    """(s0, seal_carry) for the 64-bit encoder from u32 (lower, range) limb
+    planes (S=64, W=32): point = lower + (2^32 - 1), the low-limb wrap
+    carries into the high limb, and a high-limb wrap is the seal's
+    big-number +1 event.  ``xp`` is numpy or jax.numpy — the ONLY
+    implementation of this rule (host, container, and bench paths share
+    it)."""
+    touched = (rlo != xp.uint32(0xFFFFFFFF)) | (rhi != xp.uint32(0xFFFFFFFF))
+    plus = llo + xp.uint32(0xFFFFFFFF)
+    p_hi = lhi + xp.where(plus < llo, xp.uint32(1), xp.uint32(0))
+    s0 = xp.where(touched, p_hi, xp.uint32(0))
+    seal_carry = xp.where(
+        touched & (p_hi < lhi), xp.uint32(1), xp.uint32(0)
+    )
+    return s0, seal_carry
+
+
 def encode_iid_range_pallas(
     symbols,
     cdf: np.ndarray,
@@ -251,13 +283,12 @@ def encode_iid_range_pallas(
     records, low_f, rng_f = rec_fn(syms3d)
 
     # --- seal per lane (closed-form, host vector math) ----------------------
-    low_f = np.asarray(low_f).reshape(-1).astype(np.uint64)
-    rng_f = np.asarray(rng_f).reshape(-1).astype(np.uint64)
-    mask32 = np.uint64(0xFFFFFFFF)
-    touched = rng_f != mask32  # lanes that encoded at least one symbol
-    point = (low_f + np.uint64((1 << (S - W)) - 1)) & mask32
-    seal_carry = np.where(touched & (point < low_f), 1, 0).astype(np.uint32)
-    s0 = np.where(touched, (point >> np.uint64(S - W)), 0).astype(np.uint32)
+    s0, seal_carry = seal32(
+        np,
+        np.asarray(low_f).reshape(-1).astype(np.uint32),
+        np.asarray(rng_f).reshape(-1).astype(np.uint32),
+        S, W,
+    )
     # (the optional disambiguation word after s0 is a literal zero, which is
     # identical to the zero-fill for absent entries: no explicit handling)
 
@@ -519,17 +550,13 @@ def encode_iid_range64_pallas(
     records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(syms3d)
 
     # --- seal per lane (closed-form, host vector math) ----------------------
-    low_f = np.asarray(llo_f).reshape(-1).astype(np.uint64) | (
-        np.asarray(lhi_f).reshape(-1).astype(np.uint64) << np.uint64(32)
+    s0, seal_carry = seal64_limbs(
+        np,
+        np.asarray(lhi_f).reshape(-1).astype(np.uint32),
+        np.asarray(llo_f).reshape(-1).astype(np.uint32),
+        np.asarray(rhi_f).reshape(-1).astype(np.uint32),
+        np.asarray(rlo_f).reshape(-1).astype(np.uint32),
     )
-    rng_f = np.asarray(rlo_f).reshape(-1).astype(np.uint64) | (
-        np.asarray(rhi_f).reshape(-1).astype(np.uint64) << np.uint64(32)
-    )
-    mask64 = np.uint64(0xFFFFFFFFFFFFFFFF)
-    touched = rng_f != mask64  # lanes that encoded at least one symbol
-    point = low_f + np.uint64((1 << (S - W)) - 1)  # u64 wrapping add
-    seal_carry = np.where(touched & (point < low_f), 1, 0).astype(np.uint32)
-    s0 = np.where(touched, point >> np.uint64(S - W), 0).astype(np.uint32)
 
     res_fn = _build_range_resolver64(T, L, interpret)
     stream_buf, hdr_hi, hdr_lo, end = res_fn(

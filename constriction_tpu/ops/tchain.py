@@ -158,6 +158,7 @@ from .pallas_coder import (
     _init_stream_window,
     _pad_stream2d,
     _refill_words,
+    inversion_keyed_cache,
 )
 
 
@@ -249,7 +250,7 @@ def _tchain_encode_kernel(pltpu, pl, *, cdf, T: int, R: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=16)
+@inversion_keyed_cache(maxsize=16)
 def _build_tchain_decoder(cdf_tuple, T: int, L: int, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -1075,7 +1076,7 @@ def _tchain24_encode_kernel(pltpu, pl, *, cdf, T: int, R: int):
     return kernel
 
 
-@functools.lru_cache(maxsize=16)
+@inversion_keyed_cache(maxsize=16)
 def _build_tchain24_decoder(cdf_tuple, T: int, L: int, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu

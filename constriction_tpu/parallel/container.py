@@ -187,6 +187,10 @@ def encode(
     ILANS2-R unit whose stored states are the decoder point headers,
     queue.rs:847-868).  :func:`decode` reads the choice from the header.
     """
+    if coder not in _CODER_IDS:
+        raise ValueError(
+            f"coder must be one of {sorted(_CODER_IDS)}, got {coder!r}"
+        )
     coder_id = _CODER_IDS[coder]
     symbols = np.asarray(symbols, dtype=np.int64)
     n = len(symbols)
@@ -529,13 +533,7 @@ def _encode_blocks_device_range(padded, cdf, cfg, B, block_len, mesh):
 
     def encode_one(s):
         records, low_f, rng_f = rec_fn(s.reshape(T, R, pc.LANES))
-        touched = rng_f != jnp.uint32(0xFFFFFFFF)
-        point = low_f + jnp.uint32((1 << (S - W)) - 1)  # u32 wrapping add
-        seal_carry = jnp.where(
-            jnp.logical_and(touched, point < low_f),
-            jnp.uint32(1), jnp.uint32(0),
-        )
-        s0 = jnp.where(touched, point >> (S - W), jnp.uint32(0))
+        s0, seal_carry = pre.seal32(jnp, low_f, rng_f, S, W)
         buf, hdr, end = res_fn(records, s0, seal_carry)
         return hdr.reshape(-1), buf.reshape(-1), end
 
@@ -595,18 +593,7 @@ def _encode_blocks_device_range64(padded, cdf, cfg, B, block_len, mesh):
         records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(
             s.reshape(T, R, pc.LANES)
         )
-        touched = jnp.logical_or(
-            rlo_f != jnp.uint32(0xFFFFFFFF), rhi_f != jnp.uint32(0xFFFFFFFF)
-        )
-        # point = lower + (2^32 - 1): low-limb wrap carries into the high
-        # limb; a high-limb wrap is the seal's big-number +1 event
-        plus = llo_f + jnp.uint32(0xFFFFFFFF)
-        p_hi = lhi_f + jnp.where(plus < llo_f, jnp.uint32(1), jnp.uint32(0))
-        s0 = jnp.where(touched, p_hi, jnp.uint32(0))
-        seal_carry = jnp.where(
-            jnp.logical_and(touched, p_hi < lhi_f),
-            jnp.uint32(1), jnp.uint32(0),
-        )
+        s0, seal_carry = pre.seal64_limbs(jnp, lhi_f, llo_f, rhi_f, rlo_f)
         buf, hdr_hi, hdr_lo, end = res_fn(records, flags, s0, seal_carry)
         return hdr_hi.reshape(-1), hdr_lo.reshape(-1), buf.reshape(-1), end
 

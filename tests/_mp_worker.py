@@ -70,11 +70,9 @@ def main() -> None:
     fn_k = pc._build_decoder(
         tuple(int(x) for x in cdf), cfg, T, tail, L, True
     )
-    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
-    rows = max(a.shape[0] for a in aligned)
-    streams_arr = np.zeros((B, rows, pc.LANES), np.uint32)
-    for b, a in enumerate(aligned):
-        streams_arr[b, : a.shape[0]] = a
+    from constriction_tpu.parallel.container import _stack_streams
+
+    streams_arr, _ = _stack_streams(streams, R)
 
     mesh = Mesh(np.array(jax.devices()), (parallel.BLOCK_AXIS,))
     sh = NamedSharding(mesh, P(parallel.BLOCK_AXIS))
@@ -119,11 +117,7 @@ def main() -> None:
     fn_rk = pc._build_range_decoder(
         tuple(int(x) for x in cdf), cfg, T_r, tail_r, L, True
     )
-    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams_r]
-    rows = max(a.shape[0] for a in aligned)
-    streams_arr_r = np.zeros((B, rows, pc.LANES), np.uint32)
-    for b, a in enumerate(aligned):
-        streams_arr_r[b, : a.shape[0]] = a
+    streams_arr_r, _ = _stack_streams(streams_r, R)
     pts_g = to_global(pts.astype(np.uint32))
     streams_rg = to_global(streams_arr_r)
 

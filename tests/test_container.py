@@ -232,3 +232,9 @@ def test_container_range_invalid_data():
     )
     with pytest.raises(ValueError, match="inconsistent with the entropy"):
         parallel.decode(bad, cdf, device=True)
+
+
+def test_encode_rejects_unknown_coder():
+    symbols, cdf = _workload(100, seed=31)
+    with pytest.raises(ValueError, match="coder must be one of"):
+        parallel.encode(symbols, cdf, cfg=CFG, num_blocks=2, coder="queue")

@@ -245,3 +245,41 @@ def test_mismatched_args_raise_not_crash():
         il2.decode_shared_cdf(st, stream, len(syms), cdf[:-1], cfg)
     with pytest.raises(ValueError, match="num_lanes"):
         il2.decode_shared_range_cdf(stream, st, len(syms), cdf, cfg)
+
+
+def test_range_decode_rejects_wrong_precision_cdf():
+    """decode_shared_range_cdf validates cdf[-1] == 2**precision up front on
+    BOTH the native and numpy paths (a short cdf would otherwise send the
+    native two-level search past the end of the table)."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    rng = np.random.RandomState(5)
+    _, probs, model = _make(seed=5)
+    cfg = LaneConfig(num_lanes=512, word_bits=16, state_bits=32, precision=12)
+    syms = rng.choice(100, size=2048, p=probs).astype(np.int64)
+    cdf64 = model.cdf.astype(np.uint64)
+    pts, stream = il2.encode_shared_range(
+        (cdf64[syms]).astype(np.uint32),
+        (cdf64[syms + 1] - cdf64[syms]).astype(np.uint32),
+        cfg,
+    )
+    with pytest.raises(ValueError, match="cdf"):
+        il2.decode_shared_range_cdf(pts, stream, len(syms), model.cdf[:-1], cfg)
+    # small message (numpy fallback) hits the same validation
+    with pytest.raises(ValueError, match="cdf"):
+        il2.decode_shared_range_cdf(pts, stream, 100, model.cdf[:-1], cfg)
+
+
+def test_range_decode_numpy_fallback_flags_invalid_data():
+    """Corrupt range data raises the same 'inconsistent with the entropy
+    model' ValueError on the numpy fallback as on the native path (not an
+    IndexError from cdf[K + 1])."""
+    _, probs, model = _make(seed=6)
+    cfg = LaneConfig(num_lanes=64, word_bits=16, state_bits=32, precision=12)
+    # all-ones points make the very first quantile >= 2**P in every lane
+    pts = np.full(64, 0xFFFFFFFF, dtype=np.uint64)
+    stream = np.zeros(0, dtype=np.uint32)
+    with pytest.raises(ValueError, match="inconsistent with the entropy"):
+        il2.decode_shared_range_cdf(pts, stream, 100, model.cdf, cfg)

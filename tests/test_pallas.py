@@ -594,3 +594,24 @@ def test_force_inversion_env_knob(monkeypatch):
     with pytest.warns(UserWarning, match="not valid"):
         sym, _, _ = pc._compare_sum_auto(qs16, c16, P16)
     np.testing.assert_array_equal(np.asarray(sym), want16)
+
+
+def test_force_inversion_rebuilds_cached_kernels(monkeypatch):
+    """The decoder-builder caches key on the CTPU_FORCE_INVERSION value:
+    flipping the knob after a kernel has been built must produce a fresh
+    build (the knob is read at trace time inside the builder), and
+    unsetting it must return the original cached build."""
+    rng = np.random.RandomState(7)
+    K, P = 100, 12
+    extra = rng.multinomial((1 << P) - K, rng.dirichlet(np.full(K, 0.5)))
+    cdf_t = tuple(int(x) for x in np.concatenate([[0], np.cumsum(1 + extra)]))
+    cfg = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=P)
+
+    monkeypatch.delenv("CTPU_FORCE_INVERSION", raising=False)
+    auto_build = pc._build_decoder(cdf_t, cfg, 2, 256, 256, True)
+    monkeypatch.setenv("CTPU_FORCE_INVERSION", "wide")
+    forced_build = pc._build_decoder(cdf_t, cfg, 2, 256, 256, True)
+    assert forced_build is not auto_build
+    monkeypatch.delenv("CTPU_FORCE_INVERSION")
+    again = pc._build_decoder(cdf_t, cfg, 2, 256, 256, True)
+    assert again is auto_build
