@@ -238,3 +238,36 @@ def test_encode_rejects_unknown_coder():
     symbols, cdf = _workload(100, seed=31)
     with pytest.raises(ValueError, match="coder must be one of"):
         parallel.encode(symbols, cdf, cfg=CFG, num_blocks=2, coder="queue")
+
+
+def test_container_format_is_pinned():
+    """Golden container bytes: the on-disk format (header layout + payload)
+    must stay stable across releases — decoding old containers is a product
+    guarantee.  If this fails, you changed the wire format: bump the header
+    version and add a compatibility path instead of editing the constants."""
+    import hashlib
+
+    rng = np.random.RandomState(42)
+    probs = rng.dirichlet(np.ones(17))
+    syms = rng.choice(17, size=1000, p=probs).astype(np.int64)
+    m = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+    want = {
+        "rans": (2100240, "f013edd12ed31e0a"),
+        "range": (18877456, "1dfd768b7498063c"),
+    }
+    for coder, (packed_cfg, sha16) in want.items():
+        cont = parallel.encode(
+            syms, m.cdf, cfg=cfg, num_blocks=4, device=False, coder=coder
+        )
+        arr = np.asarray(cont, np.uint32)
+        assert list(arr[:8]) == [
+            0x494C4E53, 1, packed_cfg, 1000, 0, 128, 4, 250
+        ], coder
+        assert len(arr) == 524, coder
+        got = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+        assert got == sha16, f"{coder}: container bytes changed ({got})"
+        out = parallel.decode(cont, m.cdf, device=False)
+        assert np.array_equal(out, syms), coder
