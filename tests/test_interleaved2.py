@@ -283,3 +283,26 @@ def test_range_decode_numpy_fallback_flags_invalid_data():
     stream = np.zeros(0, dtype=np.uint32)
     with pytest.raises(ValueError, match="inconsistent with the entropy"):
         il2.decode_shared_range_cdf(pts, stream, 100, model.cdf, cfg)
+
+
+def test_ilans2_container_format_is_pinned():
+    """Golden container bytes for the single-chip ILANS2 format (magic
+    'ILN2', version 1): the wire format is a product guarantee.  If this
+    fails, bump the header version and add a compatibility path instead of
+    editing the constants."""
+    import hashlib
+
+    rng = np.random.RandomState(42)
+    probs = rng.dirichlet(np.ones(17))
+    syms = rng.choice(17, size=1000, p=probs)
+    m = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+    data = il2.encode_iid_categorical2(syms, m.cdf, cfg)
+    arr = np.asarray(data, np.uint32)
+    assert list(arr[:7]) == [0x494C4E32, 1, 2100240, 1000, 0, 128, 135]
+    assert len(arr) == 203
+    got = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
+    assert got == "4e2267c5a0e2ee9e", f"container bytes changed ({got})"
+    assert np.array_equal(il2.decode_iid_categorical2(data, m.cdf), syms)
