@@ -628,6 +628,12 @@ def encode_tables_pallas(
     assert L % LANES == 0
     wide = cfg.state_bits == 64
     assert (cfg.state_bits, cfg.word_bits) in ((32, 16), (64, 32))
+    # _div64's digit-estimate exactness argument needs prob <= 2^24 (f32
+    # mantissa); the decode twin and the iid entry points assert the same.
+    assert cfg.precision <= 24, (
+        f"precision {cfg.precision} > 24 is outside the 64-bit encoder's "
+        "exact-division bound"
+    )
     cums = np.asarray(cums, dtype=np.uint32).reshape(-1)
     n = len(cums)
     T = -(-n // L) if n else 0

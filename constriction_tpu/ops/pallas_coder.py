@@ -1321,9 +1321,15 @@ def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
     return jax.jit(fn)
 
 
+def _stream_rows(num_words: int, R: int) -> int:
+    """Rows of the [rows, LANES] stream window for a num_words stream: the
+    (R + 2)-row margin lets the decoder's window DMA run past the end."""
+    return -(-num_words // LANES) + (R + 2)
+
+
 def _pad_stream2d(stream, R: int):
     stream = jnp.asarray(stream, dtype=jnp.uint32)
-    rows = -(-int(stream.shape[0]) // LANES) + (R + 2)
+    rows = _stream_rows(int(stream.shape[0]), R)
     pad = rows * LANES - int(stream.shape[0])
     return jnp.concatenate(
         [stream, jnp.zeros(pad, dtype=jnp.uint32)]

@@ -133,11 +133,31 @@ def unpack_sharded(
     P = (flags >> 8) & 0xFF
     S = (flags >> 16) & 0xFF
     coder = (flags >> 24) & 0xFF
+    if coder not in (CODER_RANS, CODER_RANGE):
+        raise ValueError(
+            f"unknown coder id {coder} in container header (corrupt data, "
+            "or a container from a newer format version)"
+        )
+    if W not in (16, 32):
+        raise ValueError(f"invalid word_bits {W} in container header")
     num_symbols = int(data[3]) | (int(data[4]) << 32)
     L, B, block_len = int(data[5]), int(data[6]), int(data[7])
     cfg = LaneConfig(L, W, S, P)
+    if len(data) < _HDR + B:
+        raise ValueError("truncated container header")
     lens = data[_HDR : _HDR + B].astype(np.int64)
     off = _HDR + B
+    per = 32 // W
+    expected = (
+        off
+        + (2 if S > 32 else 1) * B * L
+        + int(sum(-(-int(l) // per) for l in lens))
+    )
+    if len(data) != expected:
+        raise ValueError(
+            f"truncated or oversized container: {len(data)} u32 words, "
+            f"header describes {expected}"
+        )
     if S > 32:
         lo = data[off : off + B * L].astype(np.uint64)
         hi = data[off + B * L : off + 2 * B * L].astype(np.uint64)
@@ -146,7 +166,6 @@ def unpack_sharded(
     else:
         states = data[off : off + B * L].reshape(B, L)
         off += B * L
-    per = 32 // W
     streams = []
     for b in range(B):
         nwords = int(lens[b])
@@ -192,19 +211,36 @@ def encode(
             f"coder must be one of {sorted(_CODER_IDS)}, got {coder!r}"
         )
     coder_id = _CODER_IDS[coder]
+    if num_blocks < 1:
+        raise ValueError(f"num_blocks must be >= 1, got {num_blocks}")
     symbols = np.asarray(symbols, dtype=np.int64)
     n = len(symbols)
     if cfg is None:
         from ..tpu import _pick_cfg
 
-        cfg = _pick_cfg(max(n // max(num_blocks, 1), 1), None)
+        cfg = _pick_cfg(max(n // num_blocks, 1), None)
+    K = len(cdf) - 1
+    if int(np.asarray(cdf)[-1]) != 1 << cfg.precision:
+        raise ValueError(
+            f"cdf[-1] must equal 2**precision = {1 << cfg.precision}, got "
+            f"{int(np.asarray(cdf)[-1])} (rebuild the model at this "
+            "precision or pass a matching cfg)"
+        )
+    if n and (int(symbols.min()) < 0 or int(symbols.max()) >= K):
+        raise ValueError(
+            f"symbols must be in [0, {K}), got range "
+            f"[{int(symbols.min())}, {int(symbols.max())}]"
+        )
     B = num_blocks
     L = cfg.num_lanes
     block_len = max(-(-n // B), 1)
-    # one static kernel shape for every block: pad the message with zeros
-    padded = np.zeros(B * block_len, dtype=np.int64)
-    padded[:n] = symbols
     cdf64 = np.asarray(cdf, dtype=np.uint64)
+    # one static kernel shape for every block: pad the message with the
+    # first nonzero-probability symbol (a zero-probability pad symbol would
+    # silently corrupt the stream via prob=0 division)
+    pad_sym = int(np.argmax(np.diff(cdf64.astype(np.int64)) > 0))
+    padded = np.full(B * block_len, pad_sym, dtype=np.int64)
+    padded[:n] = symbols
 
     if device is None:
         import jax
@@ -242,6 +278,11 @@ def decode(
     """Decode a sharded container in ONE call; mesh-shape independent.
     The stream coder (rANS / range) is read from the container header."""
     states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
+    if int(np.asarray(cdf)[-1]) != 1 << cfg.precision:
+        raise ValueError(
+            f"cdf[-1] must equal 2**precision = {1 << cfg.precision} (the "
+            f"container's header precision), got {int(np.asarray(cdf)[-1])}"
+        )
     B = len(streams)
     if device is None:
         import jax
@@ -301,14 +342,14 @@ def _device_geometry(B, cfg, block_len, mesh):
 
 def _stack_streams(streams, R):
     """Pad each block's word stream to the kernel's [rows, 128] window
-    layout and stack them to one [B, rows, 128] array."""
+    layout (pc._stream_rows) and stack them to one [B, rows, 128] numpy
+    array -- pure host math, no device transfers."""
     from ..ops import pallas_coder as pc
 
-    aligned = [np.asarray(pc._pad_stream2d(s, R)) for s in streams]
-    rows = max(a.shape[0] for a in aligned)
+    rows = max(pc._stream_rows(len(s), R) for s in streams)
     arr = np.zeros((len(streams), rows, pc.LANES), np.uint32)
-    for b, a in enumerate(aligned):
-        arr[b, : a.shape[0]] = a
+    for b, s in enumerate(streams):
+        arr[b].reshape(-1)[: len(s)] = np.asarray(s, np.uint32)
     return arr, rows
 
 

@@ -271,3 +271,46 @@ def test_container_format_is_pinned():
         assert got == sha16, f"{coder}: container bytes changed ({got})"
         out = parallel.decode(cont, m.cdf, device=False)
         assert np.array_equal(out, syms), coder
+
+
+def test_encode_validates_inputs():
+    symbols, cdf = _workload(500, seed=33)
+    with pytest.raises(ValueError, match="num_blocks"):
+        parallel.encode(symbols, cdf, cfg=CFG, num_blocks=0)
+    with pytest.raises(ValueError, match="cdf"):
+        # precision-12 config with a truncated cdf (cdf[-1] != 2**12)
+        parallel.encode(symbols, cdf[:-1], cfg=CFG, num_blocks=2)
+    bad = symbols.copy()
+    bad[3] = len(cdf) - 1  # one past the top symbol
+    with pytest.raises(ValueError, match="symbols must be in"):
+        parallel.encode(bad, cdf, cfg=CFG, num_blocks=2)
+    bad[3] = -1
+    with pytest.raises(ValueError, match="symbols must be in"):
+        parallel.encode(bad, cdf, cfg=CFG, num_blocks=2)
+
+
+def test_decode_validates_cdf_and_container():
+    symbols, cdf = _workload(500, seed=34)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=2, device=False)
+    with pytest.raises(ValueError, match="cdf"):
+        parallel.decode(cont, cdf[:-1], device=False)
+    with pytest.raises(ValueError, match="truncated or oversized"):
+        parallel.decode(cont[:-3], cdf, device=False)
+    bad = cont.copy()
+    bad[2] |= np.uint32(2 << 24)  # unknown coder id
+    with pytest.raises(ValueError, match="unknown coder id"):
+        parallel.decode(bad, cdf, device=False)
+
+
+def test_padding_avoids_zero_probability_symbol():
+    """A model whose symbol 0 has zero probability must still produce a
+    correct container when the message needs padding (the pad symbol is the
+    first symbol with nonzero mass)."""
+    cdf = np.array([0, 0, 1000, 3000, 1 << 12], dtype=np.uint32)
+    symbols = np.array([1, 2, 3, 2, 1, 3, 2], dtype=np.int64)  # 7 % 2 != 0
+    for device in (False, True):
+        cont = parallel.encode(
+            symbols, cdf, cfg=CFG, num_blocks=2, device=device
+        )
+        out = parallel.decode(cont, cdf, device=device)
+        assert np.array_equal(out, symbols), f"device={device}"
