@@ -353,7 +353,19 @@ def _stack_streams(streams, R):
     return arr, rows
 
 
-def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+# The four coder variants (rANS / range x 32-bit / DEFAULT-preset 64-bit)
+# share one SPMD driver each for encode and decode; they differ only in the
+# per-block kernel call, the number of u32 state planes (S <= 32 stores one
+# plane, S = 64 stores (hi, lo)), and whether the kernel reports an
+# invalid-data flag (range decoders only -- rANS decode is total).
+
+
+def _encode_blocks_generic(padded, cfg, B, block_len, mesh, make_encode_one,
+                           n_state_planes, cap_rows_of):
+    """Shared SPMD encode driver: shard blocks over the mesh, run the
+    per-block kernel, all_gather the results in block order (rides ICI in a
+    slice / DCN across hosts).  ``make_encode_one(geometry)`` returns a
+    per-block function ``s -> (*state_planes, buf, end)``."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -361,13 +373,10 @@ def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
     from ..ops import pallas_coder as pc
     from .sharding import BLOCK_AXIS
 
-    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc._build_encoder(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
-        interpret,
-    )
+    geom = _device_geometry(B, cfg, block_len, mesh)
+    mesh, D, interpret, L, R, T, tail, cap_rows = geom
+    cap_rows = cap_rows_of(geom)
+    encode_one = make_encode_one(geom)
     pad = T * L - block_len
     bpd = B // D  # blocks per device
 
@@ -377,397 +386,291 @@ def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
             s = syms_b[0, i]
             if pad:
                 s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
-            buf, states, end = fn_k(s.reshape(T, R, pc.LANES))
-            outs.append((states.reshape(-1), buf.reshape(-1), end))
-        states = jnp.stack([o[0] for o in outs])
-        bufs = jnp.stack([o[1] for o in outs])
-        ends = jnp.stack([o[2] for o in outs])
-        # in-order collective gather: every device ends up with the full
-        # container pieces (rides ICI in a slice / DCN across hosts)
-        return (
-            jax.lax.all_gather(states, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
-            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+            outs.append(encode_one(s.reshape(T, R, pc.LANES)))
+        stacked = [jnp.stack([o[k] for o in outs])
+                   for k in range(n_state_planes + 2)]
+        gathered = [jax.lax.all_gather(x, BLOCK_AXIS) for x in stacked]
+        return tuple(
+            [g.reshape(B, L) for g in gathered[:n_state_planes]]
+            + [gathered[n_state_planes].reshape(B, -1),
+               gathered[n_state_planes + 1].reshape(B, 2)]
         )
 
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=(P(BLOCK_AXIS),),
-        out_specs=(P(), P(), P()),
+        out_specs=tuple(P() for _ in range(n_state_planes + 2)),
         check_vma=False,
     )
     syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
-    states, bufs, ends = (np.asarray(x) for x in fn(syms))
+    results = [np.asarray(x) for x in fn(syms)]
+    planes, bufs, ends = (
+        results[:n_state_planes], results[n_state_planes],
+        results[n_state_planes + 1],
+    )
+    if n_state_planes == 2:  # (hi, lo) -> u64
+        states = (planes[0].astype(np.uint64) << np.uint64(32)) | (
+            planes[1].astype(np.uint64)
+        )
+    else:
+        states = planes[0]
     streams = [
         bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
     ]
     return states, streams
+
+
+def _decode_blocks_generic(state_planes, streams, cfg, block_len, mesh,
+                           make_decode_one, has_bad):
+    """Shared SPMD decode driver: ``make_decode_one(geometry)`` returns a
+    per-block function ``(*plane_slices, stream) -> (syms, bad-or-None)``;
+    ``state_planes`` is a list of [B, L] u32 arrays."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops import pallas_coder as pc
+    from .sharding import BLOCK_AXIS
+
+    B = len(streams)
+    geom = _device_geometry(B, cfg, block_len, mesh)
+    mesh, D, interpret, L, R, T, tail, _cap = geom
+    decode_one = make_decode_one(geom)
+    streams_arr, rows = _stack_streams(streams, R)
+    bpd = B // D
+    n_planes = len(state_planes)
+
+    def per_device(*args):
+        plane_bs, stream_b = args[:n_planes], args[n_planes]
+        outs, bads = [], []
+        for i in range(bpd):
+            syms, bad = decode_one(
+                *[pb[0, i].reshape(R, pc.LANES) for pb in plane_bs],
+                stream_b[0, i],
+            )
+            outs.append(syms.reshape(-1)[:block_len])
+            if has_bad:
+                bads.append(bad[:1])
+        if has_bad:
+            return jnp.stack(outs)[None], jnp.stack(bads)[None]
+        return jnp.stack(outs)[None]
+
+    fn = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=tuple(P(BLOCK_AXIS) for _ in range(n_planes + 1)),
+        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)) if has_bad
+        else P(BLOCK_AXIS),
+        check_vma=False,
+    )
+    res = fn(
+        *[jnp.asarray(pl.reshape(D, bpd, L)) for pl in state_planes],
+        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
+    )
+    if has_bad:
+        out, bad = res
+        if int(np.asarray(bad).max()):
+            raise ValueError(
+                "compressed data inconsistent with the entropy model "
+                "(quantile >= 2^precision)"
+            )
+    else:
+        out = res
+    return np.asarray(out).reshape(-1)
+
+
+def _split_u64(states):
+    st = np.asarray(states, dtype=np.uint64)
+    return [(st >> np.uint64(32)).astype(np.uint32),
+            (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)]
+
+
+def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+    from ..ops import pallas_coder as pc
+
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
+
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, cap_rows = geom
+        fn_k = pc._build_encoder(cdf_t, cfg, T, tail, L, cap_rows, interpret)
+
+        def encode_one(s3):
+            buf, states, end = fn_k(s3)
+            return states.reshape(-1), buf.reshape(-1), end
+
+        return encode_one
+
+    return _encode_blocks_generic(
+        padded, cfg, B, block_len, mesh, make, 1, lambda g: g[7]
+    )
 
 
 def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
     from ..ops import pallas_coder as pc
-    from .sharding import BLOCK_AXIS
 
-    B = len(streams)
-    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc._build_decoder(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
-    )
-    streams_arr, rows = _stack_streams(streams, R)
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def per_device(st_b, stream_b):
-        outs = []
-        for i in range(bpd):
-            syms, _ = fn_k(st_b[0, i].reshape(R, pc.LANES), stream_b[0, i])
-            outs.append(syms.reshape(-1)[:block_len])
-        return jnp.stack(outs)[None]
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        fn_k = pc._build_decoder(cdf_t, cfg, T, tail, L, interpret)
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=P(BLOCK_AXIS),
-        check_vma=False,
+        def decode_one(st, stream):
+            syms, _ = fn_k(st, stream)
+            return syms, None
+
+        return decode_one
+
+    return _decode_blocks_generic(
+        [np.asarray(states, np.uint32)], streams, cfg, block_len, mesh,
+        make, has_bad=False,
     )
-    out = fn(
-        jnp.asarray(states.reshape(D, bpd, L)),
-        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
-    )
-    return np.asarray(out).reshape(-1)
 
 
 def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh):
-    """Default-preset (S=64) twin of :func:`_encode_blocks_device`: the
-    ILANS2-64 encoder per block, lane states gathered as (hi, lo) planes."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from ..ops import pallas_coder as pc
+    """Default-preset (S=64) twin: ILANS2-64 encoder per block, lane states
+    gathered as (hi, lo) planes and repacked to u64."""
     from ..ops import pallas_coder64 as pc64
-    from .sharding import BLOCK_AXIS
 
-    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc64._build_encoder64(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
-        interpret,
-    )
-    pad = T * L - block_len
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def per_device(syms_b):
-        outs = []
-        for i in range(bpd):
-            s = syms_b[0, i]
-            if pad:
-                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
-            buf, hi, lo, end = fn_k(s.reshape(T, R, pc.LANES))
-            outs.append((hi.reshape(-1), lo.reshape(-1), buf.reshape(-1), end))
-        his = jnp.stack([o[0] for o in outs])
-        los = jnp.stack([o[1] for o in outs])
-        bufs = jnp.stack([o[2] for o in outs])
-        ends = jnp.stack([o[3] for o in outs])
-        return (
-            jax.lax.all_gather(his, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(los, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
-            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, cap_rows = geom
+        fn_k = pc64._build_encoder64(
+            cdf_t, cfg, T, tail, L, cap_rows, interpret
         )
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
+        def encode_one(s3):
+            buf, hi, lo, end = fn_k(s3)
+            return hi.reshape(-1), lo.reshape(-1), buf.reshape(-1), end
+
+        return encode_one
+
+    return _encode_blocks_generic(
+        padded, cfg, B, block_len, mesh, make, 2, lambda g: g[7]
     )
-    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
-    his, los, bufs, ends = (np.asarray(x) for x in fn(syms))
-    states = (his.astype(np.uint64) << np.uint64(32)) | los.astype(np.uint64)
-    streams = [
-        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
-    ]
-    return states, streams
 
 
 def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from ..ops import pallas_coder as pc
     from ..ops import pallas_coder64 as pc64
-    from .sharding import BLOCK_AXIS
 
-    B = len(streams)
-    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc64._build_decoder64(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
-    )
-    streams_arr, rows = _stack_streams(streams, R)
-    st = np.asarray(states, dtype=np.uint64)
-    his = (st >> np.uint64(32)).astype(np.uint32)
-    los = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def per_device(hi_b, lo_b, stream_b):
-        outs = []
-        for i in range(bpd):
-            syms, _hi, _lo = fn_k(
-                hi_b[0, i].reshape(R, pc.LANES),
-                lo_b[0, i].reshape(R, pc.LANES),
-                stream_b[0, i],
-            )
-            outs.append(syms.reshape(-1)[:block_len])
-        return jnp.stack(outs)[None]
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        fn_k = pc64._build_decoder64(cdf_t, cfg, T, tail, L, interpret)
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=P(BLOCK_AXIS),
-        check_vma=False,
+        def decode_one(hi, lo, stream):
+            syms, _hi, _lo = fn_k(hi, lo, stream)
+            return syms, None
+
+        return decode_one
+
+    return _decode_blocks_generic(
+        _split_u64(states), streams, cfg, block_len, mesh, make,
+        has_bad=False,
     )
-    out = fn(
-        jnp.asarray(his.reshape(D, bpd, L)),
-        jnp.asarray(los.reshape(D, bpd, L)),
-        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
-    )
-    return np.asarray(out).reshape(-1)
 
 
 def _encode_blocks_device_range(padded, cdf, cfg, B, block_len, mesh):
-    """Range-coder (ILANS2-R) twin of :func:`_encode_blocks_device`: the
-    two-phase Pallas range encoder per block, with the closed-form per-lane
-    seal (queue.rs:458-523) computed in jnp between the phases so the whole
-    mesh step stays one SPMD program."""
-    import jax
+    """Range-coder (ILANS2-R) variant: the two-phase Pallas range encoder
+    per block, with the closed-form per-lane seal (queue.rs:458-523)
+    computed in jnp between the phases so the whole mesh step stays one
+    SPMD program."""
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
-    from ..ops import pallas_coder as pc
     from ..ops import pallas_range_enc as pre
-    from .sharding import BLOCK_AXIS
 
-    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
-        B, cfg, block_len, mesh
-    )
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
     S, W = cfg.state_bits, cfg.word_bits
-    rec_fn = pre._build_range_recorder(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
+
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        rec_fn = pre._build_range_recorder(cdf_t, cfg, T, tail, L, interpret)
+        res_fn = pre._build_range_resolver(T, L, interpret)
+
+        def encode_one(s3):
+            records, low_f, rng_f = rec_fn(s3)
+            s0, seal_carry = pre.seal32(jnp, low_f, rng_f, S, W)
+            buf, hdr, end = res_fn(records, s0, seal_carry)
+            return hdr.reshape(-1), buf.reshape(-1), end
+
+        return encode_one
+
+    return _encode_blocks_generic(
+        padded, cfg, B, block_len, mesh, make, 1, lambda g: g[7]
     )
-    res_fn = pre._build_range_resolver(T, L, interpret)
-    pad = T * L - block_len
-    bpd = B // D
-
-    def encode_one(s):
-        records, low_f, rng_f = rec_fn(s.reshape(T, R, pc.LANES))
-        s0, seal_carry = pre.seal32(jnp, low_f, rng_f, S, W)
-        buf, hdr, end = res_fn(records, s0, seal_carry)
-        return hdr.reshape(-1), buf.reshape(-1), end
-
-    def per_device(syms_b):
-        outs = []
-        for i in range(bpd):
-            s = syms_b[0, i]
-            if pad:
-                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
-            outs.append(encode_one(s))
-        pts = jnp.stack([o[0] for o in outs])
-        bufs = jnp.stack([o[1] for o in outs])
-        ends = jnp.stack([o[2] for o in outs])
-        return (
-            jax.lax.all_gather(pts, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
-            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
-        )
-
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),),
-        out_specs=(P(), P(), P()),
-        check_vma=False,
-    )
-    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
-    pts, bufs, ends = (np.asarray(x) for x in fn(syms))
-    streams = [
-        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
-    ]
-    return pts, streams
 
 
 def _encode_blocks_device_range64(padded, cdf, cfg, B, block_len, mesh):
-    """Default-preset (ILANS2-R64) twin: u32-pair lane registers, point
+    """Default-preset (ILANS2-R64) variant: u32-pair lane registers, point
     headers gathered as (hi, lo) planes and repacked to u64."""
-    import jax
     import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
 
-    from ..ops import pallas_coder as pc
     from ..ops import pallas_range_enc as pre
-    from .sharding import BLOCK_AXIS
 
-    mesh, D, interpret, L, R, T, tail, cap_rows = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    rec_fn = pre._build_range_recorder64(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
-    )
-    res_fn = pre._build_range_resolver64(T, L, interpret)
-    pad = T * L - block_len
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def encode_one(s):
-        records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(
-            s.reshape(T, R, pc.LANES)
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        rec_fn = pre._build_range_recorder64(
+            cdf_t, cfg, T, tail, L, interpret
         )
-        s0, seal_carry = pre.seal64_limbs(jnp, lhi_f, llo_f, rhi_f, rlo_f)
-        buf, hdr_hi, hdr_lo, end = res_fn(records, flags, s0, seal_carry)
-        return hdr_hi.reshape(-1), hdr_lo.reshape(-1), buf.reshape(-1), end
+        res_fn = pre._build_range_resolver64(T, L, interpret)
 
-    def per_device(syms_b):
-        outs = []
-        for i in range(bpd):
-            s = syms_b[0, i]
-            if pad:
-                s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
-            outs.append(encode_one(s))
-        his = jnp.stack([o[0] for o in outs])
-        los = jnp.stack([o[1] for o in outs])
-        bufs = jnp.stack([o[2] for o in outs])
-        ends = jnp.stack([o[3] for o in outs])
-        return (
-            jax.lax.all_gather(his, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(los, BLOCK_AXIS).reshape(B, L),
-            jax.lax.all_gather(bufs, BLOCK_AXIS).reshape(B, -1),
-            jax.lax.all_gather(ends, BLOCK_AXIS).reshape(B, 2),
-        )
+        def encode_one(s3):
+            records, flags, lhi_f, llo_f, rhi_f, rlo_f = rec_fn(s3)
+            s0, seal_carry = pre.seal64_limbs(
+                jnp, lhi_f, llo_f, rhi_f, rlo_f
+            )
+            buf, hdr_hi, hdr_lo, end = res_fn(records, flags, s0, seal_carry)
+            return (hdr_hi.reshape(-1), hdr_lo.reshape(-1),
+                    buf.reshape(-1), end)
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),),
-        out_specs=(P(), P(), P(), P()),
-        check_vma=False,
+        return encode_one
+
+    return _encode_blocks_generic(
+        padded, cfg, B, block_len, mesh, make, 2, lambda g: g[7]
     )
-    syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
-    his, los, bufs, ends = (np.asarray(x) for x in fn(syms))
-    points = (his.astype(np.uint64) << np.uint64(32)) | los.astype(np.uint64)
-    streams = [
-        bufs[b, ends[b, 0] : cap_rows * pc.LANES].copy() for b in range(B)
-    ]
-    return points, streams
 
 
 def _decode_blocks_device_range(states, streams, cdf, cfg, block_len, mesh):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
     from ..ops import pallas_coder as pc
-    from .sharding import BLOCK_AXIS
 
-    B = len(streams)
-    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc._build_range_decoder(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
-    )
-    streams_arr, rows = _stack_streams(streams, R)
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def per_device(pt_b, stream_b):
-        outs, bads = [], []
-        for i in range(bpd):
-            syms, _pts, bad = fn_k(
-                pt_b[0, i].reshape(R, pc.LANES), stream_b[0, i]
-            )
-            outs.append(syms.reshape(-1)[:block_len])
-            bads.append(bad[:1])
-        return jnp.stack(outs)[None], jnp.stack(bads)[None]
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        fn_k = pc._build_range_decoder(cdf_t, cfg, T, tail, L, interpret)
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_vma=False,
+        def decode_one(pts, stream):
+            syms, _pts, bad = fn_k(pts, stream)
+            return syms, bad
+
+        return decode_one
+
+    return _decode_blocks_generic(
+        [np.asarray(states, np.uint32)], streams, cfg, block_len, mesh,
+        make, has_bad=True,
     )
-    out, bad = fn(
-        jnp.asarray(states.reshape(D, bpd, L)),
-        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
-    )
-    if int(np.asarray(bad).max()):
-        raise ValueError(
-            "compressed data inconsistent with the entropy model "
-            "(quantile >= 2^precision)"
-        )
-    return np.asarray(out).reshape(-1)
 
 
 def _decode_blocks_device_range64(states, streams, cdf, cfg, block_len, mesh):
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import PartitionSpec as P
-
-    from ..ops import pallas_coder as pc
     from ..ops import pallas_coder64 as pc64
-    from .sharding import BLOCK_AXIS
 
-    B = len(streams)
-    mesh, D, interpret, L, R, T, tail, _cap = _device_geometry(
-        B, cfg, block_len, mesh
-    )
-    fn_k = pc64._build_range_decoder64(
-        tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret
-    )
-    streams_arr, rows = _stack_streams(streams, R)
-    st = np.asarray(states, dtype=np.uint64)
-    his = (st >> np.uint64(32)).astype(np.uint32)
-    los = (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    bpd = B // D
+    cdf_t = tuple(int(x) for x in np.asarray(cdf))
 
-    def per_device(hi_b, lo_b, stream_b):
-        outs, bads = [], []
-        for i in range(bpd):
-            syms, _phi, _plo, bad = fn_k(
-                hi_b[0, i].reshape(R, pc.LANES),
-                lo_b[0, i].reshape(R, pc.LANES),
-                stream_b[0, i],
-            )
-            outs.append(syms.reshape(-1)[:block_len])
-            bads.append(bad[:1])
-        return jnp.stack(outs)[None], jnp.stack(bads)[None]
+    def make(geom):
+        _mesh, _D, interpret, L, _R, T, tail, _cap = geom
+        fn_k = pc64._build_range_decoder64(cdf_t, cfg, T, tail, L, interpret)
 
-    fn = jax.shard_map(
-        per_device,
-        mesh=mesh,
-        in_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)),
-        check_vma=False,
+        def decode_one(hi, lo, stream):
+            syms, _phi, _plo, bad = fn_k(hi, lo, stream)
+            return syms, bad
+
+        return decode_one
+
+    return _decode_blocks_generic(
+        _split_u64(states), streams, cfg, block_len, mesh, make,
+        has_bad=True,
     )
-    out, bad = fn(
-        jnp.asarray(his.reshape(D, bpd, L)),
-        jnp.asarray(los.reshape(D, bpd, L)),
-        jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
-    )
-    if int(np.asarray(bad).max()):
-        raise ValueError(
-            "compressed data inconsistent with the entropy model "
-            "(quantile >= 2^precision)"
-        )
-    return np.asarray(out).reshape(-1)
