@@ -232,7 +232,11 @@ def decode_shared_cdf(
         m = states < lower
         k = int(m.sum())
         if k:
-            words = stream[base : base + k].astype(np.uint64)
+            # zero-fill a truncated stream (same degradation as the range
+            # twin below) instead of a numpy broadcast crash
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base : base + k]
+            words[: len(avail)] = avail
             states[m] = (states[m] << np.uint64(W)) | words
             base += k
         out[idx] = sym
@@ -347,6 +351,9 @@ def decode_shared_range_cdf(
                 "Tried to decode data that is inconsistent with the entropy "
                 f"model (quantile >= 2**precision at symbol {int(idx[bad][0])})."
             )
+        # inactive (padding) lanes may hold garbage points in a corrupt
+        # container; clamp them so searchsorted cannot land past the table
+        q = np.where(active, q, np.uint64(0))
         sym = np.searchsorted(cdf64, q, side="right") - 1
         cum = cdf64[sym]
         prob = cdf64[sym + 1] - cum
@@ -374,7 +381,7 @@ def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig, device: bool = F
     """``device=True`` runs the Pallas two-phase range encoder (bit-exact
     with the host C++ path)."""
     symbols = np.asarray(symbols, dtype=np.int64)
-    if device and _pallas_eligible(cfg, len(cdf) - 1):
+    if device and _pallas_eligible(cfg):
         from . import pallas_range_enc as pre
 
         if cfg.state_bits == 64:
@@ -475,7 +482,7 @@ def unpack_container2(data: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, La
     return init_states, stream[:stream_len], num_symbols, cfg
 
 
-def _pallas_eligible(cfg: LaneConfig, num_boundaries: int) -> bool:
+def _pallas_eligible(cfg: LaneConfig) -> bool:
     """The Pallas kernels cover W=16/S=32 up to P=16 (the model-inversion
     auto dispatcher handles every alphabet size: packed/segtree/bitmap/
     segmented forms) and the default-preset sizes W=32/S=64 up to P=24
@@ -498,7 +505,7 @@ def encode_iid_categorical2(
     the default is the host (C++/numpy) path.
     """
     symbols = np.asarray(symbols, dtype=np.int64)
-    if device and _pallas_eligible(cfg, len(cdf) - 1):
+    if device and _pallas_eligible(cfg):
         if cfg.state_bits == 64:
             from . import pallas_coder64 as pc64
 
@@ -523,7 +530,7 @@ def decode_iid_categorical2(
     """Decode an ILANS2 container; ``device=True`` uses the Pallas TPU
     kernel (identical output), the default the host oracle."""
     init_states, stream, n, cfg = unpack_container2(data)
-    if device and _pallas_eligible(cfg, len(cdf) - 1):
+    if device and _pallas_eligible(cfg):
         if cfg.state_bits == 64:
             from . import pallas_coder64 as pc64
 
@@ -612,7 +619,11 @@ def build_checkpoints(
         m = states < lower
         k = int(m.sum())
         if k:
-            words = stream[base : base + k].astype(np.uint64)
+            # zero-fill a truncated stream (same degradation as the range
+            # twin below) instead of a numpy broadcast crash
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base : base + k]
+            words[: len(avail)] = avail
             states[m] = (states[m] << np.uint64(W)) | words
             base += k
     return offsets, states_out
@@ -640,7 +651,7 @@ def decode_from_checkpoint(
     if remaining <= 0:
         return start, np.zeros(0, dtype=np.int64)
     sub_stream = stream[int(offsets[ckpt_index]) :]
-    if device and _pallas_eligible(cfg, len(cdf) - 1):
+    if device and _pallas_eligible(cfg):
         if cfg.state_bits == 64:
             from . import pallas_coder64 as pc64
 

@@ -117,6 +117,7 @@ def tchain_encode_host(
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     n = len(symbols)
+    assert n % L == 0
     T = n // L
     cdf64 = np.asarray(cdf, dtype=np.uint64)
 
@@ -338,6 +339,11 @@ def tchain_decode_pallas(quantiles, cdf, cfg: LaneConfig = TCHAIN_CFG,
     n = len(q)
     assert n % L == 0 and L % 256 == 0
     T = n // L
+    if T == 0:
+        # match tchain_decode_host on the empty message: no remainders,
+        # heads at the seed value 1 (S - W - P = 0)
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint32),
+                np.ones(L, np.uint32))
     R = L // LANES
     cap_rows = T * R + 1
     qw = jnp.asarray(pack_quantiles(q, L))
@@ -364,6 +370,9 @@ def tchain_encode_pallas(symbols, remainders, heads, cdf,
     n = len(symbols)
     assert n % L == 0
     T = n // L
+    if T == 0:
+        return (np.zeros(0, np.uint16),
+                np.asarray(heads, np.uint32).reshape(-1).copy())
     R = L // LANES
     syms3d = jnp.asarray(symbols).reshape(T, R, LANES)
     heads2d = jnp.asarray(np.asarray(heads, dtype=np.uint32)).reshape(R, LANES)
@@ -399,25 +408,11 @@ def pack_q12(q: np.ndarray, L: int) -> np.ndarray:
 
 
 def unpack_q12(w: np.ndarray, xp=np):
-    """[T, 3R/8, 128] -> [T, R, 128] u32 quantile values (12-bit)."""
+    """[T, 3R/8, 128] -> [T, R, 128] u32 quantile values (12-bit); the
+    per-T broadcast of _unpack_q12_block (single implementation of the
+    field extraction)."""
     T, rows, _ = w.shape
-    g = w.reshape(T, rows // 3, 3, 128)
-    w0, w1, w2 = g[:, :, 0], g[:, :, 1], g[:, :, 2]
-    m = np.uint32(_M12)
-    q = xp.stack(
-        [
-            w0 & m,
-            (w0 >> 12) & m,
-            (w0 >> 24) | ((w1 & np.uint32(0xF)) << 8),
-            (w1 >> 4) & m,
-            (w1 >> 16) & m,
-            (w1 >> 28) | ((w2 & np.uint32(0xFF)) << 4),
-            (w2 >> 8) & m,
-            w2 >> 20,
-        ],
-        axis=2,
-    )  # [T, R/8, 8, 128]
-    return q.reshape(T, -1, 128)
+    return _unpack_q12_block(xp, w.reshape(T * rows, 128)).reshape(T, -1, 128)
 
 
 def _unpack_q12_block(xp, wblk):
@@ -514,6 +509,7 @@ def tchain12_family_encode_host(symbols, remainders, heads, means, scales,
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     n = len(symbols)
+    assert n % L == 0
     T = n // L
     free = (1 << P) - 1 - (max_sym - min_sym)
     left = pf._left_fn(family, min_sym, P, free)
@@ -778,10 +774,20 @@ def tchain12_family_decode_pallas(quantiles, means, scales, family,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
+    assert max_sym > min_sym, (
+        "degenerate single-symbol support: _invert_family's min-pin breaks "
+        "when min_sym == max_sym (the only symbol needs no bits anyway)"
+    )
     q = np.asarray(quantiles, dtype=np.uint16)
     n = len(q)
     assert n % L == 0 and L % 1024 == 0
+    if not (q < (1 << 12)).all():
+        raise ValueError("quantiles must be 12-bit values")
     T = n // L
+    if T == 0:
+        # heads at the seed 2^(S-W-P) = 16, matching the host oracle
+        return (np.zeros(0, np.int32), np.zeros(0, np.uint32),
+                np.full(L, 16, np.uint32))
     R = L // LANES
     cap_rows = T * R + 1
     qw = jnp.asarray(pack_q12(q, L))
@@ -807,9 +813,17 @@ def tchain12_family_encode_pallas(symbols, remainders, heads, means, scales,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
+    assert max_sym > min_sym, (
+        "degenerate single-symbol support: _invert_family's min-pin breaks "
+        "when min_sym == max_sym"
+    )
     symbols = np.asarray(symbols, dtype=np.int32)
     n = len(symbols)
+    assert n % L == 0
     T = n // L
+    if T == 0:
+        return (np.zeros(0, np.uint16),
+                np.asarray(heads, np.uint32).reshape(-1).copy())
     R = L // LANES
     syms3d = jnp.asarray(symbols).reshape(T, R, LANES)
     m3 = pf._blocks3d(means, T, R, n, jnp.float32)
@@ -858,21 +872,11 @@ def pack_q24(q: np.ndarray, L: int) -> np.ndarray:
 
 
 def unpack_q24(w: np.ndarray, xp=np):
-    """[T, 3R/4, 128] -> [T, R, 128] u32 quantile values (24-bit)."""
+    """[T, 3R/4, 128] -> [T, R, 128] u32 quantile values (24-bit); the
+    per-T broadcast of _unpack_q24_block (single implementation of the
+    field extraction)."""
     T, rows, _ = w.shape
-    g = w.reshape(T, rows // 3, 3, 128)
-    w0, w1, w2 = g[:, :, 0], g[:, :, 1], g[:, :, 2]
-    m = np.uint32(_M24)
-    q = xp.stack(
-        [
-            w0 & m,
-            (w0 >> 24) | ((w1 & np.uint32(0xFFFF)) << 8),
-            (w1 >> 16) | ((w2 & np.uint32(0xFF)) << 16),
-            w2 >> 8,
-        ],
-        axis=2,
-    )  # [T, R/4, 4, 128]
-    return q.reshape(T, -1, 128)
+    return _unpack_q24_block(xp, w.reshape(T * rows, 128)).reshape(T, -1, 128)
 
 
 def _unpack_q24_block(xp, wblk):
@@ -956,6 +960,7 @@ def tchain24_encode_host(
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     assert (S, W, P) == (64, 32, 24)
     n = len(symbols)
+    assert n % L == 0
     T = n // L
     cdf64 = np.asarray(cdf, dtype=np.uint64)
 

@@ -246,7 +246,7 @@ def encode(
         import jax
 
         device = jax.default_backend() == "tpu" or mesh is not None
-    if device and il2._pallas_eligible(cfg, len(cdf) - 1):
+    if device and il2._pallas_eligible(cfg):
         if coder_id == CODER_RANGE:
             enc_dev = (_encode_blocks_device_range64 if cfg.state_bits > 32
                        else _encode_blocks_device_range)
@@ -288,7 +288,7 @@ def decode(
         import jax
 
         device = jax.default_backend() == "tpu" or mesh is not None
-    if device and il2._pallas_eligible(cfg, len(cdf) - 1):
+    if device and il2._pallas_eligible(cfg):
         if coder_id == CODER_RANGE:
             dec_dev = (_decode_blocks_device_range64 if cfg.state_bits > 32
                        else _decode_blocks_device_range)

@@ -306,3 +306,28 @@ def test_ilans2_container_format_is_pinned():
     got = hashlib.sha256(arr.tobytes()).hexdigest()[:16]
     assert got == "4e2267c5a0e2ee9e", f"container bytes changed ({got})"
     assert np.array_equal(il2.decode_iid_categorical2(data, m.cdf), syms)
+
+
+def test_range_decode_ignores_garbage_in_inactive_lanes():
+    """A corrupt point in a padding (inactive) lane must not crash the
+    numpy fallback (searchsorted past the table end); active symbols still
+    decode correctly."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("needs the native codec")
+    rng = np.random.RandomState(8)
+    _, probs, model = _make(seed=8)
+    cfg = LaneConfig(num_lanes=64, word_bits=16, state_bits=32, precision=12)
+    n = 32  # only half the lanes carry a symbol
+    syms = rng.choice(100, size=n, p=probs).astype(np.int64)
+    cdf64 = model.cdf.astype(np.uint64)
+    pts, stream = il2.encode_shared_range(
+        cdf64[syms].astype(np.uint32),
+        (cdf64[syms + 1] - cdf64[syms]).astype(np.uint32),
+        cfg,
+    )
+    pts = np.asarray(pts, np.uint64).copy()
+    pts[40] = 0xFFFFFFFF  # garbage in an inactive lane
+    out = il2.decode_shared_range_cdf(pts, stream, n, model.cdf, cfg)
+    assert np.array_equal(out, syms)

@@ -148,3 +148,48 @@ def test_pack_q24_roundtrip():
     q = rng.randint(0, 1 << 24, size=512 * 8).astype(np.uint32)
     w = tchain.pack_q24(q, 512)
     np.testing.assert_array_equal(tchain.unpack_q24(w).reshape(-1), q)
+
+
+def test_entry_point_guards():
+    """Misuse guards added after review: empty messages return spec values
+    (seeded heads, empty streams) instead of uninitialized kernel output;
+    ragged lengths and oversized quantiles are rejected up front."""
+    rng = np.random.RandomState(77)
+    probs = rng.dirichlet(np.ones(20))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 16
+    )
+    cfg = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=16)
+    cdf = model.cdf
+
+    # T == 0: decode returns (empty, empty, seed heads); encode echoes heads
+    syms, rem, heads = tchain.tchain_decode_pallas(
+        np.zeros(0, np.uint16), cdf, cfg
+    )
+    assert len(syms) == 0 and len(rem) == 0 and np.all(heads == 1)
+    q, h = tchain.tchain_encode_pallas(
+        np.zeros(0, np.int32), rem, heads, cdf, cfg
+    )
+    assert len(q) == 0 and np.all(h == 1)
+
+    # ragged host encode is rejected (decode already was)
+    with pytest.raises(AssertionError):
+        tchain.tchain_encode_host(
+            np.zeros(300, np.int64), np.zeros(0, np.uint32),
+            np.ones(256, np.uint32), cdf, cfg,
+        )
+
+    # tchain12 family: oversized quantiles rejected; empty message seeds 16
+    cfg12 = LaneConfig(num_lanes=1024, word_bits=16, state_bits=32, precision=12)
+    means = np.zeros(1024, np.float32)
+    scales = np.ones(1024, np.float32)
+    bad_q = np.full(1024, 1 << 12, np.uint16)
+    with pytest.raises(ValueError, match="12-bit"):
+        tchain.tchain12_family_decode_pallas(
+            bad_q, means, scales, "gaussian", -100, 100, cfg12
+        )
+    s0, r0, h0 = tchain.tchain12_family_decode_pallas(
+        np.zeros(0, np.uint16), np.zeros(0, np.float32),
+        np.zeros(0, np.float32), "gaussian", -100, 100, cfg12
+    )
+    assert len(s0) == 0 and len(r0) == 0 and np.all(h0 == 16)
