@@ -210,7 +210,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         u32p, u32p, c.c_int64, c.c_int32, c.c_int32,
         c.c_int32, c.c_int32, c.c_int32, u32p, u32p,
     ]
-    lib.ctpu_ilans2_range_decode_lookup.restype = None
+    lib.ctpu_ilans2_range_decode_lookup.restype = c.c_int64
     lib.ctpu_ilans2_range_decode_lookup.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,
         u32p, u32p, c.c_int32, c.c_int32, c.c_int32, i32p,

@@ -26,6 +26,53 @@
 #include <omp.h>
 #endif
 
+// One range-coder symbol step -- interval update, deferred-carry (Inverted
+// run) resolution, renormalization (queue.rs:126-142, 647-702).  THE single
+// implementation of the subtlest logic in the codec, shared by the scalar
+// coder (ctpu_range_encode) and the ILANS2-R per-lane encoder; EmitWord is
+// any void(uint32_t) sink.  Returns true when a renorm word event occurred.
+template <typename EmitWord>
+static inline bool range_encode_step(
+    uint64_t& lower, uint64_t& range, uint64_t& num_inverted,
+    uint32_t& first_inverted, uint32_t cum, uint32_t prob,
+    uint64_t word_mask, int32_t top_shift, uint64_t state_mask,
+    uint64_t lower_bound, int32_t word_bits, int32_t precision,
+    EmitWord emit)
+{
+    uint64_t scale = range >> precision;
+    range = scale * prob;
+    uint64_t new_lower = (lower + scale * (uint64_t)cum) & state_mask;
+    if (num_inverted != 0 && ((new_lower + range) & state_mask) > new_lower) {
+        uint32_t first, consecutive;
+        if (new_lower < lower) {
+            first = (uint32_t)((first_inverted + 1) & word_mask);
+            consecutive = 0;
+        } else {
+            first = first_inverted;
+            consecutive = (uint32_t)word_mask;
+        }
+        emit(first);
+        for (uint64_t k = 1; k < num_inverted; k++) emit(consecutive);
+        num_inverted = 0;
+    }
+    lower = new_lower;
+    if (range < lower_bound) {
+        range = (range << word_bits) & state_mask;
+        uint32_t lower_word = (uint32_t)(lower >> top_shift);
+        lower = (lower << word_bits) & state_mask;
+        if (num_inverted != 0) {
+            num_inverted += 1;
+        } else if (((lower + range) & state_mask) > lower) {
+            emit(lower_word);
+        } else {
+            num_inverted = 1;
+            first_inverted = lower_word;
+        }
+        return true;
+    }
+    return false;
+}
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -150,7 +197,11 @@ int32_t ctpu_quantized_ecp(
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         int32_t s = symbols[i];
-        if (s < min_sym || s > max_sym) { err = -1; continue; }
+        if (s < min_sym || s > max_sym) {
+#pragma omp atomic write
+            err = -1;
+            continue;
+        }
         uint32_t slack = (uint32_t)(s - min_sym);
         uint32_t left = (s == min_sym)
             ? 0u
@@ -175,7 +226,11 @@ int32_t ctpu_binomial_ecp(
     for (int64_t i = 0; i < n; i++) {
         int32_t s = symbols[i];
         int32_t max_sym = ns[i];
-        if (s < 0 || s > max_sym || max_sym < 1) { err = -1; continue; }
+        if (s < 0 || s > max_sym || max_sym < 1) {
+#pragma omp atomic write
+            err = -1;
+            continue;
+        }
         double free_weight = (double)(((1ull << precision) - 1) - (uint64_t)max_sym);
         uint32_t slack = (uint32_t)s;
         uint32_t left = (s == 0)
@@ -221,7 +276,10 @@ int64_t ctpu_exact_boundaries(
     int64_t bad = 0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
-        if (bad) continue;
+        int64_t bad_seen;
+#pragma omp atomic read
+        bad_seen = bad;
+        if (bad_seen) continue;
         const double a = pa[i], b = pb[i];
         // first s with tv >= 1: bisect on the monotone predicate
         int64_t core_lo;
@@ -255,7 +313,7 @@ int64_t ctpu_exact_boundaries(
         int64_t ncore = core_hi - core_lo + 1;
         if (ncore > cmax) {
 #pragma omp critical
-            if (!bad) bad = 1 + i;
+            if (!bad || bad > 1 + i) bad = 1 + i;  // lowest index wins
             continue;
         }
         aux[i] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << aux_shift);
@@ -525,40 +583,11 @@ int64_t ctpu_range_encode(
     const uint64_t lower_bound = 1ull << top_shift;
 
     for (int64_t i = 0; i < n; i++) {
-        uint64_t scale = range >> precision;
-        range = scale * probs[i];
-        uint64_t new_lower = (lower + scale * cums[i]) & state_mask;
-
-        if (num_inverted != 0) {
-            if (((new_lower + range) & state_mask) > new_lower) {
-                uint32_t first, consecutive;
-                if (new_lower < lower) {
-                    first = (uint32_t)((first_inverted + 1) & word_mask);
-                    consecutive = 0;
-                } else {
-                    first = first_inverted;
-                    consecutive = (uint32_t)word_mask;
-                }
-                words[num_words++] = first;
-                for (uint64_t k = 1; k < num_inverted; k++) words[num_words++] = consecutive;
-                num_inverted = 0;
-            }
-        }
-        lower = new_lower;
-
-        if (range < lower_bound) {
-            range = (range << word_bits) & state_mask;
-            uint32_t lower_word = (uint32_t)(lower >> top_shift);
-            lower = (lower << word_bits) & state_mask;
-            if (num_inverted != 0) {
-                num_inverted += 1;
-            } else if (((lower + range) & state_mask) > lower) {
-                words[num_words++] = lower_word;
-            } else {
-                num_inverted = 1;
-                first_inverted = lower_word;
-            }
-        }
+        range_encode_step(
+            lower, range, num_inverted, first_inverted,
+            cums[i], probs[i], word_mask, top_shift, state_mask,
+            lower_bound, word_bits, precision,
+            [&](uint32_t w) { words[num_words++] = w; });
     }
     enc->lower = lower; enc->range = range;
     enc->num_inverted = num_inverted; enc->first_inverted = first_inverted;
@@ -1069,35 +1098,12 @@ int64_t ctpu_ilans2_range_encode(
         for (int64_t t = 0; t < num_steps; t++) {
             int64_t idx = t * L + l;
             if (idx >= num_symbols) continue;
-            uint64_t scale = range >> precision;
-            range = scale * probs[idx];
-            uint64_t new_lower = (lower + scale * cums[idx]) & state_mask;
-            if (num_inverted != 0 && ((new_lower + range) & state_mask) > new_lower) {
-                uint32_t first, consecutive;
-                if (new_lower < lower) {
-                    first = (uint32_t)((first_inverted + 1) & word_mask);
-                    consecutive = 0;
-                } else {
-                    first = first_inverted;
-                    consecutive = (uint32_t)word_mask;
-                }
-                ln.words.push_back(first);
-                for (uint64_t j = 1; j < num_inverted; j++) ln.words.push_back(consecutive);
-                num_inverted = 0;
-            }
-            lower = new_lower;
-            if (range < lower_bound) {
-                range = (range << word_bits) & state_mask;
-                uint32_t lower_word = (uint32_t)(lower >> top_shift);
-                lower = (lower << word_bits) & state_mask;
-                if (num_inverted != 0) {
-                    num_inverted += 1;
-                } else if (((lower + range) & state_mask) > lower) {
-                    ln.words.push_back(lower_word);
-                } else {
-                    num_inverted = 1;
-                    first_inverted = lower_word;
-                }
+            bool renormed = range_encode_step(
+                lower, range, num_inverted, first_inverted,
+                cums[idx], probs[idx], word_mask, top_shift, state_mask,
+                lower_bound, word_bits, precision,
+                [&](uint32_t w) { ln.words.push_back(w); });
+            if (renormed) {
                 ln.renorm_steps.push_back(t);
                 events_per_step[t]++;
             }
@@ -1163,7 +1169,10 @@ int64_t ctpu_ilans2_range_encode(
     return step_base[num_steps];
 }
 
-void ctpu_ilans2_range_decode_lookup(
+// Returns -1 on success or the index of the first symbol whose quantile is
+// >= 2^precision (InvalidData, queue.rs:991-993) -- corrupt input must not
+// index past the 2^P-entry lookup table.
+int64_t ctpu_ilans2_range_decode_lookup(
     const uint32_t* points, const uint32_t* stream, int64_t stream_len,
     int64_t num_symbols, int32_t L, int32_t num_steps,
     const uint32_t* lookup, const uint32_t* cdf,
@@ -1182,6 +1191,7 @@ void ctpu_ilans2_range_decode_lookup(
             if (idx >= num_symbols) continue;
             uint64_t scale = rngs[l] >> precision;
             uint64_t q = ((pts[l] - lows[l]) & state_mask) / scale;
+            if ((q >> precision) != 0) return idx;
             uint32_t sym = lookup[q];
             uint64_t cum = cdf[sym], prob = (uint64_t)cdf[sym + 1] - cum;
             lows[l] = (lows[l] + scale * cum) & state_mask;
@@ -1195,6 +1205,7 @@ void ctpu_ilans2_range_decode_lookup(
             out[idx] = (int32_t)sym;
         }
     }
+    return -1;
 }
 
 // Width-generic shared-stream range decode (ILANS2-R / -R64) with the
@@ -1281,9 +1292,12 @@ int64_t ctpu_chain_decode_lookup(
     const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
     const uint64_t qmask = (1ull << precision) - 1;
     const uint64_t flush_bound = 1ull << (state_bits - precision);
-    (void)rem_cap;
 
     for (int64_t i = 0; i < n; i++) {
+        if (rlen >= rem_cap) {  // worst case: one flushed word per symbol
+            st->head_compressed = hc; st->head_remainders = hr;
+            st->compressed_len = clen; st->remainders_len = rlen; return i;
+        }
         uint64_t word;
         if (precision == word_bits || hc < (1ull << precision)) {
             if (clen == 0) { st->head_compressed = hc; st->head_remainders = hr;
@@ -1322,9 +1336,13 @@ int64_t ctpu_chain_encode_reverse(
     uint64_t hc = st->head_compressed, hr = st->head_remainders;
     int64_t clen = st->compressed_len, rlen = st->remainders_len;
     const uint64_t word_mask = (word_bits == 64) ? ~0ull : ((1ull << word_bits) - 1);
-    (void)comp_cap;
 
     for (int64_t i = n - 1; i >= 0; i--) {
+        if (clen >= comp_cap) {  // worst case: one emitted word per symbol
+            st->head_compressed = hc; st->head_remainders = hr;
+            st->compressed_len = clen; st->remainders_len = rlen;
+            return n - 1 - i;
+        }
         uint64_t prob = probs[i];
         if (hr < (prob << (state_bits - word_bits - precision))) {
             if (rlen == 0) { st->head_compressed = hc; st->head_remainders = hr;

@@ -512,7 +512,7 @@ def _exact_encode_kernel_body(
         vals = jnp.where(renorm, states & wmask, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=renorm, vals=vals, t=t, T=T, R=R,
         )
 
         shifted = jnp.where(renorm, states >> W, states)
@@ -966,7 +966,7 @@ def _exact_encode_kernel_body64(
         vals = jnp.where(renorm, lo, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=renorm, vals=vals, t=t, T=T, R=R,
         )
 
         shi = jnp.where(renorm, np.uint32(0), hi)

@@ -196,12 +196,15 @@ def _compare_sum_packed(q: jax.Array, cdf: np.ndarray, precision: int):
 def _compare_sum_wide(q: jax.Array, cdf: np.ndarray, precision: int):
     """(sym, cum, prob) for alphabets beyond the packed-field budget
     (2P + ceil(log2 K) > 32): two accumulators, 5 vector ops per boundary.
-    acc1 packs sym << P | cum (sym < 2^P and cum < 2^P always); prob uses a
-    separate signed accumulator of CDF second differences."""
+    acc1 packs sym << P | cum, so the sym field has 32 - P bits and the
+    form requires K <= 2^(32-P); prob uses a separate signed accumulator of
+    CDF second differences."""
     c = [int(v) for v in cdf]
     K = len(c) - 1
     P = precision
-    assert K - 1 < (1 << P)
+    assert K <= (1 << (32 - P)), (
+        f"wide form packs sym << {P}: needs K <= 2^{32 - P}, got K={K}"
+    )
     qi = q.astype(jnp.int32)
     acc = jnp.zeros(q.shape, jnp.uint32)  # sym << P | cum
     prob = jnp.full(q.shape, np.int32(c[1] - c[0]), jnp.int32)
@@ -219,12 +222,35 @@ def _compare_sum_wide(q: jax.Array, cdf: np.ndarray, precision: int):
     return sym, cum, prob.astype(jnp.uint32)
 
 
-def _seg_cost(K: int, B2: int) -> int:
+def _level2_accumulate(e_fn, vals, B2, shape, off_shift=None):
+    """Level-2 boundary accumulation shared by the segmented/segtree
+    inversions and the encode-side segmented lookup: one pass over the
+    materialized segment boundaries, accumulating the selected left
+    boundary (packed with the in-segment offset at bit ``off_shift`` when
+    given -- the acc2 = off << SH | cum form) and the next boundary
+    (for prob).  ``e_fn(i)`` is the ge-mask for boundary i.  Returns
+    ``(acc, cumnext)``."""
+    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
+    zero_u = jnp.zeros(shape, jnp.uint32)
+    step = np.uint32(1 << off_shift) if off_shift is not None else np.uint32(0)
+    acc = vals[0].astype(jnp.uint32)
+    cn = vals[1].astype(jnp.uint32)
+    for i in range(1, B2):
+        e = e_fn(i)
+        acc = acc + jnp.where(e, d1[i - 1].astype(jnp.uint32) + step, zero_u)
+        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+    return acc, cn
+
+
+def _seg_cost(K: int, B2: int, precision: int = 15) -> int:
     """Static vector-op estimate for _compare_sum_segmented at segment
-    size B2 (used to pick B2; mirrors the op structure below)."""
+    size B2 (used to pick B2; mirrors the op structure below).  Boundary
+    materialization pairs two boundaries per u32 accumulator only when
+    precision <= 15 (16-bit fields), like _segtree_cost's `per`."""
     Kp = -(-K // B2) * B2
     B1 = Kp // B2
-    n_accs = (B2 + 2) // 2
+    per = 2 if precision <= 15 else 1
+    n_accs = (B2 + per) // per
     return (
         3 * (B1 - 1)            # coarse compares + cb accumulation
         + 2 * n_accs * (B1 - 1)  # boundary materialization (paired)
@@ -259,7 +285,7 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     top = 1 << P
     if B2 is None:
         B2 = min((b for b in (8, 16, 32, 64, 128) if b < K),
-                 key=lambda b: _seg_cost(K, b))
+                 key=lambda b: _seg_cost(K, b, precision))
     B1 = -(-K // B2)
     cpad = c + [top] * (B1 * B2 + 1 - len(c))
 
@@ -267,21 +293,14 @@ def _compare_sum_segmented(q: jax.Array, cdf: np.ndarray, precision: int,
     es = [qi >= np.int32(cpad[s * B2]) for s in range(1, B1)]
     vals = _materialize_boundaries(es, cpad, B1, B2, P, q.shape)
 
-    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
     # level 2: acc2 = off << SH | cum; SH = 16 suffices while cum < 2^16,
     # and for default-preset precisions (P <= 24) off < B2 <= 2^(32 - P)
     # still fits above the cum field; cumnext for prob
     SH = 16 if P <= 16 else P
     assert B2 <= (1 << (32 - SH))
-    zero_u = jnp.zeros(q.shape, jnp.uint32)
-    acc2 = vals[0].astype(jnp.uint32)
-    cn = vals[1].astype(jnp.uint32)
-    for i in range(1, B2):
-        e = qi >= vals[i]
-        acc2 = acc2 + jnp.where(
-            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << SH), zero_u
-        )
-        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+    acc2, cn = _level2_accumulate(
+        lambda i: qi >= vals[i], vals, B2, q.shape, SH
+    )
 
     cb = jnp.zeros(q.shape, jnp.int32)
     one_i = jnp.ones(q.shape, jnp.int32)
@@ -417,7 +436,13 @@ def _compare_sum_bitmap(q: jax.Array, cdf: np.ndarray, precision: int,
     P = precision
     assert c[0] == 0 and P <= 15
     if bucket_bits is None:
-        bucket_bits = min(range(5, P), key=lambda bb: _bitmap_cost(P, bb))
+        bucket_bits = min(range(5, min(P, 10)),
+                          key=lambda bb: _bitmap_cost(P, bb))
+    # the SWAR byte-count fields hold at most 28 summed words safely;
+    # bucket_bits <= 9 keeps WPB = 2^(bucket_bits-5) <= 16 within that
+    assert bucket_bits <= 9, (
+        f"bucket_bits={bucket_bits} would overflow the popcount byte fields"
+    )
     b = bucket_bits
     NB = 1 << (P - b)
     WPB = 1 << (b - 5)
@@ -572,18 +597,11 @@ def _compare_sum_segtree(q: jax.Array, cdf: np.ndarray, precision: int,
     # acc2 packs off << SH | cum; SH = 16 suffices for P <= 15, and for the
     # default-preset precisions (P <= 24) the off field still fits because
     # off < B2 <= 2^(32 - P).
-    SH = 16 if P <= 15 else P
+    SH = 16 if P <= 16 else P
     assert B2 <= (1 << (32 - SH))
-    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
-    zero_u = jnp.zeros(q.shape, jnp.uint32)
-    acc2 = vals[0].astype(jnp.uint32)
-    cn = vals[1].astype(jnp.uint32)
-    for i in range(1, B2):
-        e = qi >= vals[i]
-        acc2 = acc2 + jnp.where(
-            e, d1[i - 1].astype(jnp.uint32) + np.uint32(1 << SH), zero_u
-        )
-        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+    acc2, cn = _level2_accumulate(
+        lambda i: qi >= vals[i], vals, B2, q.shape, SH
+    )
     cum = acc2 & np.uint32((1 << SH) - 1)
     off = (acc2 >> SH).astype(jnp.int32)
     prob = cn - cum
@@ -614,7 +632,7 @@ def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
         candidates.append(("packed", 3 * (K - 1)))
     if K > 16:
         candidates.append(("segmented", min(
-            _seg_cost(K, bb) for bb in (8, 16, 32, 64, 128) if bb < K
+            _seg_cost(K, bb, P) for bb in (8, 16, 32, 64, 128) if bb < K
         )))
     if K > 8:
         candidates.append(("segtree", min(
@@ -622,7 +640,7 @@ def _compare_sum_auto(q: jax.Array, cdf: np.ndarray, precision: int):
         )))
     if P <= 15 and 5 < P and int(cdf[0]) == 0:
         candidates.append(("bitmap", min(
-            _bitmap_cost(P, bb) for bb in range(5, P)
+            _bitmap_cost(P, bb) for bb in range(5, min(P, 10))
         )))
     best = min(candidates, key=lambda kv: kv[1])[0]
     forced = os.environ.get("CTPU_FORCE_INVERSION", "")
@@ -850,7 +868,7 @@ def _cum_prob_from_sym_segmented(sym: jax.Array, cdf: np.ndarray,
     top = 1 << P
     if B2 is None:
         B2 = min((b for b in (8, 16, 32, 64, 128) if b < K),
-                 key=lambda b: _seg_cost(K, b))
+                 key=lambda b: _seg_cost(K, b, precision))
     B1 = -(-K // B2)
     cpad = c + [top] * (B1 * B2 + 1 - len(c))
 
@@ -865,14 +883,9 @@ def _cum_prob_from_sym_segmented(sym: jax.Array, cdf: np.ndarray,
         cb = cb + jnp.where(e, one_i, zero_i)
     off = si - cb * np.int32(B2)
 
-    d1 = [vals[i + 1] - vals[i] for i in range(B2)]
-    zero_u = jnp.zeros(sym.shape, jnp.uint32)
-    cum = vals[0].astype(jnp.uint32)
-    cn = vals[1].astype(jnp.uint32)
-    for i in range(1, B2):
-        e = off >= np.int32(i)
-        cum = cum + jnp.where(e, d1[i - 1].astype(jnp.uint32), zero_u)
-        cn = cn + jnp.where(e, d1[i].astype(jnp.uint32), zero_u)
+    cum, cn = _level2_accumulate(
+        lambda i: off >= np.int32(i), vals, B2, sym.shape
+    )
     return cum, cn - cum
 
 
@@ -985,7 +998,7 @@ def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
 
 
 def _emit_words(pltpu, pl, *, stream_out, img, sem, arow_s, renorm, vals,
-                t, T, R, cap_rows):
+                t, T, R):
     """Shared encode-side emission machinery.
 
     Compacts ``vals`` (the W-bit words of renormalizing lanes) into stream
@@ -1098,7 +1111,7 @@ def _encode_kernel_body(
         vals = jnp.where(renorm, states & wmask, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=renorm, vals=vals, t=t, T=T, R=R,
         )
 
         # state update (reference rANS encode algebra, stack.rs:1035-1046)

@@ -285,7 +285,7 @@ def _encode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
         vals = jnp.where(renorm, lo, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=renorm, vals=vals, t=t, T=T, R=R,
         )
 
         # state >>= 32 on renorm lanes

@@ -89,7 +89,10 @@ def _exp2_neg(xp, mag):
     """e_fix ~ 4096 * e^-(mag / 4096) for mag i32 >= 0; exact-integer and
     verified non-increasing in mag."""
     m = (mag * np.int32(_LOG2E)) >> FX
-    xi = xp.minimum(m >> FX, np.int32(30))
+    # clamp at 25 so the total shift (xi + _PG = 6) stays < 32: shifting an
+    # int32 by >= 32 is implementation-defined across backends, and every
+    # shift >= 18 already yields the intended 0 (P < 2^18)
+    xi = xp.minimum(m >> FX, np.int32(25))
     xfr = m & np.int32((1 << FX) - 1)
     P = (
         np.int32(_P0)
@@ -413,7 +416,7 @@ def _family_encode_kernel_body(
         vals = jnp.where(renorm, states & wmask, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=renorm, vals=vals, t=t, T=T, R=R,
         )
 
         shifted = jnp.where(renorm, states >> W, states)

@@ -124,7 +124,7 @@ def _range_resolve_kernel(pltpu, pl, *, T: int, R: int, cap_rows: int):
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
             renorm=m, vals=jnp.where(m, placed, np.uint32(0)),
-            t=t, T=T, R=R, cap_rows=cap_rows,
+            t=t, T=T, R=R,
         )
         p_s[:] = jnp.where(m, vfull >> 16, p) + c
         d2_s[:] = jnp.where(m, d1, d2)
@@ -410,7 +410,7 @@ def _range_resolve_kernel64(pltpu, pl, *, T: int, R: int, cap_rows: int):
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
             renorm=m, vals=jnp.where(m, placed, np.uint32(0)),
-            t=t, T=T, R=R, cap_rows=cap_rows,
+            t=t, T=T, R=R,
         )
         p_s[:] = jnp.where(m, ovf, p) + c
         d2_s[:] = jnp.where(m, d1, d2)

@@ -202,7 +202,7 @@ def _tchain_decode_kernel(pltpu, pl, *, cdf, T: int, R: int, cap_rows: int):
         vals = jnp.where(m, heads & np.uint32(0xFFFF), np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=m, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=m, vals=vals, t=t, T=T, R=R,
         )
         heads_s[:] = jnp.where(m, heads >> 16, heads)
         syms_out[0] = sym
@@ -591,7 +591,7 @@ def _tchain12_family_decode_kernel(pltpu, pl, *, family, min_sym, max_sym,
         vals = jnp.where(m, heads & np.uint32(0xFFFF), np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=m, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=m, vals=vals, t=t, T=T, R=R,
         )
         heads_s[:] = jnp.where(m, heads >> 16, heads)
         syms_out[0] = sym
@@ -1018,7 +1018,7 @@ def _tchain24_decode_kernel(pltpu, pl, *, cdf, T: int, R: int,
         vals = jnp.where(m, nlo, np.uint32(0))
         e_new = _emit_words(
             pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=m, vals=vals, t=t, T=T, R=R, cap_rows=cap_rows,
+            renorm=m, vals=vals, t=t, T=T, R=R,
         )
         hh_s[:] = jnp.where(m, np.uint32(0), nhi)
         hl_s[:] = jnp.where(m, nhi, nlo)
