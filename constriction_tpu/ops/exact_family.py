@@ -476,62 +476,6 @@ def _exact_decode_kernel_body(
     return kernel
 
 
-def _exact_encode_kernel_body(
-    pltpu, pl, *, cfg: LaneConfig, T: int, tail: int, R: int, cap_rows: int,
-):
-    """Stream-table encoder: per-symbol (cum, prob) planes as inputs, the
-    standard rANS encode algebra + right-to-left emission."""
-    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
-    L = R * LANES
-    seed = np.uint32(1 << (S - W))
-    wmask = np.uint32(cfg.word_mask)
-
-    def kernel(cums_in, probs_in, stream_out, states_out, end_out,
-               states_s, img, arow_s, sem):
-        t = pl.program_id(0)
-        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
-
-        @pl.when(t == 0)
-        def _init():
-            states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
-            arow_s[0] = cap_rows * LANES
-            arow_s[1] = cap_rows
-
-        states = states_s[:]
-        cum = cums_in[0]
-        prob = probs_in[0]
-
-        if tail < L:
-            active = jnp.logical_or(t > 0, lane_flat < tail)
-        else:
-            active = None
-
-        renorm = (states >> (S - P)) >= prob
-        if active is not None:
-            renorm = jnp.logical_and(renorm, active)
-        vals = jnp.where(renorm, states & wmask, np.uint32(0))
-        e_new = _emit_words(
-            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R,
-        )
-
-        shifted = jnp.where(renorm, states >> W, states)
-        qd = _exact_div(shifted, prob, qbits=S - P)
-        rem = shifted - qd * prob
-        new_states = (qd << P) | (cum + rem)
-        if active is not None:
-            new_states = jnp.where(active, new_states, shifted)
-        states_s[:] = new_states
-
-        @pl.when(t == T - 1)
-        def _final():
-            states_out[:] = states_s[:]
-            end_out[0] = e_new
-            end_out[1] = 0
-
-    return kernel
-
-
 @functools.lru_cache(maxsize=16)
 def _build_exact_decoder(min_sym, max_sym, cfg, T, tail, L, cmax, interpret):
     import jax.experimental.pallas as pl
@@ -578,8 +522,11 @@ def _build_exact_encoder(cfg, T, tail, L, cap_rows, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     R = L // LANES
-    kernel = _exact_encode_kernel_body(
-        pltpu, pl, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    from .pallas_coder import _encode_kernel_body
+
+    kernel = _encode_kernel_body(
+        pltpu, pl, table_src=_planes_src, n_inputs=2, cfg=cfg, T=T,
+        tail=tail, R=R, cap_rows=cap_rows
     )
     RPAD = -(-(R + 1) // 8) * 8
     fn = pl.pallas_call(
@@ -930,65 +877,11 @@ def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
     return jax.jit(fn)
 
 
-def _exact_encode_kernel_body64(
-    pltpu, pl, *, cfg: LaneConfig, T: int, tail: int, R: int, cap_rows: int,
-):
-    from .pallas_coder64 import _div64
-
-    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
-    L = R * LANES
-
-    def kernel(cums_in, probs_in, stream_out, hi_out, lo_out, end_out,
-               hi_s, lo_s, img, arow_s, sem):
-        t = pl.program_id(0)
-        lane_flat = _row_iota(R) * LANES + _lane_iota(R)
-
-        @pl.when(t == 0)
-        def _init():
-            hi_s[:] = jnp.ones((R, LANES), jnp.uint32)  # seed 2^32
-            lo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
-            arow_s[0] = cap_rows * LANES
-            arow_s[1] = cap_rows
-
-        hi = hi_s[:]
-        lo = lo_s[:]
-        cum = cums_in[0]
-        prob = probs_in[0]
-
-        if tail < L:
-            active = jnp.logical_or(t > 0, lane_flat < tail)
-        else:
-            active = None
-
-        renorm = (hi >> (S - P - 32)) >= prob
-        if active is not None:
-            renorm = jnp.logical_and(renorm, active)
-        vals = jnp.where(renorm, lo, np.uint32(0))
-        e_new = _emit_words(
-            pltpu, pl, stream_out=stream_out, img=img, sem=sem, arow_s=arow_s,
-            renorm=renorm, vals=vals, t=t, T=T, R=R,
-        )
-
-        shi = jnp.where(renorm, np.uint32(0), hi)
-        slo = jnp.where(renorm, hi, lo)
-        q_hi, q_lo, rem = _div64(shi, slo, prob)
-        low = cum + rem.astype(jnp.uint32)
-        nlo = (q_lo << P) | low
-        nhi = (q_hi << P) | (q_lo >> (32 - P))
-        if active is not None:
-            nhi = jnp.where(active, nhi, shi)
-            nlo = jnp.where(active, nlo, slo)
-        hi_s[:] = nhi
-        lo_s[:] = nlo
-
-        @pl.when(t == T - 1)
-        def _final():
-            hi_out[:] = hi_s[:]
-            lo_out[:] = lo_s[:]
-            end_out[0] = e_new
-            end_out[1] = 0
-
-    return kernel
+def _planes_src(ins):
+    """(cum, prob) directly from the DMA'd exact-table planes -- feeds the
+    shared S=64 encode kernel body (pallas_coder64._encode_kernel_body64),
+    which owns the coding algebra."""
+    return ins[0][0], ins[1][0]
 
 
 @functools.lru_cache(maxsize=16)
@@ -997,8 +890,11 @@ def _build_exact_encoder64(cfg, T, tail, L, cap_rows, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     R = L // LANES
-    kernel = _exact_encode_kernel_body64(
-        pltpu, pl, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+    from .pallas_coder64 import _encode_kernel_body64
+
+    kernel = _encode_kernel_body64(
+        pltpu, pl, table_src=_planes_src, n_inputs=2, cfg=cfg, T=T,
+        tail=tail, R=R, cap_rows=cap_rows
     )
     RPAD = -(-(R + 1) // 8) * 8
     fn = pl.pallas_call(

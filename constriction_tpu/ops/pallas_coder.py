@@ -1066,7 +1066,8 @@ def _encode_kernel_body(
     pltpu,
     pl,
     *,
-    cdf: np.ndarray,
+    table_src,
+    n_inputs: int,
     cfg: LaneConfig,
     T: int,
     tail: int,
@@ -1079,14 +1080,21 @@ def _encode_kernel_body(
     right-to-left into the stream buffer at a decreasing end pointer, and
     resolves the word-granular window writes by merging each new chunk over
     the previous window image (so already-finalized words above the end
-    pointer are rewritten with their true values, never clobbered)."""
+    pointer are rewritten with their true values, never clobbered).
+
+    ``table_src(input_refs)`` supplies the per-lane ``(cum, prob)`` for the
+    step -- from a symbol tile + host CDF (_build_encoder), or from
+    precomputed exact-family planes (ops/exact_family.py); the coding
+    algebra is written ONCE."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     L = R * LANES
     seed = np.uint32(1 << (S - W))
     wmask = np.uint32(cfg.word_mask)
 
-    def kernel(syms_in, stream_out, states_out, end_out,
-               states_s, img, arow_s, sem):
+    def kernel(*refs):
+        ins = refs[:n_inputs]
+        (stream_out, states_out, end_out,
+         states_s, img, arow_s, sem) = refs[n_inputs:]
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
@@ -1097,8 +1105,7 @@ def _encode_kernel_body(
             arow_s[1] = cap_rows  # previous window bottom row a_prev
 
         states = states_s[:]
-        sym = syms_in[0]
-        cum, prob = _cum_prob_from_sym(sym, cdf, P)
+        cum, prob = table_src(ins)
 
         if tail < L:
             active = jnp.logical_or(t > 0, lane_flat < tail)
@@ -1140,8 +1147,12 @@ def _build_encoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
 
     cdf = np.asarray(cdf_tuple, dtype=np.int64)
     R = L // LANES
+    def _cdf_src(ins):
+        return _cum_prob_from_sym(ins[0][0], cdf, cfg.precision)
+
     kernel = _encode_kernel_body(
-        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+        pltpu, pl, table_src=_cdf_src, n_inputs=1, cfg=cfg, T=T, tail=tail,
+        R=R, cap_rows=cap_rows
     )
 
     fn = pl.pallas_call(

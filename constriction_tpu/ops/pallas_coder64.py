@@ -248,14 +248,21 @@ def decode_shared64_pallas(
     return syms.reshape(-1)[:num_symbols]
 
 
-def _encode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
-                          tail: int, R: int, cap_rows: int):
+def _encode_kernel_body64(pltpu, pl, *, table_src, n_inputs: int,
+                          cfg: LaneConfig, T: int, tail: int, R: int,
+                          cap_rows: int):
+    """S=64 ILANS2 encode kernel body.  ``table_src(input_refs)`` supplies
+    the per-lane u32 ``(cum, prob)`` for this step -- from a symbol tile +
+    host CDF here, or from precomputed exact-family planes
+    (ops/exact_family.py); the coding algebra is written ONCE."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     assert S == 64 and W == 32 and P <= 24
     L = R * LANES
 
-    def kernel(syms_in, stream_out, hi_out, lo_out, end_out,
-               hi_s, lo_s, img, arow_s, sem):
+    def kernel(*refs):
+        ins = refs[:n_inputs]
+        (stream_out, hi_out, lo_out, end_out,
+         hi_s, lo_s, img, arow_s, sem) = refs[n_inputs:]
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
@@ -268,9 +275,7 @@ def _encode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
 
         hi = hi_s[:]
         lo = lo_s[:]
-        sym = syms_in[0]
-        cum, prob = _cum_prob_from_sym(sym, cdf, P)
-        probu = prob.astype(jnp.uint32)
+        cum, probu = table_src(ins)
 
         if tail < L:
             active = jnp.logical_or(t > 0, lane_flat < tail)
@@ -294,7 +299,7 @@ def _encode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
 
         # state = (state / prob) << P | (cum + state % prob)
         q_hi, q_lo, rem = _div64(shi, slo, probu)
-        low = cum.astype(jnp.uint32) + rem.astype(jnp.uint32)
+        low = cum + rem.astype(jnp.uint32)
         nlo = (q_lo << P) | low
         nhi = (q_hi << P) | (q_lo >> (32 - P))
         if active is not None:
@@ -321,8 +326,13 @@ def _build_encoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
 
     cdf = np.asarray(cdf_tuple, dtype=np.int64)
     R = L // LANES
+    def _cdf_src(ins):
+        cum, prob = _cum_prob_from_sym(ins[0][0], cdf, cfg.precision)
+        return cum.astype(jnp.uint32), prob.astype(jnp.uint32)
+
     kernel = _encode_kernel_body64(
-        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, cap_rows=cap_rows
+        pltpu, pl, table_src=_cdf_src, n_inputs=1, cfg=cfg, T=T, tail=tail,
+        R=R, cap_rows=cap_rows
     )
 
     fn = pl.pallas_call(
