@@ -41,6 +41,16 @@ def _sequential_cumsum(probs: np.ndarray) -> np.ndarray:
     return np.add.accumulate(probs, dtype=probs.dtype)
 
 
+def _trunc_to_u64(x: np.ndarray) -> np.ndarray:
+    """Truncating float -> u64 cast with Rust `as` semantics (saturating,
+    NaN -> 0), like models/quantized._trunc_to_uint: a negative partial
+    cumsum (legal input with a negative probability entry) must clamp to 0,
+    not wrap (categorical/contiguous.rs uses `as` casts throughout)."""
+    with np.errstate(invalid="ignore"):
+        clipped = np.where(np.isnan(x), 0.0, np.clip(x, 0.0, float(2**64 - 1)))
+    return np.trunc(clipped).astype(np.uint64)
+
+
 def fast_quantized_cdf(
     probabilities: np.ndarray,
     precision: int,
@@ -66,7 +76,7 @@ def fast_quantized_cdf(
     scale = probs.dtype.type(free_weight) / norm
 
     cumulative = np.concatenate([np.zeros(1, dtype=probs.dtype), cumsum[:-1]])
-    left = np.trunc(cumulative * scale).astype(np.uint64) + np.arange(n, dtype=np.uint64)
+    left = _trunc_to_u64(cumulative * scale) + np.arange(n, dtype=np.uint64)
     cdf = np.empty(n + 1, dtype=np.uint64)
     cdf[:n] = left
     cdf[n] = 1 << precision
@@ -96,11 +106,17 @@ def perfectly_quantized_probabilities(
     if n < 2:
         raise ValueError("need at least two probabilities")
     probs = probs_in.astype(np.float64)
+    if n > (1 << precision):
+        # the fast path rejects this up front; the reference's wrapping
+        # arithmetic would distribute a wrapped-huge free weight (garbage)
+        raise ValueError("invalid number of probabilities")
 
     remaining = (1 << precision) - n
-    norm = float(_sequential_cumsum(probs_in)[-1])
+    # the reference widens each element to f64 BEFORE the sequential sum
+    # (categorical.rs:79 `x.into()`), so f32 inputs normalize in f64 here
+    norm = float(_sequential_cumsum(probs)[-1])
     if not (math.isfinite(norm) and norm > 0.0) or _is_subnormal(
-        np.asarray(_sequential_cumsum(probs_in)[-1])
+        np.asarray(norm)
     ):
         raise ValueError(
             "Probability distribution not normalizable (the array of probabilities\n"
@@ -138,13 +154,19 @@ def perfectly_quantized_probabilities(
             losses[i] = -probs64[i] * math.log1p(-1.0 / w)
         remaining -= batch
 
-    # Buyer/seller exchange (categorical.rs:131-173).
+    # Buyer/seller exchange (categorical.rs:131-173).  Rust iterates the
+    # `slots` VEC, whose order is the last stable win-sort from the
+    # distribution phase above (original order if it never ran) -- NOT
+    # original-index order; `order` still holds exactly that permutation.
+    ordv = np.asarray(order)
     while True:
-        # Rust `max_by` returns the LAST maximal element:
-        buyer = int(np.where(wins == wins.max())[0][-1]) if n else 0
+        wo = wins[ordv]
+        lo = losses[ordv]
+        # Rust `max_by` returns the LAST maximal element in vec order:
+        buyer = int(ordv[np.where(wo == wo.max())[0][-1]])
         buyer_win = wins[buyer]
-        # Rust `min_by` returns the FIRST minimal element:
-        seller = int(np.argmin(losses))
+        # Rust `min_by` returns the FIRST minimal element in vec order:
+        seller = int(ordv[int(np.argmin(lo))])
         if buyer == seller:
             break
         if buyer_win <= losses[seller]:
@@ -269,6 +291,7 @@ class LazyContiguousCategoricalEntropyModel(EntropyModel):
         self.scale = scale
         self.precision = precision
         self._cumsum = None  # lazily computed sequential cumsum (same values)
+        self._b = None  # cached boundary array (the model is immutable)
 
     @classmethod
     def from_floating_point_probabilities_fast(
@@ -299,30 +322,32 @@ class LazyContiguousCategoricalEntropyModel(EntropyModel):
         return len(self.pmf)
 
     def _boundaries(self) -> np.ndarray:
-        """Exact fixed-point left boundaries b(0..n), b(n) = 2**P."""
-        if self._cumsum is None:
-            self._cumsum = _sequential_cumsum(self.pmf)
-        n = len(self.pmf)
-        cumulative = np.concatenate([np.zeros(1, dtype=self.pmf.dtype), self._cumsum[:-1]])
-        left = np.trunc(cumulative * self.scale).astype(np.uint64) + np.arange(n, dtype=np.uint64)
-        b = np.empty(n + 1, dtype=np.uint64)
-        b[:n] = left
-        b[n] = 1 << self.precision
-        return b
+        """Exact fixed-point left boundaries b(0..n), b(n) = 2**P; computed
+        once and cached (the model is immutable), with the reference's
+        saturating `as` cast semantics (lazy_contiguous.rs:240)."""
+        if self._b is None:
+            if self._cumsum is None:
+                self._cumsum = _sequential_cumsum(self.pmf)
+            n = len(self.pmf)
+            cumulative = np.concatenate(
+                [np.zeros(1, dtype=self.pmf.dtype), self._cumsum[:-1]]
+            )
+            left = _trunc_to_u64(cumulative * self.scale) + np.arange(
+                n, dtype=np.uint64
+            )
+            b = np.empty(n + 1, dtype=np.uint64)
+            b[:n] = left
+            b[n] = 1 << self.precision
+            self._b = b
+        return self._b
 
     def ecp(self, symbol: int) -> Tuple[int, int]:
         n = len(self.pmf)
         if not 0 <= symbol < n:
             raise ImpossibleSymbol(symbol)
-        if self._cumsum is None:
-            self._cumsum = _sequential_cumsum(self.pmf)
-        left_f = self._cumsum[symbol - 1] if symbol > 0 else self.pmf.dtype.type(0.0)
-        left = int(left_f * self.scale) + symbol
-        if symbol == n - 1:
-            right = 1 << self.precision
-        else:
-            right = int(self._cumsum[symbol] * self.scale) + symbol + 1
-        prob = right - left
+        b = self._boundaries()
+        left = int(b[symbol])
+        prob = int(b[symbol + 1]) - left
         if prob <= 0:
             raise ValueError("leakiness should guarantee nonzero probabilities.")
         return left, prob
@@ -335,6 +360,8 @@ class LazyContiguousCategoricalEntropyModel(EntropyModel):
             raise ImpossibleSymbol(int(bad))
         left = b[symbols]
         prob = b[symbols.astype(np.int64) + 1] - left
+        if np.any(prob.astype(np.int64) <= 0):
+            raise ValueError("leakiness should guarantee nonzero probabilities.")
         return left, prob
 
     def qf(self, quantile: int) -> Tuple[int, int, int]:
@@ -381,7 +408,12 @@ class NonContiguousCategoricalEncoderModel(EntropyModel):
         table = {}
         cum = 0
         for s, p in zip(symbols, probs):
-            table[int(s)] = (cum, int(p))
+            key = int(s)
+            if key in table:
+                # the reference rejects duplicate ENCODER symbols
+                # (non_contiguous.rs:946, Occupied -> Err)
+                raise ValueError(f"duplicate symbol {key}")
+            table[key] = (cum, int(p))
             cum += int(p)
         return cls(table, precision)
 
@@ -418,6 +450,7 @@ class NonContiguousCategoricalEncoderModel(EntropyModel):
         except KeyError:
             raise ImpossibleSymbol(symbol) from None
 
+    @property
     def num_symbols(self) -> int:
         return len(self.table)
 
@@ -434,13 +467,28 @@ class NonContiguousCategoricalDecoderModel(EntropyModel):
     def from_symbols_and_nonzero_fixed_point_probabilities(
         cls, symbols, probabilities, precision: int = 24, infer_last_probability: bool = False
     ):
-        enc = NonContiguousCategoricalEncoderModel.from_symbols_and_nonzero_fixed_point_probabilities(
-            symbols, probabilities, precision, infer_last_probability
-        )
-        return cls.from_symbol_table(
-            ((s, c, p) for s, (c, p) in sorted(enc.table.items(), key=lambda kv: kv[1][0])),
-            precision,
-        )
+        # Order-preserving Vec semantics (non_contiguous.rs decoder): the
+        # reference's DECODER supports duplicate symbols, so do NOT route
+        # through the encoder dict (which rejects them).
+        symbols = list(symbols)
+        probs = np.asarray(probabilities, dtype=np.uint64)
+        total = 1 << precision
+        if np.any(probs == 0):
+            raise ValueError("all probabilities must be nonzero")
+        acc = int(np.sum(probs))
+        if infer_last_probability:
+            if acc >= total:
+                raise ValueError("probabilities exceed 2**precision")
+            probs = np.concatenate(
+                [probs, np.array([total - acc], dtype=np.uint64)]
+            )
+        elif acc != total:
+            raise ValueError("probabilities must sum to exactly 2**precision")
+        if len(symbols) != len(probs):
+            raise ValueError("symbols and probabilities must have equal length")
+        cdf = np.zeros(len(probs) + 1, dtype=np.uint64)
+        cdf[1:] = np.cumsum(probs)
+        return cls(cdf, symbols, precision)
 
     @classmethod
     def from_symbols_and_floating_point_probabilities_fast(

@@ -351,7 +351,10 @@ class QuantizedFamily(ModelFamily):
         if np.any((symbols < q.min) | (symbols > q.max)):
             bad = symbols[(symbols < q.min) | (symbols > q.max)][0]
             raise ImpossibleSymbol(int(bad))
-        if np.any(~(self.param_b > 0.0)):
+        if np.any(~(self.param_b > 0.0)) or np.any(~np.isfinite(self.param_a)):
+            # the scalar path errors at encode time for NaN/inf means too
+            # (the concrete-distribution constructors); a NaN mean would
+            # otherwise encode garbage silently (CDF(NaN) -> NaN -> 0)
             raise ValueError("Invalid model parameter: scale must be positive.")
 
         from .. import native

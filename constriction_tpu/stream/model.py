@@ -48,6 +48,8 @@ def _cast_i32_param(arr, name: str = "parameter") -> np.ndarray:
         raise TypeError(f"{name} must be a numpy array with dtype np.int32")
     if a.ndim != 1:
         raise ValueError(f"{name} must be a rank-1 array")
+    if len(a) and (int(a.min()) < -(1 << 31) or int(a.max()) >= (1 << 31)):
+        raise OverflowError(f"{name} contains values outside the int32 range")
     return a.astype(np.int32)
 
 

@@ -174,3 +174,108 @@ def test_model_conversions():
     for q in rng.randint(0, 1 << 12, size=100):
         assert dec.qf(int(q)) == base.qf(int(q))
         assert lut.qf(int(q)) == base.qf(int(q))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review regression tests (reference-cast semantics, tie order,
+# input validation)
+# ---------------------------------------------------------------------------
+
+
+def test_perfect_quantization_f32_normalizes_in_f64():
+    """The reference widens each element to f64 BEFORE summing
+    (categorical.rs:79), so f32 and f64 inputs of the same values must
+    produce identical weights."""
+    from constriction_tpu.models.categorical import (
+        perfectly_quantized_probabilities,
+    )
+
+    rng = np.random.RandomState(11)
+    p32 = rng.dirichlet(np.ones(200)).astype(np.float32)
+    w32 = perfectly_quantized_probabilities(p32, 12)
+    w64 = perfectly_quantized_probabilities(p32.astype(np.float64), 12)
+    np.testing.assert_array_equal(w32, w64)
+    assert int(w32.sum()) == 1 << 12
+
+
+def test_perfect_quantization_rejects_oversized_alphabet():
+    from constriction_tpu.models.categorical import (
+        perfectly_quantized_probabilities,
+    )
+
+    with pytest.raises(ValueError, match="invalid number"):
+        perfectly_quantized_probabilities(np.ones(5000) / 5000, 12)
+
+
+def test_fast_quantization_saturates_negative_cumsum():
+    """A negative probability entry saturates to 0 in the fixed-point cast
+    (Rust `as` semantics) instead of wrapping to ~2**64 and erroring."""
+    from constriction_tpu.models.categorical import fast_quantized_cdf
+
+    cdf = fast_quantized_cdf(np.array([-0.1, 0.6, 0.5]), 12)
+    assert cdf[0] == 0 and cdf[-1] == 1 << 12
+    assert np.all(np.diff(cdf.astype(np.int64)) > 0)
+
+
+def test_lazy_scalar_and_array_paths_agree_on_negative_entry():
+    m = LazyContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        np.array([-0.1, 0.6, 0.5]), 12
+    )
+    for s in range(3):
+        left, prob = m.ecp(s)
+        la, pa = m.ecp_array(np.array([s]))
+        assert (left, prob) == (int(la[0]), int(pa[0]))
+
+
+def test_family_rejects_nonfinite_mean_at_encode():
+    from constriction_tpu.models.quantized import QuantizedFamily
+
+    fam = QuantizedFamily("gaussian", -10, 10, [0.0, np.nan], [1.0, 1.0], 12)
+    with pytest.raises(ValueError, match="Invalid model parameter"):
+        fam.ecp_all(np.array([0, 1]))
+
+
+def test_noncontiguous_duplicate_symbols():
+    """Encoder rejects duplicates (non_contiguous.rs:946 Occupied -> Err);
+    decoder preserves them (Vec semantics)."""
+    from constriction_tpu.models.categorical import (
+        NonContiguousCategoricalEncoderModel,
+    )
+
+    probs = np.array([1 << 11, 1 << 10, 1 << 10], dtype=np.uint64)
+    with pytest.raises(ValueError, match="duplicate symbol"):
+        NonContiguousCategoricalEncoderModel.from_symbols_and_nonzero_fixed_point_probabilities(
+            [7, 7, 3], probs, 12
+        )
+    dec = NonContiguousCategoricalDecoderModel.from_symbols_and_nonzero_fixed_point_probabilities(
+        [7, 7, 3], probs, 12
+    )
+    assert dec.symbols == [7, 7, 3]
+    # both duplicate entries stay addressable by quantile
+    assert dec.qf(0)[0] == 7 and dec.qf(1 << 11)[0] == 7
+    assert dec.qf((1 << 11) + (1 << 10))[0] == 3
+
+
+def test_i32_param_overflow_raises():
+    """Integer model parameters outside int32 must error instead of
+    silently wrapping through astype(np.int32)."""
+    import constriction_tpu as constriction
+
+    enc = constriction.stream.queue.RangeEncoder()
+    with pytest.raises(OverflowError, match="int32 range"):
+        enc.encode(
+            np.array([0], dtype=np.int32),
+            constriction.stream.model.Uniform(),
+            np.array([2**31], dtype=np.int64),
+        )
+
+
+def test_encoder_num_symbols_is_property():
+    from constriction_tpu.models.categorical import (
+        NonContiguousCategoricalEncoderModel,
+    )
+
+    enc = NonContiguousCategoricalEncoderModel.from_symbols_and_nonzero_fixed_point_probabilities(
+        [3, 9], np.array([1 << 11, 1 << 11], dtype=np.uint64), 12
+    )
+    assert enc.num_symbols == 2
