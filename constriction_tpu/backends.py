@@ -118,14 +118,19 @@ class WordBuffer:
         return self._arr[: self._len]
 
     def __array__(self, dtype=None, copy=None):
+        # always a defensive copy: a live view would alias internal storage
+        # that _grow() reallocates, so callers would see stale or mutating
+        # data depending on the buffer's current capacity
         v = self.view()
-        return np.asarray(v, dtype=dtype) if dtype is not None else v.copy()
+        return v.astype(dtype) if dtype is not None else v.copy()
 
     def tolist(self):
         return [int(x) for x in self.view()]
 
     def copy(self) -> "WordBuffer":
-        out = WordBuffer(capacity=max(self._len, 8), fixed=self._fixed)
+        # preserve capacity: a fixed-capacity clone must keep the original
+        # headroom, not shrink to the current length
+        out = WordBuffer(capacity=max(len(self._arr), 8), fixed=self._fixed)
         out._arr[: self._len] = self._arr[: self._len]
         out._len = self._len
         return out

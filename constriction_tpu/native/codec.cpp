@@ -614,7 +614,14 @@ int64_t ctpu_range_decode_lookup(
     for (int64_t i = 0; i < n; i++) {
         uint64_t scale = range >> precision;
         uint64_t q = ((point - lower) & state_mask) / scale;
-        if (q >= total) { dec->cursor = -1; return i; }  // InvalidData
+        if (q >= total) {
+            // InvalidData: write back the partial state (the scalar path
+            // advances per symbol before raising; callers detect the error
+            // by the short return count)
+            dec->lower = lower; dec->range = range; dec->point = point;
+            dec->cursor = cursor;
+            return i;
+        }
         uint32_t s = lookup[q];
         uint64_t cum = cdf[s], prob = (uint64_t)cdf[s + 1] - cum;
         lower = (lower + scale * cum) & state_mask;
@@ -649,7 +656,11 @@ int64_t ctpu_range_decode_quantized(
     for (int64_t i = 0; i < n; i++) {
         uint64_t scale = range >> precision;
         uint64_t q = ((point - lower) & state_mask) / scale;
-        if (q >= total) { dec->cursor = -1; return i; }
+        if (q >= total) {
+            dec->lower = lower; dec->range = range; dec->point = point;
+            dec->cursor = cursor;
+            return i;
+        }
         QuantizedModel m{kind, min_sym, max_sym, precision, pa[i], pb[i], free_weight};
         int32_t sym; uint32_t cum, prob;
         qm_qf(m, (uint32_t)q, &sym, &cum, &prob);

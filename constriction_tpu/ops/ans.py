@@ -211,11 +211,25 @@ class AnsCoderCore:
 
     # -- coding -------------------------------------------------------------------------
 
+    def _check_precision(self, precision: int) -> None:
+        """The reference statically asserts PRECISION <= Word::BITS and
+        State::BITS >= Word::BITS + PRECISION (stack.rs generic asserts);
+        violating either silently corrupts the stream (the renorm test
+        reads the wrong state field), so validate per call here."""
+        if precision > self.W or self.S < self.W + precision:
+            raise ValueError(
+                f"model precision {precision} is incompatible with this "
+                f"coder (word_bits={self.W}, state_bits={self.S}): needs "
+                "precision <= word_bits and state_bits >= word_bits + "
+                "precision"
+            )
+
     def encode_symbol(self, symbol: int, model: EntropyModel) -> None:
         cum, prob = model.ecp(int(symbol))
         self._encode_cp(cum, prob, model.precision)
 
     def _encode_cp(self, cum: int, prob: int, precision: int) -> None:
+        self._check_precision(precision)
         state = self.state
         if (state >> (self.S - precision)) >= prob:
             self.bulk.append(state & self.word_mask)
@@ -224,6 +238,7 @@ class AnsCoderCore:
 
     def decode_symbol(self, model: EntropyModel) -> int:
         precision = model.precision
+        self._check_precision(precision)
         state = self.state
         quantile = state & ((1 << precision) - 1)
         symbol, cum, prob = model.qf(quantile)
@@ -244,6 +259,7 @@ class AnsCoderCore:
         self, cums: np.ndarray, probs: np.ndarray, precision: int
     ) -> None:
         """Encode per-symbol (cum, prob) tables, iterating in reverse order."""
+        self._check_precision(precision)
         if (len(cums) >= 64 and self.W <= 32 and self.S <= 64
                 and isinstance(self.bulk, WordBuffer)):
             from .. import native
@@ -281,6 +297,7 @@ class AnsCoderCore:
         self.encode_reverse_tables(cums, probs, precision)
 
     def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
+        self._check_precision(model.precision)
         out = self._native_decode_iid(amt, model)
         if out is not None:
             return out
@@ -350,6 +367,7 @@ class AnsCoderCore:
 
         if not isinstance(family, QuantizedFamily) or family.size < 64:
             return None
+        self._check_precision(family.quantizer.precision)
         if self.W > 32 or self.S > 64 or not isinstance(self.bulk, WordBuffer):
             return None
         from .. import native

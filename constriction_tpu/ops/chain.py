@@ -278,12 +278,15 @@ class ChainCoderCore:
             np.ascontiguousarray(cdf, dtype=np.uint32),
             out, amt, self.W, self.S, self.P,
         )
-        if done < amt:
-            raise OutOfCompressedData("out of compressed data")
+        # adopt the partial state BEFORE raising, so the coder ends where
+        # the per-symbol Python path would (native codec writes back its
+        # progress up to the failing symbol)
         self.compressed.set_content(comp[: st.compressed_len])
         self.remainders.set_content(rem[: st.remainders_len])
         self.head_compressed = st.head_compressed
         self.head_remainders = st.head_remainders
+        if done < amt:
+            raise OutOfCompressedData("out of compressed data")
         symbols = getattr(model, "symbols", None)
         if symbols is not None:
             return np.asarray(symbols)[out].astype(np.int64)

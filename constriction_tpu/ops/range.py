@@ -98,7 +98,16 @@ class RangeEncoderCore:
     def clone(self) -> "RangeEncoderCore":
         out = RangeEncoderCore(self.W, self.S)
         out.lower, out.range, out.inverted = self.lower, self.range, self.inverted
-        out.bulk = self.bulk.copy() if isinstance(self.bulk, WordBuffer) else list(self.bulk)
+        if isinstance(self.bulk, WordBuffer):
+            out.bulk = self.bulk.copy()
+        else:
+            try:
+                out.bulk = list(self.bulk)
+            except TypeError:
+                raise ValueError(
+                    "cannot clone a coder with a write-only (callback) "
+                    "backend"
+                ) from None
         return out
 
     @classmethod
@@ -141,7 +150,20 @@ class RangeEncoderCore:
         cum, prob = model.ecp(int(symbol))
         self._encode_cp(cum, prob, model.precision)
 
+    def _check_precision(self, precision: int) -> None:
+        """Reference generic asserts: PRECISION <= Word::BITS and
+        State::BITS >= Word::BITS + PRECISION (queue.rs); a too-large model
+        precision silently corrupts the interval arithmetic."""
+        if precision > self.W or self.S < self.W + precision:
+            raise ValueError(
+                f"model precision {precision} is incompatible with this "
+                f"coder (word_bits={self.W}, state_bits={self.S}): needs "
+                "precision <= word_bits and state_bits >= word_bits + "
+                "precision"
+            )
+
     def _encode_cp(self, cum: int, prob: int, precision: int) -> None:
+        self._check_precision(precision)
         scale = self.range >> precision
         new_range = scale * prob
         if new_range == 0:
@@ -182,13 +204,22 @@ class RangeEncoderCore:
         self.encode_tables(cums, probs, model.precision)
 
     def encode_tables(self, cums: np.ndarray, probs: np.ndarray, precision: int) -> None:
-        if len(cums) >= 64 and self.W <= 32 and self.S <= 64:
+        self._check_precision(precision)
+        if (len(cums) >= 64 and self.W <= 32 and self.S <= 64
+                and isinstance(self.bulk, WordBuffer)):
             from .. import native
 
             if native.LIB is not None:
                 import ctypes
 
-                words = np.empty(len(self.bulk) + len(cums) + 8, dtype=np.uint32)
+                # worst case: the pending Inverted run flushes entirely plus
+                # one renorm word per symbol (omitting num_inverted here was
+                # a heap overflow for encoders with a long pending run)
+                num_inverted = self.inverted[0] if self.inverted else 0
+                words = np.empty(
+                    len(self.bulk) + num_inverted + len(cums) + 8,
+                    dtype=np.uint32,
+                )
                 words[: len(self.bulk)] = self.bulk.view()
                 st = native.RangeEncState(
                     self.lower,
@@ -231,6 +262,10 @@ class RangeDecoderCore:
         self.point = 0
         self.bulk = np.zeros(0, dtype=np.uint64)
         self.cursor = 0  # read position into bulk
+        # number of zero words currently shifted into `point` past the
+        # stream end (0 while words remain); makes pos()/seek() exact even
+        # for streams shorter than S/W words or after tail exhaustion
+        self._point_shortfall = 0
 
     @classmethod
     def from_compressed(
@@ -278,13 +313,14 @@ class RangeDecoderCore:
             num_read += 1
         if num_read < max_words and num_read != 0:
             point = (point << (self.S - num_read * self.W)) & self.state_mask
+        self._point_shortfall = max_words - num_read if num_read else 0
         return point
 
     def maybe_exhausted(self) -> bool:
-        # queue.rs:868-898
+        # queue.rs:868-898 (strict <, like the reference)
         max_difference = ((1 << (self.S - self.W)) << 1) - 1
         exhausted = not self._has_word(self.cursor)
-        in_tail = ((self.point - self.lower) & self.state_mask) <= max_difference
+        in_tail = ((self.point - self.lower) & self.state_mask) < max_difference
         return exhausted and (self.range == self.state_mask or in_tail)
 
     def clone(self) -> "RangeDecoderCore":
@@ -292,10 +328,17 @@ class RangeDecoderCore:
         out.lower, out.range, out.point = self.lower, self.range, self.point
         out.bulk = self.bulk
         out.cursor = self.cursor
+        out._point_shortfall = self._point_shortfall
         return out
 
     def pos(self) -> Tuple[int, Tuple[int, int]]:
-        return self.cursor - self.S // self.W, (self.lower, self.range)
+        """Word position such that ``seek(*pos())`` reproduces the current
+        state exactly, including short streams and tail exhaustion (the
+        current ``point`` holds the last ``S//W - shortfall`` real words)."""
+        return (
+            self.cursor - (self.S // self.W - self._point_shortfall),
+            (self.lower, self.range),
+        )
 
     def seek(self, position: int, state: Tuple[int, int]) -> None:
         lower, range_ = state
@@ -309,8 +352,18 @@ class RangeDecoderCore:
         self.lower = int(lower) & self.state_mask
         self.range = int(range_) & self.state_mask
 
+    def _check_precision(self, precision: int) -> None:
+        if precision > self.W or self.S < self.W + precision:
+            raise ValueError(
+                f"model precision {precision} is incompatible with this "
+                f"coder (word_bits={self.W}, state_bits={self.S}): needs "
+                "precision <= word_bits and state_bits >= word_bits + "
+                "precision"
+            )
+
     def decode_symbol(self, model: EntropyModel) -> int:
         precision = model.precision
+        self._check_precision(precision)
         scale = self.range >> precision
         quantile = ((self.point - self.lower) & self.state_mask) // scale
         if quantile >= (1 << precision):
@@ -327,6 +380,10 @@ class RangeDecoderCore:
             w = self._read_word()
             if w is not None:
                 self.point |= w
+            else:
+                self._point_shortfall = min(
+                    self._point_shortfall + 1, self.S // self.W
+                )
         return symbol
 
     def decode_iid_symbols(self, amt: int, model: EntropyModel) -> np.ndarray:
@@ -366,15 +423,15 @@ class RangeDecoderCore:
             np.ascontiguousarray(cdf, dtype=np.uint32),
             out, amt, self.W, self.S, model.precision,
         )
-        if st.cursor < 0:
-            # Replay the failing symbol through the Python path for the error.
-            self.cursor += 0
-            raise InvalidData(
-                "Tried to decode data that is inconsistent with the entropy model."
-            )
+        # adopt the state up to (and including) the last good symbol, so
+        # the coder ends in the same state as the per-symbol Python path
         self.lower, self.range, self.point, self.cursor = (
             st.lower, st.range, st.point, st.cursor,
         )
+        if n < amt:
+            raise InvalidData(
+                "Tried to decode data that is inconsistent with the entropy model."
+            )
         symbols = getattr(model, "symbols", None)
         if symbols is not None:
             return np.asarray(symbols)[out].astype(np.int64)
@@ -394,6 +451,7 @@ class RangeDecoderCore:
 
         if not isinstance(family, QuantizedFamily) or family.size < 64:
             return None
+        self._check_precision(family.quantizer.precision)
         if self.W > 32 or self.S > 64:
             return None
         from .. import native
@@ -415,11 +473,11 @@ class RangeDecoderCore:
             np.ascontiguousarray(family.param_b),
             out, family.size, self.W, self.S, q.precision,
         )
-        if st.cursor < 0:
-            raise InvalidData(
-                "Tried to decode data that is inconsistent with the entropy model."
-            )
         self.lower, self.range, self.point, self.cursor = (
             st.lower, st.range, st.point, st.cursor,
         )
+        if n < family.size:
+            raise InvalidData(
+                "Tried to decode data that is inconsistent with the entropy model."
+            )
         return out.astype(np.int64)

@@ -198,3 +198,119 @@ def test_queue_iter_reader_memoizes_for_seek():
     rest2 = dec.decode_iid_symbols(len(symbols) - 100, model)
     np.testing.assert_array_equal(rest, rest2)
     np.testing.assert_array_equal(np.concatenate([first, rest]), symbols)
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review regression tests (coder cores + backends)
+# ---------------------------------------------------------------------------
+
+
+def test_range_encode_tables_with_pending_inverted_run():
+    """The native batch encoder used to size its buffer without the pending
+    Inverted words (heap overflow / segfault for a long pending run); the
+    output must equal the scalar path's."""
+    model, symbols = _model()
+
+    def build(with_native_batch):
+        enc = RangeEncoderCore()
+        # a long pending Inverted run: cum at the top of the interval keeps
+        # the interval straddling the wrap point
+        for _ in range(1000):
+            enc._encode_cp((1 << 24) - 1, 1, 24)
+        assert enc.inverted is not None and enc.inverted[0] > 100
+        if with_native_batch:
+            enc.encode_iid_symbols(symbols, model)  # >= 64 -> native path
+        else:
+            for s in symbols:
+                enc.encode_symbol(int(s), model)
+        return enc.get_compressed()
+
+    np.testing.assert_array_equal(build(True), build(False))
+
+
+def test_coder_rejects_incompatible_model_precision():
+    """A 'small'-preset coder (W=16, S=32) with a default precision-24
+    model used to silently corrupt the stream; now it errors up front."""
+    model, symbols = _model(precision=24)
+    small_ans = AnsCoderCore(16, 32)
+    with pytest.raises(ValueError, match="incompatible"):
+        small_ans.encode_iid_symbols_reverse(symbols[:5], model)
+    small_rng = RangeEncoderCore(16, 32)
+    with pytest.raises(ValueError, match="incompatible"):
+        small_rng.encode_iid_symbols(symbols[:5], model)
+
+
+def test_range_callback_sink_batch_encode():
+    """CallbackSink-backed range encoders fall back to the scalar path for
+    batch calls instead of crashing on the missing .view()."""
+    model, symbols = _model()
+    words = []
+    enc = RangeEncoderCore.with_write_backend(CallbackSink(words.append))
+    enc.encode_iid_symbols(symbols, model)  # >= 64 symbols
+    ref = RangeEncoderCore()
+    ref.encode_iid_symbols(symbols, model)
+    np.testing.assert_array_equal(
+        np.array(words + enc._seal_words(), dtype=np.uint64),
+        ref.get_compressed().astype(np.uint64),
+    )
+    with pytest.raises(ValueError, match="write-only"):
+        enc.clone()
+
+
+def test_fixed_word_buffer_copy_keeps_capacity():
+    wb = WordBuffer(capacity=100, fixed=True)
+    for i in range(10):
+        wb.append(i)
+    c = wb.copy()
+    for i in range(90):
+        c.append(i)  # must not raise: the clone kept the headroom
+    with pytest.raises(CapacityError):
+        c.append(1)
+
+
+def test_range_decoder_pos_seek_short_stream():
+    """pos()/seek() round-trips even when the stream is shorter than S/W
+    words (pos used to go negative and seek() rejected it)."""
+    model, _ = _model(precision=12, K=4, seed=3)
+    enc = RangeEncoderCore()
+    enc.encode_symbol(1, model)
+    comp = enc.get_compressed()
+    dec = RangeDecoderCore.from_compressed(comp)
+    p, st = dec.pos()
+    assert p >= 0
+    first = dec.decode_symbol(model)
+    dec.seek(p, st)
+    assert dec.decode_symbol(model) == first
+
+
+def test_native_and_scalar_error_states_agree():
+    """After InvalidData, the coder state must not depend on whether the
+    native batch path or the per-symbol Python path decoded."""
+    from constriction_tpu.models.categorical import (
+        ContiguousLookupDecoderModel,
+    )
+    from constriction_tpu.ops.range import InvalidData
+
+    base, _ = _model(precision=12, K=50, seed=4)
+    model = ContiguousLookupDecoderModel(base.cdf, 12)
+    assert isinstance(getattr(model, "lookup", None), np.ndarray) or hasattr(
+        model, "inner"
+    ), "test needs a lookup-table model to reach the native path"
+    garbage = np.full(300, 0xFFFFFFFF, dtype=np.uint64)
+
+    dec_n = RangeDecoderCore.from_compressed(garbage)
+    try:
+        dec_n.decode_iid_symbols(200, model)  # native (amt >= 64, P <= 16)
+        state_n = None
+    except InvalidData:
+        state_n = (dec_n.lower, dec_n.range, dec_n.point, dec_n.cursor)
+
+    dec_s = RangeDecoderCore.from_compressed(garbage)
+    try:
+        for _ in range(200):
+            dec_s.decode_symbol(model)
+        state_s = None
+    except InvalidData:
+        state_s = (dec_s.lower, dec_s.range, dec_s.point, dec_s.cursor)
+
+    assert state_n == state_s and state_n is not None
