@@ -144,7 +144,9 @@ class QueueBitDecoder:
         self.mask_next_to_read = 0
 
     def read_bit(self) -> Optional[bool]:
-        if self.mask_next_to_read >> self.W or self.mask_next_to_read == 0:
+        # mask is reset to 0 whenever it shifts past the word width below,
+        # so == 0 is the only refill condition
+        if self.mask_next_to_read == 0:
             if self.cursor >= len(self.backend):
                 return None
             self.current_word = self.backend[self.cursor]

@@ -22,7 +22,9 @@ from .model import Model
 
 
 def _as_scalar_symbol(symbols) -> Tuple[bool, int]:
-    if isinstance(symbols, (int, np.integer)) and not isinstance(symbols, (bool, np.bool_)):
+    # bools count as integers, like the reference's pyo3 i32 extraction
+    # (True encodes symbol 1 -- Bernoulli users pass native bools)
+    if isinstance(symbols, (bool, np.bool_, int, np.integer)):
         return True, int(symbols)
     arr = np.asarray(symbols)
     if arr.ndim == 0 and np.issubdtype(arr.dtype, np.integer):
@@ -64,7 +66,7 @@ def dispatch_decode(core_decode_single, core_decode_iid, core_decode_family, mod
     """Route one of the three decode call forms; returns int or int32 array."""
     if len(args) == 0:
         return int(core_decode_single(model._as_parameterized()))
-    if len(args) == 1 and isinstance(args[0], numbers.Integral) and not isinstance(args[0], bool):
+    if len(args) == 1 and isinstance(args[0], numbers.Integral):
         amt = int(args[0])
         return np.asarray(core_decode_iid(amt, model._as_parameterized()), dtype=np.int32)
     family = model._parameterize(tuple(args))

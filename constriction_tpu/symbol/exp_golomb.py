@@ -70,4 +70,9 @@ class ExpGolomb:
             if bit is None:
                 raise ValueError("Ran out of bits in compressed data.")
             value = (value << 1) | (1 if bit else 0)
+        if length == self.bits and (value & ((1 << self.bits) - 1)) != 0:
+            # exp_golomb.rs:165: a maximal-length codeword is only valid
+            # when the wrapped value is zero (symbol N::MAX); anything else
+            # is a corrupt/adversarial codeword, not a wrapped symbol
+            raise ValueError("Invalid codeword for this codebook.")
         return (value - 1) & ((1 << self.bits) - 1)

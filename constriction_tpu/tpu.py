@@ -72,12 +72,23 @@ def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
     if alphabet is not None:
         alphabet = np.asarray(alphabet)
         idx = np.searchsorted(alphabet, symbols)
-        if np.any(idx >= len(alphabet)) or np.any(alphabet[np.minimum(
-                idx, len(alphabet) - 1)] != symbols):
-            bad = symbols[(idx >= len(alphabet)) | (
-                alphabet[np.minimum(idx, len(alphabet) - 1)] != symbols)][0]
-            raise ValueError(f"symbol {int(bad)} not in the alphabet")
+        bad_mask = (idx >= len(alphabet)) | (
+            alphabet[np.minimum(idx, len(alphabet) - 1)] != symbols
+        )
+        if np.any(bad_mask):
+            raise ValueError(
+                f"symbol {int(symbols[bad_mask][0])} not in the alphabet"
+            )
         symbols = idx.astype(np.int64)
+    elif len(symbols) and (
+        int(symbols.min()) < 0 or int(symbols.max()) >= len(cdf) - 1
+    ):
+        # out-of-range symbols would index the CDF out of bounds and
+        # silently produce a corrupt container (same altitude as _check_cdf)
+        raise ValueError(
+            f"symbols must be in [0, {len(cdf) - 1}), got range "
+            f"[{int(symbols.min())}, {int(symbols.max())}]"
+        )
     cfg = _pick_cfg(len(symbols), cfg)
     _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
@@ -201,6 +212,12 @@ def decode_iid_range(points, stream, cdf, num_symbols: int,
     default-preset S=64 sizes route to the ILANS2-R64 kernel)."""
     cfg = _pick_cfg(num_symbols, cfg)
     _check_cdf(cdf, cfg)
+    if not _il2._pallas_eligible(cfg):
+        # mirror encode_iid_range's host fallback: data encoded through a
+        # non-Pallas config must stay decodable through the facade
+        return _il2.decode_shared_range_cdf(
+            np.asarray(points), np.asarray(stream), num_symbols, cdf, cfg
+        )
     if cfg.state_bits == 64:
         from .ops import pallas_coder64 as _pc64
 

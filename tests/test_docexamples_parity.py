@@ -323,3 +323,42 @@ def test_binomial_scipy_crossvalidation():
         outs.append(coder.get_compressed())
         np.testing.assert_array_equal(coder.decode(m, 6), symbols)
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_exp_golomb_rejects_maximal_codeword_with_nonzero_payload():
+    """exp_golomb.rs:165: a 32-zeros codeword is only valid when the value
+    payload wraps to exactly zero (symbol u32::MAX); any other payload is
+    InvalidCodeword, not a silently wrapped symbol."""
+    import pytest
+
+    from constriction_tpu.symbol.exp_golomb import ExpGolomb
+
+    book = ExpGolomb(32)
+    # 32 zeros, the terminating 1, then 32 payload bits '1' + 31 zeros:
+    bits = [False] * 32 + [True] + [True] + [False] * 31
+    it = iter(bits)
+
+    def read_bit():
+        return next(it, None)
+
+    with pytest.raises(ValueError, match="Invalid codeword"):
+        book.decode_symbol(read_bit)
+    # the all-zero payload IS legal and decodes to 2**32 - 1
+    bits2 = [False] * 32 + [True] + [False] * 32
+    it2 = iter(bits2)
+    assert book.decode_symbol(lambda: next(it2, None)) == (1 << 32) - 1
+
+
+def test_bool_symbols_accepted_like_reference():
+    """pyo3 extracts Python bools as integers: encode_reverse(True, model)
+    encodes symbol 1 and decode(model, True) decodes one symbol."""
+    import constriction_tpu as constriction
+
+    m = constriction.stream.model.Categorical(
+        np.array([0.3, 0.7]), perfect=False
+    )
+    enc = constriction.stream.stack.AnsCoder()
+    enc.encode_reverse(True, m)
+    dec = constriction.stream.stack.AnsCoder(enc.get_compressed())
+    got = dec.decode(m, True)
+    assert np.array_equal(np.asarray(got), [1])

@@ -70,3 +70,39 @@ def test_facade_non_contiguous_alphabet():
 
     with pytest.raises(ValueError, match="not in the alphabet"):
         ctpu.encode_iid(np.array([5]), cdf, cfg, alphabet=alphabet)
+
+
+def test_facade_encode_iid_rejects_out_of_range_symbols():
+    rng = np.random.RandomState(5)
+    probs = rng.dirichlet(np.ones(10))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="symbols must be in"):
+        ctpu.encode_iid(np.array([-1, 0, 1]), model.cdf)
+    with pytest.raises(ValueError, match="symbols must be in"):
+        ctpu.encode_iid(np.array([0, 10]), model.cdf)
+
+
+def test_facade_range_decode_host_fallback_for_ineligible_config():
+    """encode_iid_range silently falls back to the host encoder for
+    configs the Pallas kernels do not cover; decode_iid_range must decode
+    that data through the same host oracle instead of tripping a kernel
+    assert."""
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(6)
+    probs = rng.dirichlet(np.ones(20))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    syms = rng.choice(20, size=500, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=64, word_bits=16, state_bits=32, precision=12)
+    assert not __import__(
+        "constriction_tpu.ops.interleaved2", fromlist=["x"]
+    )._pallas_eligible(cfg)  # 64 lanes don't tile the 128-wide VPU
+    pts, stream = ctpu.encode_iid_range(syms, model.cdf, cfg=cfg)
+    out = ctpu.decode_iid_range(pts, stream, model.cdf, len(syms), cfg=cfg)
+    assert np.array_equal(np.asarray(out)[: len(syms)], syms)
