@@ -82,10 +82,19 @@ def _searchsorted_sym(xp, q, cdf: np.ndarray):
     c = [int(v) for v in np.asarray(cdf)]
     K = len(c) - 1
     n = int(q.shape[0])
-    if xp is not np and n % 128 == 0:
+    if xp is not np:
         import jax
 
-        qi = jax.lax.optimization_barrier(q.reshape(-1, 128).astype(xp.int32))
+        # pad to full 128-lane tiles so EVERY n gets the barrier (letting
+        # XLA refuse the extraction into the K compares was measured 300x
+        # slower); the tail slice below drops the padding
+        npad = -(-n // 128) * 128
+        qp = q if npad == n else xp.concatenate(
+            [q, xp.zeros(npad - n, q.dtype)]
+        )
+        qi = jax.lax.optimization_barrier(
+            qp.reshape(-1, 128).astype(xp.int32)
+        )
     else:
         qi = q.astype(xp.int32)
     sym = xp.zeros(qi.shape, xp.int32)
@@ -109,6 +118,11 @@ def chain_decode_iid(data: np.ndarray, n: int, cdf: np.ndarray, xp=None):
     data = np.asarray(data, dtype=np.uint32)
     used = head_init_words(data)
     pop = data[: len(data) - used][::-1].copy()
+    if len(pop) < n - n // 4:
+        # extract_quantiles would silently zero-pad; the scalar core raises
+        from .chain import OutOfCompressedData
+
+        raise OutOfCompressedData("out of compressed data")
     q = extract_quantiles(xp, xp.asarray(pop) if xp is not np else pop, n)
     return _searchsorted_sym(xp, q, cdf)
 
@@ -127,8 +141,19 @@ def chain_decode_rows(data: np.ndarray, rows, xp=None):
     data = np.asarray(data, dtype=np.uint32)
     used = head_init_words(data)
     pop = data[: len(data) - used][::-1].copy()
+    if len(pop) < n - n // 4:
+        from .chain import OutOfCompressedData
+
+        raise OutOfCompressedData("out of compressed data")
     q = extract_quantiles(xp, xp.asarray(pop) if xp is not np else pop, n)
-    qi = q.astype(xp.int32)
+    if xp is not np:
+        import jax
+
+        # fusion barrier (shapes must stay [n] to align with the per-symbol
+        # CDF rows, so no tile reshape here)
+        qi = jax.lax.optimization_barrier(q.astype(xp.int32))
+    else:
+        qi = q.astype(xp.int32)
     sym = xp.zeros((n,), xp.int32)
     one = xp.ones((n,), xp.int32)
     zero = xp.zeros((n,), xp.int32)

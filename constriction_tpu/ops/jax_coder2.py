@@ -229,6 +229,10 @@ def decode_shared_range(
     rANS decoder -- contiguous slice + monotone butterfly -- with the range
     coder's interval arithmetic (one u32 division per symbol)."""
     assert cfg.state_bits == 32, "JAX range decoder runs at S=32 (native u32)"
+    assert points.shape[0] == cfg.num_lanes, (
+        f"points has {points.shape[0]} lanes but cfg.num_lanes is "
+        f"{cfg.num_lanes}"
+    )
     L = points.shape[0]
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     log_l = _log2(L)

@@ -43,6 +43,14 @@ def fast_quantized_cdf_jax(probabilities: jax.Array, precision: int) -> jax.Arra
     left = jnp.trunc(cumulative * scale).astype(jnp.uint32) + jnp.arange(
         n, dtype=jnp.uint32
     )
+    # f32 trunc can overshoot free_weight for adversarial PMFs (a raise is
+    # impossible under jit, and the host twin errors there); clamp so the
+    # table stays a valid leaky model: left_k <= 2^P - n + k keeps every
+    # probability >= 1 while never binding on inputs the host accepts
+    left = jnp.minimum(
+        left,
+        np.uint32((1 << precision) - n) + jnp.arange(n, dtype=jnp.uint32),
+    )
     return jnp.concatenate(
         [left, jnp.full(1, np.uint32(1 << precision), jnp.uint32)]
     )
@@ -51,6 +59,10 @@ def fast_quantized_cdf_jax(probabilities: jax.Array, precision: int) -> jax.Arra
 def uniform_cdf_jax(size: int, precision: int) -> jax.Array:
     """Closed-form uniform model table (reference uniform.rs:24-77): each bin
     gets ``2^P // size``, the last bin absorbs the remainder."""
+    if size <= 1:
+        raise ValueError("UniformModel requires range > 1")
+    if size - 1 > (1 << precision) - 1:
+        raise ValueError("range too large for precision")
     ppb = (1 << precision) // size
     left = jnp.arange(size, dtype=jnp.uint32) * np.uint32(ppb)
     return jnp.concatenate(

@@ -300,7 +300,7 @@ def shard_decode_range64_pallas(
             hi_b[0].reshape(R, pc.LANES), lo_b[0].reshape(R, pc.LANES),
             stream_b[0],
         )
-        return syms.reshape(-1)[None, :block_len], bad[None, :1]
+        return syms.reshape(-1)[None, :block_len], bad[:1]
 
     fn = jax.shard_map(
         per_block,
@@ -415,7 +415,7 @@ def shard_decode_range_pallas(
 
     def per_block(pt_b, stream_b):
         syms, _pts, bad = fn_k(pt_b[0].reshape(R, pc.LANES), stream_b[0])
-        return syms.reshape(-1)[None, :block_len], bad[None, :1]
+        return syms.reshape(-1)[None, :block_len], bad[:1]
 
     fn = jax.shard_map(
         per_block,

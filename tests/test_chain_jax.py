@@ -52,3 +52,26 @@ def test_chain_decode_rows_matches_core():
     np.testing.assert_array_equal(got, ref)
     got_j = np.asarray(chain_jax.chain_decode_rows(data, rows))
     np.testing.assert_array_equal(got_j, ref)
+
+
+def test_chain_decode_iid_rejects_truncated_data():
+    """The scalar core raises OutOfCompressedData on truncated data; the
+    parallel decoder must not silently zero-pad and return symbol-0 runs."""
+    import pytest
+
+    from constriction_tpu.ops.chain import ChainCoderCore, OutOfCompressedData
+    from constriction_tpu.ops.chain_jax import chain_decode_iid
+
+    rng = np.random.RandomState(9)
+    probs = rng.dirichlet(np.ones(16))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    )
+    words = rng.randint(0, 2**32, size=100, dtype=np.uint64).astype(np.uint32)
+    cc = ChainCoderCore.from_compressed(list(words))
+    data = words  # from_compressed framing
+    full = chain_decode_iid(data, 60, model.cdf, xp=np)
+    ref = cc.decode_iid_symbols(60, model)
+    np.testing.assert_array_equal(full, ref)
+    with pytest.raises(OutOfCompressedData):
+        chain_decode_iid(data[:20], 60, model.cdf, xp=np)

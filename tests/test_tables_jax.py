@@ -57,3 +57,30 @@ def test_family_tables_jax_bit_identical_to_host():
     cj, pj = tj.family_tables_jax(symbols, means, scales, "gaussian", -100, 100)
     np.testing.assert_array_equal(np.asarray(cj).astype(np.uint64), ch)
     np.testing.assert_array_equal(np.asarray(pj).astype(np.uint64), ph)
+
+
+def test_fast_cdf_jax_clamps_overshoot_to_leaky():
+    """f32 trunc can overshoot free_weight for a tiny trailing probability;
+    the device builder must still emit a valid leaky table (the host twin
+    raises -- a raise is impossible under jit)."""
+    import jax.numpy as jnp
+
+    from constriction_tpu.ops.tables_jax import fast_quantized_cdf_jax
+
+    p = jnp.asarray(
+        [0.888, 0.631, 0.356, 0.528, 0.226, 0.777, 1e-7], jnp.float32
+    )
+    cdf = np.asarray(fast_quantized_cdf_jax(p, 24))
+    assert cdf[0] == 0 and cdf[-1] == 1 << 24
+    assert np.all(np.diff(cdf.astype(np.int64)) > 0)
+
+
+def test_uniform_cdf_jax_validates_size():
+    import pytest
+
+    from constriction_tpu.ops.tables_jax import uniform_cdf_jax
+
+    with pytest.raises(ValueError, match="range too large"):
+        uniform_cdf_jax(5000, 12)
+    with pytest.raises(ValueError, match="range > 1"):
+        uniform_cdf_jax(1, 12)
