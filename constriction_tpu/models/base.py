@@ -20,7 +20,10 @@ from typing import Iterable, Iterator, Tuple
 import numpy as np
 
 
-class ImpossibleSymbol(ValueError):
+class ImpossibleSymbol(ValueError, KeyError):
+    # the reference maps EncoderFrontendError::ImpossibleSymbol to KeyError
+    # (pybindings/stream/mod.rs:82-86); ValueError kept for backward
+    # compatibility with earlier releases of this package
     """Raised when trying to encode a symbol with zero probability."""
 
 
@@ -96,16 +99,20 @@ class EntropyModel:
         """Cross entropy H(model, p) (model.rs:670-681)."""
         acc = 0.0
         for (_, q), p in zip(self._float_probabilities(), p_iter):
-            if q > 0.0:
-                acc -= q * math.log2(p)
+            # leaky models always have q > 0; f64 log2 semantics for p:
+            # log2(0) = -inf (=> +inf cross entropy), log2(<0) = NaN
+            lp = (math.log2(p) if p > 0.0
+                  else (-math.inf if p == 0.0 else math.nan))
+            acc -= q * lp
         return acc
 
     def reverse_kl_divergence_base2(self, p_iter: Iterable[float]) -> float:
         """KL(model || p), base 2 (model.rs:721-745)."""
         acc = 0.0
         for (_, q), p in zip(self._float_probabilities(), p_iter):
-            if q > 0.0:
-                acc += q * (math.log2(q) - math.log2(p))
+            lp = (math.log2(p) if p > 0.0
+                  else (-math.inf if p == 0.0 else math.nan))
+            acc += q * (math.log2(q) - lp)
         return acc
 
     # -- conversions (model.rs:747-820) --------------------------------------
@@ -153,10 +160,3 @@ class ModelFamily:
             cums[i] = c
             probs[i] = p
         return cums, probs
-
-
-def validate_quantile(quantile: int, precision: int) -> None:
-    if not 0 <= quantile < (1 << precision):
-        raise ValueError(
-            f"quantile {quantile} out of range for precision {precision}"
-        )

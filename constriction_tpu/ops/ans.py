@@ -30,6 +30,12 @@ from ..models.base import EntropyModel, ModelFamily
 from ..utils.bits import chunks_truncated_msb_first
 
 
+class FractionalNumberOfWords(ValueError, AssertionError):
+    """Unsealing data whose valid bits are not a whole number of words
+    (the reference maps this to AssertionError, stack.rs:417-421;
+    ValueError kept for backward compatibility)."""
+
+
 class AnsCoderCore:
     """Generic rANS coder over (word_bits W, state_bits S); default preset
     W=32, S=64 ("default"); "small" preset is W=16, S=32."""
@@ -187,7 +193,7 @@ class AnsCoderCore:
         bits is a multiple of the word size."""
         valid_bits = self.state.bit_length() - 1
         if valid_bits < 0 or valid_bits % self.W != 0:
-            raise ValueError(
+            raise FractionalNumberOfWords(
                 "compressed data (excluding the trailing 1 bit) does not fit "
                 "into an integer number of words"
             )

@@ -29,11 +29,17 @@ from ..models.base import EntropyModel, ModelFamily
 from .ans import _dtype_for
 
 
-class OutOfCompressedData(ValueError):
+from .ans import FractionalNumberOfWords  # noqa: E402
+
+
+class OutOfCompressedData(ValueError, AssertionError):
+    # the reference maps this to AssertionError (chain.rs:535); ValueError
+    # kept for backward compatibility
     pass
 
 
-class OutOfRemainders(ValueError):
+class OutOfRemainders(ValueError, AssertionError):
+    # reference: AssertionError (chain.rs:525)
     pass
 
 
@@ -158,7 +164,9 @@ class ChainCoderCore:
     def into_compressed(self) -> Tuple[np.ndarray, np.ndarray]:
         """(remainders_prefix, compressed_suffix); chain.rs:487-516."""
         if not self.is_whole():
-            raise ValueError("Fractional number of words in compressed or remainders data.")
+            raise FractionalNumberOfWords(
+                "Fractional number of words in compressed or remainders data."
+            )
         compressed = list(self.compressed)
         rem = self.head_remainders
         while rem != 0:
@@ -171,7 +179,9 @@ class ChainCoderCore:
         """Like into_compressed but drops the virtual seal bit (chain.rs:516-546)."""
         rem_sig = self.head_remainders.bit_length() - 1
         if not self.is_whole() or rem_sig < 0 or rem_sig % self.W != 0:
-            raise ValueError("Fractional number of words in compressed or remainders data.")
+            raise FractionalNumberOfWords(
+                "Fractional number of words in compressed or remainders data."
+            )
         compressed = list(self.compressed)
         rem = self.head_remainders
         while rem > 1:

@@ -27,7 +27,10 @@ from ..models.base import EntropyModel, ModelFamily
 from .ans import _dtype_for
 
 
-class InvalidData(ValueError):
+class InvalidData(ValueError, AssertionError):
+    # the reference maps DecoderFrontendError::InvalidData to
+    # AssertionError (pybindings/stream/queue.rs:676-684); ValueError kept
+    # for backward compatibility
     pass
 
 
@@ -342,6 +345,10 @@ class RangeDecoderCore:
 
     def seek(self, position: int, state: Tuple[int, int]) -> None:
         lower, range_ = state
+        if (int(range_) >> (self.S - self.W)) == 0:
+            # queue.rs:75-85 RangeCoderState::new rejects range < 2^(S-W)
+            # (decode would divide by scale == 0)
+            raise ValueError("Invalid coder state.")
         if position < 0 or (
             not isinstance(self.bulk, QueueIterReader)
             and position > len(self.bulk)

@@ -71,3 +71,23 @@ def dispatch_decode(core_decode_single, core_decode_iid, core_decode_family, mod
         return np.asarray(core_decode_iid(amt, model._as_parameterized()), dtype=np.int32)
     family = model._parameterize(tuple(args))
     return np.asarray(core_decode_family(family), dtype=np.int32)
+
+
+def as_u32_words(data, name: str = "compressed"):
+    """Validate and convert input words to uint32 without silent wrapping
+    (the reference pybindings take PyReadonlyArray1<u32>; we additionally
+    accept lists / other integer dtypes whose VALUES fit u32)."""
+    arr = np.asarray(data)
+    if arr.dtype == np.uint32:
+        return arr
+    if arr.ndim != 1 and arr.size:
+        arr = arr.reshape(-1)
+    if arr.size == 0:
+        return arr.astype(np.uint32)
+    if not np.issubdtype(arr.dtype, np.integer):
+        raise TypeError(f"{name} must be an array of uint32 words")
+    if int(arr.min()) < 0 or int(arr.max()) > 0xFFFFFFFF:
+        raise OverflowError(
+            f"{name} contains values outside the uint32 range"
+        )
+    return arr.astype(np.uint32)

@@ -20,7 +20,7 @@ class ChainCoder:
     """Bits-back entropy coder with symbol-local decoding."""
 
     def __init__(self, data: np.ndarray, is_remainders: bool = False, seal: bool = False):
-        data = np.asarray(data, dtype=np.uint32)
+        data = _dispatch.as_u32_words(data, "data")
         if is_remainders:
             if seal:
                 raise AssertionError("Cannot seal remainders data.")

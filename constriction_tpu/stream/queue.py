@@ -39,7 +39,7 @@ class RangeEncoder:
 
     def get_decoder(self) -> "RangeDecoder":
         out = RangeDecoder.__new__(RangeDecoder)
-        out._core = RangeDecoderCore.from_compressed(self._core.get_compressed())
+        out._core = self._core.get_decoder()
         return out
 
     def encode(self, symbols, model: Model, *optional_model_params) -> None:
@@ -61,7 +61,7 @@ class RangeEncoder:
 class RangeDecoder:
     def __init__(self, compressed: np.ndarray):
         self._core = RangeDecoderCore.from_compressed(
-            np.asarray(compressed, dtype=np.uint32)
+            _dispatch.as_u32_words(compressed)
         )
 
     def seek(self, position: int, state: Tuple[int, int]) -> None:
@@ -81,6 +81,5 @@ class RangeDecoder:
 
     def clone(self) -> "RangeDecoder":
         out = RangeDecoder.__new__(RangeDecoder)
-        out._core = self._core.clone()
-        out._core.bulk = list(self._core.bulk)
+        out._core = self._core.clone()  # shares the immutable bulk array
         return out

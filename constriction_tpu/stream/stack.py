@@ -25,7 +25,7 @@ class AnsCoder:
                 raise ValueError("Need compressed data to seal.")
             self._core = AnsCoderCore()
         else:
-            compressed = np.asarray(compressed, dtype=np.uint32)
+            compressed = _dispatch.as_u32_words(compressed)
             if seal:
                 self._core = AnsCoderCore.from_binary(compressed)
             else:

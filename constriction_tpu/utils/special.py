@@ -107,6 +107,44 @@ def _pick_erf():
 erf, erfc = _pick_erf()
 
 
+def _pick_ufunc(np_fn, math_fn):
+    """Same verified-bit-identity selection as _pick_erf for exp/atan: use
+    the fast numpy ufunc only if it matches CPython's glibc-backed math
+    module bit-for-bit on a probe grid (numpy may use SIMD polynomials with
+    different rounding); otherwise fall back to a frompyfunc wrapper.  The
+    Laplace/Cauchy fixed-point models depend on the exact f64 values."""
+    rng = np.random.RandomState(1)
+    grid = np.concatenate(
+        [
+            rng.uniform(-700.0, 700.0, size=2048),
+            rng.uniform(-3.0, 3.0, size=2048),
+            np.array([0.0, -0.0, 1e-300, -1e-300, 1.0, -1.0, 709.7, -745.0]),
+        ]
+    )
+    def one(x):
+        # C libm semantics: overflow saturates to +/-inf instead of the
+        # Python-level OverflowError (the codec evaluates both Laplace
+        # branches, one of which may overflow harmlessly)
+        try:
+            return math_fn(x)
+        except OverflowError:
+            return math.copysign(math.inf, x)
+
+    scalar = np.frompyfunc(one, 1, 1)
+
+    def scalar_vec(x):
+        return np.asarray(scalar(np.asarray(x)), dtype=np.float64)
+
+    with np.errstate(over="ignore", under="ignore"):
+        if np.array_equal(np_fn(grid), scalar_vec(grid)):
+            return np_fn
+    return scalar_vec
+
+
+_exp = _pick_ufunc(np.exp, math.exp)
+_atan = _pick_ufunc(np.arctan, math.atan)
+
+
 # ---------------------------------------------------------------------------
 # Distribution CDFs (matching the `probability` crate's formulas)
 # ---------------------------------------------------------------------------
@@ -131,8 +169,8 @@ def laplace_cdf(x, mean, b):
     x = np.asarray(x, dtype=np.float64)
     # the branch not selected by the where may overflow to inf harmlessly
     with np.errstate(over="ignore"):
-        lo = 0.5 * np.exp((x - mean) / b)
-        hi = 1.0 - 0.5 * np.exp((mean - x) / b)
+        lo = 0.5 * _exp((x - mean) / b)
+        hi = 1.0 - 0.5 * _exp((mean - x) / b)
     return np.where(x < mean, lo, hi)
 
 
@@ -142,7 +180,7 @@ def cauchy_cdf(x, loc, scale):
     `0.5 + atan((x - x0) / gamma) / pi`.
     """
     x = np.asarray(x, dtype=np.float64)
-    return 0.5 + np.arctan((x - loc) / scale) / math.pi
+    return 0.5 + _atan((x - loc) / scale) / math.pi
 
 
 # ---------------------------------------------------------------------------

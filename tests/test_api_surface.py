@@ -177,3 +177,59 @@ def test_raw_parts_roundtrip():
         np.testing.assert_array_equal(
             renc2.get_compressed(), renc.get_compressed()
         )
+
+
+def test_reference_exception_types():
+    """Exceptions are catchable with the REFERENCE's exception types too:
+    ImpossibleSymbol as KeyError (pybindings/stream/mod.rs:82-86),
+    InvalidData / OutOfCompressedData / OutOfRemainders as AssertionError
+    (queue.rs:676-684, chain.rs:520-538)."""
+    import constriction_tpu as constriction
+    from constriction_tpu.models.base import ImpossibleSymbol
+    from constriction_tpu.ops.chain import (
+        OutOfCompressedData,
+        OutOfRemainders,
+    )
+    from constriction_tpu.ops.range import InvalidData
+
+    assert issubclass(ImpossibleSymbol, KeyError)
+    assert issubclass(ImpossibleSymbol, ValueError)
+    assert issubclass(InvalidData, AssertionError)
+    assert issubclass(OutOfCompressedData, AssertionError)
+    assert issubclass(OutOfRemainders, AssertionError)
+
+    m = constriction.stream.model.Categorical(
+        np.array([0.5, 0.5]), perfect=False
+    )
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([0xFFFFFFFF] * 4, dtype=np.uint32)
+    )
+    with pytest.raises(AssertionError):
+        dec.decode(m, 50)
+
+
+def test_seek_rejects_invalid_coder_state():
+    import constriction_tpu as constriction
+
+    dec = constriction.stream.queue.RangeDecoder(
+        np.array([1, 2, 3], dtype=np.uint32)
+    )
+    with pytest.raises(ValueError, match="Invalid coder state"):
+        dec.seek(0, (0, 0))
+
+
+def test_word_inputs_do_not_wrap_silently():
+    import constriction_tpu as constriction
+
+    with pytest.raises(OverflowError, match="uint32"):
+        constriction.stream.stack.AnsCoder(
+            np.array([-1, 5], dtype=np.int64), seal=True
+        )
+    with pytest.raises(OverflowError, match="uint32"):
+        constriction.stream.queue.RangeDecoder(
+            np.array([2**33], dtype=np.int64)
+        )
+    with pytest.raises(TypeError, match="uint32"):
+        constriction.stream.chain.ChainCoder(
+            np.array([1.5, 2.5]), is_remainders=True
+        )
