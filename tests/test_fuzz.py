@@ -1,0 +1,133 @@
+"""Differential fuzz: random models x random messages x random presets,
+round-tripped through every host coder and cross-checked between the native
+(C++) and numpy paths.
+
+Runs a quick pass by default (~5 s); set ``CTPU_FUZZ_SECONDS=600`` for an
+extended soak.  Any failure prints the reproducing seed.
+"""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from constriction_tpu.models.categorical import (
+    ContiguousCategoricalEntropyModel,
+    LazyContiguousCategoricalEntropyModel,
+)
+from constriction_tpu.ops.ans import AnsCoderCore
+from constriction_tpu.ops.range import RangeDecoderCore, RangeEncoderCore
+
+FUZZ_SECONDS = float(os.environ.get("CTPU_FUZZ_SECONDS", "5"))
+
+# (word_bits, state_bits) presets whose precision budget covers the model
+PRESETS = [(16, 32), (32, 64), (16, 48), (8, 24)]
+
+
+def _random_model(rng):
+    K = int(rng.choice([2, 3, 7, 50, 300, 1000]))
+    P = int(rng.choice([8, 12, 16, 24]))
+    if K >= (1 << P) - 1:
+        K = (1 << P) - 2
+    kind = rng.choice(["flat", "skewed", "tiny-tail", "two-hot"])
+    if kind == "flat":
+        p = np.ones(K) / K
+    elif kind == "skewed":
+        p = rng.dirichlet(np.full(K, 0.05))
+    elif kind == "tiny-tail":
+        p = rng.dirichlet(np.ones(K))
+        p[-1] = 1e-12
+        p /= p.sum()
+    else:
+        p = np.full(K, 1e-9)
+        p[rng.randint(K)] = 0.5
+        p[rng.randint(K)] += 0.5 - p.sum() + 1e-9 * K
+        p = np.abs(p) / np.abs(p).sum()
+    lazy = bool(rng.randint(2)) and P >= 12
+    cls = (LazyContiguousCategoricalEntropyModel if lazy
+           else ContiguousCategoricalEntropyModel)
+    try:
+        model = cls.from_floating_point_probabilities_fast(p, P)
+    except ValueError:
+        return None  # legitimately rejected quantization
+    return model, K, P
+
+
+def _round_trip_once(seed: int) -> None:
+    rng = np.random.RandomState(seed)
+    made = _random_model(rng)
+    if made is None:
+        return
+    model, K, P = made
+    W, S = PRESETS[rng.randint(len(PRESETS))]
+    if P > W or S < W + P:
+        return  # incompatible preset; the coders reject it by design
+    n = int(rng.choice([0, 1, 63, 64, 65, 500, 4097]))
+    cdf = np.asarray(model.cdf if hasattr(model, "cdf") else None)
+    probs_f = (np.diff(cdf.astype(np.int64)) / (1 << P)
+               if cdf is not None and cdf.ndim else None)
+    if probs_f is None:
+        b = model._boundaries()
+        probs_f = np.diff(b.astype(np.int64)) / (1 << P)
+    symbols = rng.choice(K, size=n, p=probs_f / probs_f.sum()).astype(np.int64)
+
+    # ANS
+    ans = AnsCoderCore(W, S)
+    ans.encode_iid_symbols_reverse(symbols, model)
+    dec = AnsCoderCore.from_compressed(ans.get_compressed(), W, S)
+    out = dec.decode_iid_symbols(n, model)
+    np.testing.assert_array_equal(out, symbols, err_msg=f"ANS seed={seed}")
+
+    # Range
+    enc = RangeEncoderCore(W, S)
+    enc.encode_iid_symbols(symbols, model)
+    rdec = RangeDecoderCore.from_compressed(enc.get_compressed(), W, S)
+    out = rdec.decode_iid_symbols(n, model)
+    np.testing.assert_array_equal(out, symbols, err_msg=f"range seed={seed}")
+
+    # Chain bits-back (default preset only: the chain coder pins W/S/P)
+    if (W, S) == (32, 64) and P == 24 and n:
+        import constriction_tpu as constriction
+
+        words = rng.randint(0, 2**32, size=max(n * 2, 8),
+                            dtype=np.uint64).astype(np.uint32)
+        cc = constriction.stream.chain.ChainCoder(words, seal=True)
+        try:
+            dec_syms = cc.decode(_PublicModel(model), n)
+        except (ValueError, AssertionError):
+            return  # legitimately out of compressed data
+        pre, suf = cc.get_remainders()
+        cc2 = constriction.stream.chain.ChainCoder(
+            np.concatenate([pre, suf]), is_remainders=True
+        )
+        cc2.encode_reverse(dec_syms.astype(np.int32), _PublicModel(model))
+        dp, ds = cc2.get_data(unseal=True)
+        np.testing.assert_array_equal(
+            np.concatenate([dp, ds]), words, err_msg=f"chain seed={seed}"
+        )
+
+
+class _PublicModel:
+    """Adapter presenting a core entropy model through the public Model
+    protocol (concrete model, no family parameters)."""
+
+    def __init__(self, core):
+        self._core = core
+
+    def _as_parameterized(self):
+        return self._core
+
+    def _parameterize(self, args):
+        raise ValueError("no family parameters in the fuzz harness")
+
+
+def test_fuzz_round_trips():
+    deadline = time.monotonic() + FUZZ_SECONDS
+    base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000"))
+    count = 0
+    while time.monotonic() < deadline:
+        _round_trip_once(base + count)
+        count += 1
+    assert count > 0
+    print(f"fuzz: {count} random round trips OK")
