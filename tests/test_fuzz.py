@@ -131,3 +131,48 @@ def test_fuzz_round_trips():
         count += 1
     assert count > 0
     print(f"fuzz: {count} random round trips OK")
+
+
+def _family_round_trip_once(seed: int) -> None:
+    import constriction_tpu as constriction
+
+    rng = np.random.RandomState(seed)
+    kind = ["gaussian", "laplace", "cauchy"][rng.randint(3)]
+    n = int(rng.choice([1, 5, 64, 200, 1000]))
+    lo, hi = -int(rng.choice([10, 100, 1000])), int(rng.choice([10, 100, 1000]))
+    means = rng.uniform(lo, hi, size=n)
+    scales = 10.0 ** rng.uniform(-2, 2, size=n)
+    Fam = {
+        "gaussian": constriction.stream.model.QuantizedGaussian,
+        "laplace": constriction.stream.model.QuantizedLaplace,
+        "cauchy": constriction.stream.model.QuantizedCauchy,
+    }[kind]
+    fam = Fam(lo, hi)
+    symbols = np.clip(
+        np.round(means + rng.randn(n) * scales), lo, hi
+    ).astype(np.int32)
+
+    enc = constriction.stream.stack.AnsCoder()
+    enc.encode_reverse(symbols, fam, means, scales)
+    dec = constriction.stream.stack.AnsCoder(enc.get_compressed())
+    out = dec.decode(fam, means, scales)
+    np.testing.assert_array_equal(out, symbols, err_msg=f"{kind} seed={seed}")
+
+    renc = constriction.stream.queue.RangeEncoder()
+    renc.encode(symbols, fam, means, scales)
+    rdec = renc.get_decoder()
+    out = rdec.decode(fam, means, scales)
+    np.testing.assert_array_equal(
+        out, symbols, err_msg=f"range {kind} seed={seed}"
+    )
+
+
+def test_fuzz_family_round_trips():
+    deadline = time.monotonic() + FUZZ_SECONDS
+    base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000")) + 500_000_000
+    count = 0
+    while time.monotonic() < deadline:
+        _family_round_trip_once(base + count)
+        count += 1
+    assert count > 0
+    print(f"family fuzz: {count} random round trips OK")
