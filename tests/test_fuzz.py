@@ -176,3 +176,68 @@ def test_fuzz_family_round_trips():
         count += 1
     assert count > 0
     print(f"family fuzz: {count} random round trips OK")
+
+
+def _device_round_trip_once(seed: int) -> None:
+    """Fuzz the DEVICE paths: the ILANS2 facade (Pallas kernels, interpret
+    mode on CPU) and the sharded container, cross-checking the device
+    container bytes against the bit-identical host encoder."""
+    from constriction_tpu import parallel, tpu
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(seed)
+    W, S, P = [(16, 32, 8), (16, 32, 12), (16, 32, 16),
+               (32, 64, 24)][rng.randint(4)]
+    K = int(rng.choice([2, 3, 7, 50, 300, 1000]))
+    if K >= (1 << P) - 1:
+        K = (1 << P) - 2
+    kind = rng.choice(["flat", "skewed", "tiny-tail"])
+    if kind == "flat":
+        p = np.ones(K) / K
+    elif kind == "skewed":
+        p = rng.dirichlet(np.full(K, 0.05))
+    else:
+        p = rng.dirichlet(np.ones(K))
+        p[-1] = 1e-12
+        p /= p.sum()
+    try:
+        model = ContiguousCategoricalEntropyModel.\
+            from_floating_point_probabilities_fast(p, P)
+    except ValueError:
+        return  # legitimately rejected quantization
+    cdf = np.asarray(model.cdf)
+    probs_f = np.diff(cdf.astype(np.int64)).astype(np.float64)
+    n = int(rng.choice([1, 63, 129, 500]))
+    symbols = rng.choice(K, size=n, p=probs_f / probs_f.sum()).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=W, state_bits=S, precision=P)
+
+    # ILANS2 facade round trip through the Pallas kernels
+    container = tpu.encode_iid(symbols, cdf, cfg)
+    out = tpu.decode_iid(container, cdf)
+    np.testing.assert_array_equal(out, symbols, err_msg=f"facade seed={seed}")
+
+    # sharded container: device bytes == host bytes, and both decode
+    B = int(rng.choice([1, 2, 3]))
+    coder = ["rans", "range"][rng.randint(2)]
+    c_host = parallel.encode(symbols, cdf, cfg=cfg, num_blocks=B,
+                             device=False, coder=coder)
+    c_dev = parallel.encode(symbols, cdf, cfg=cfg, num_blocks=B,
+                            device=True, coder=coder)
+    np.testing.assert_array_equal(
+        c_host, c_dev, err_msg=f"container bytes ({coder}) seed={seed}"
+    )
+    out = parallel.decode(c_dev, cdf, device=bool(rng.randint(2)))
+    np.testing.assert_array_equal(
+        out, symbols, err_msg=f"container ({coder}) seed={seed}"
+    )
+
+
+def test_fuzz_device_round_trips():
+    deadline = time.monotonic() + FUZZ_SECONDS
+    base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000")) + 900_000_000
+    count = 0
+    while time.monotonic() < deadline:
+        _device_round_trip_once(base + count)
+        count += 1
+    assert count > 0
+    print(f"device fuzz: {count} random round trips OK")
