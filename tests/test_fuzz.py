@@ -21,16 +21,19 @@ from constriction_tpu.ops.range import RangeDecoderCore, RangeEncoderCore
 
 FUZZ_SECONDS = float(os.environ.get("CTPU_FUZZ_SECONDS", "5"))
 
-# (word_bits, state_bits) presets whose precision budget covers the model
-PRESETS = [(16, 32), (32, 64), (16, 48), (8, 24)]
+# (word_bits, state_bits) presets whose precision budget covers the model;
+# mirrors the reference matrix breadth (tests/random_data.rs:158-192) plus
+# odd 24/48-bit states
+PRESETS = [
+    (16, 32), (32, 64), (16, 48), (8, 24),
+    (8, 16), (8, 32), (8, 64), (16, 64), (32, 128), (64, 128), (16, 128),
+]
 
 
-def _random_model(rng):
-    K = int(rng.choice([2, 3, 7, 50, 300, 1000]))
-    P = int(rng.choice([8, 12, 16, 24]))
-    if K >= (1 << P) - 1:
-        K = (1 << P) - 2
-    kind = rng.choice(["flat", "skewed", "tiny-tail", "two-hot"])
+def _random_probabilities(rng, K: int, kinds) -> np.ndarray:
+    """Shared distribution generator for all fuzz legs (flat / skewed /
+    tiny-tail / two-hot shapes)."""
+    kind = rng.choice(list(kinds))
     if kind == "flat":
         p = np.ones(K) / K
     elif kind == "skewed":
@@ -39,30 +42,44 @@ def _random_model(rng):
         p = rng.dirichlet(np.ones(K))
         p[-1] = 1e-12
         p /= p.sum()
-    else:
+    else:  # two-hot
         p = np.full(K, 1e-9)
         p[rng.randint(K)] = 0.5
         p[rng.randint(K)] += 0.5 - p.sum() + 1e-9 * K
         p = np.abs(p) / np.abs(p).sum()
-    lazy = bool(rng.randint(2)) and P >= 12
+    return p
+
+
+def _random_categorical(rng, P: int, kinds, allow_lazy: bool):
+    """Random categorical model at precision P, or None when the quantizer
+    legitimately rejects the draw.  Returns (model, K)."""
+    K = int(rng.choice([2, 3, 7, 50, 300, 1000]))
+    if K >= (1 << P) - 1:
+        K = (1 << P) - 2
+    p = _random_probabilities(rng, K, kinds)
+    lazy = allow_lazy and bool(rng.randint(2)) and P >= 12
     cls = (LazyContiguousCategoricalEntropyModel if lazy
            else ContiguousCategoricalEntropyModel)
     try:
         model = cls.from_floating_point_probabilities_fast(p, P)
     except ValueError:
         return None  # legitimately rejected quantization
-    return model, K, P
+    return model, K
 
 
-def _round_trip_once(seed: int) -> None:
+def _round_trip_once(seed: int) -> bool:
+    """Returns True only when a round trip was actually asserted."""
     rng = np.random.RandomState(seed)
-    made = _random_model(rng)
+    P = int(rng.choice([8, 12, 16, 24]))
+    made = _random_categorical(
+        rng, P, ("flat", "skewed", "tiny-tail", "two-hot"), allow_lazy=True
+    )
     if made is None:
-        return
-    model, K, P = made
+        return False
+    model, K = made
     W, S = PRESETS[rng.randint(len(PRESETS))]
     if P > W or S < W + P:
-        return  # incompatible preset; the coders reject it by design
+        return False  # incompatible preset; the coders reject it by design
     n = int(rng.choice([0, 1, 63, 64, 65, 500, 4097]))
     cdf = np.asarray(model.cdf if hasattr(model, "cdf") else None)
     probs_f = (np.diff(cdf.astype(np.int64)) / (1 << P)
@@ -96,7 +113,7 @@ def _round_trip_once(seed: int) -> None:
         try:
             dec_syms = cc.decode(_PublicModel(model), n)
         except (ValueError, AssertionError):
-            return  # legitimately out of compressed data
+            return True  # ANS+range asserted; chain legitimately out of data
         pre, suf = cc.get_remainders()
         cc2 = constriction.stream.chain.ChainCoder(
             np.concatenate([pre, suf]), is_remainders=True
@@ -106,6 +123,7 @@ def _round_trip_once(seed: int) -> None:
         np.testing.assert_array_equal(
             np.concatenate([dp, ds]), words, err_msg=f"chain seed={seed}"
         )
+    return True
 
 
 class _PublicModel:
@@ -125,12 +143,12 @@ class _PublicModel:
 def test_fuzz_round_trips():
     deadline = time.monotonic() + FUZZ_SECONDS
     base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000"))
-    count = 0
+    attempts = count = 0
     while time.monotonic() < deadline:
-        _round_trip_once(base + count)
-        count += 1
-    assert count > 0
-    print(f"fuzz: {count} random round trips OK")
+        count += bool(_round_trip_once(base + attempts))
+        attempts += 1
+    assert count > 0, f"no round trip exercised in {attempts} attempts"
+    print(f"fuzz: {count}/{attempts} random round trips OK")
 
 
 def _family_round_trip_once(seed: int) -> None:
@@ -165,46 +183,37 @@ def _family_round_trip_once(seed: int) -> None:
     np.testing.assert_array_equal(
         out, symbols, err_msg=f"range {kind} seed={seed}"
     )
+    return True
 
 
 def test_fuzz_family_round_trips():
     deadline = time.monotonic() + FUZZ_SECONDS
     base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000")) + 500_000_000
-    count = 0
+    attempts = count = 0
     while time.monotonic() < deadline:
-        _family_round_trip_once(base + count)
-        count += 1
-    assert count > 0
-    print(f"family fuzz: {count} random round trips OK")
+        count += bool(_family_round_trip_once(base + attempts))
+        attempts += 1
+    assert count > 0, f"no round trip exercised in {attempts} attempts"
+    print(f"family fuzz: {count}/{attempts} random round trips OK")
 
 
-def _device_round_trip_once(seed: int) -> None:
+def _device_round_trip_once(seed: int) -> bool:
     """Fuzz the DEVICE paths: the ILANS2 facade (Pallas kernels, interpret
     mode on CPU) and the sharded container, cross-checking the device
-    container bytes against the bit-identical host encoder."""
+    container bytes against the bit-identical host encoder.  Returns True
+    only when the round-trip assertions actually ran."""
     from constriction_tpu import parallel, tpu
     from constriction_tpu.ops.interleaved import LaneConfig
 
     rng = np.random.RandomState(seed)
     W, S, P = [(16, 32, 8), (16, 32, 12), (16, 32, 16),
                (32, 64, 24)][rng.randint(4)]
-    K = int(rng.choice([2, 3, 7, 50, 300, 1000]))
-    if K >= (1 << P) - 1:
-        K = (1 << P) - 2
-    kind = rng.choice(["flat", "skewed", "tiny-tail"])
-    if kind == "flat":
-        p = np.ones(K) / K
-    elif kind == "skewed":
-        p = rng.dirichlet(np.full(K, 0.05))
-    else:
-        p = rng.dirichlet(np.ones(K))
-        p[-1] = 1e-12
-        p /= p.sum()
-    try:
-        model = ContiguousCategoricalEntropyModel.\
-            from_floating_point_probabilities_fast(p, P)
-    except ValueError:
-        return  # legitimately rejected quantization
+    made = _random_categorical(
+        rng, P, ("flat", "skewed", "tiny-tail"), allow_lazy=False
+    )
+    if made is None:
+        return False
+    model, K = made
     cdf = np.asarray(model.cdf)
     probs_f = np.diff(cdf.astype(np.int64)).astype(np.float64)
     n = int(rng.choice([1, 63, 129, 500]))
@@ -230,14 +239,15 @@ def _device_round_trip_once(seed: int) -> None:
     np.testing.assert_array_equal(
         out, symbols, err_msg=f"container ({coder}) seed={seed}"
     )
+    return True
 
 
 def test_fuzz_device_round_trips():
     deadline = time.monotonic() + FUZZ_SECONDS
     base = int(os.environ.get("CTPU_FUZZ_BASE_SEED", "1000000")) + 900_000_000
-    count = 0
+    attempts = count = 0
     while time.monotonic() < deadline:
-        _device_round_trip_once(base + count)
-        count += 1
-    assert count > 0
-    print(f"device fuzz: {count} random round trips OK")
+        count += bool(_device_round_trip_once(base + attempts))
+        attempts += 1
+    assert count > 0, f"no round trip exercised in {attempts} attempts"
+    print(f"device fuzz: {count}/{attempts} random round trips OK")

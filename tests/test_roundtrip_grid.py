@@ -12,16 +12,27 @@ from constriction_tpu.ops.ans import AnsCoderCore
 from constriction_tpu.ops.chain import ChainCoderCore
 from constriction_tpu.ops.range import RangeDecoderCore, RangeEncoderCore
 
-# (word_bits, state_bits, precision) -- subset of the reference's ~30 combos
+# (word_bits, state_bits, precision) -- the full reference `batch!` matrix
+# (tests/random_data.rs:158-192: every (Word, State) pair it instantiates,
+# with the same precision lists), plus odd widths the reference cannot
+# express (non-power-of-two 24/48-bit states).
 COMBOS = [
-    (32, 64, 24),  # default preset
-    (32, 64, 32),
-    (32, 64, 16),
-    (16, 32, 12),  # small preset
-    (16, 32, 16),
-    (16, 64, 24),
+    # State = 128 bits
+    (64, 128, 8), (64, 128, 12), (64, 128, 16), (64, 128, 24), (64, 128, 32),
+    (32, 128, 8), (32, 128, 12), (32, 128, 16), (32, 128, 24), (32, 128, 32),
+    (16, 128, 8), (16, 128, 12), (16, 128, 16),
+    (8, 128, 8),
+    # State = 64 bits
+    (32, 64, 8), (32, 64, 12), (32, 64, 16), (32, 64, 24), (32, 64, 32),
+    (16, 64, 8), (16, 64, 12), (16, 64, 16), (16, 64, 24),
+    (8, 64, 8),
+    # State = 32 bits
+    (16, 32, 8), (16, 32, 12), (16, 32, 16),
+    (8, 32, 8), (8, 32, 24),
+    # State = 16 bits (P = W edge case)
     (8, 16, 8),
-    (8, 32, 24),
+    # odd widths: 24/48-bit states, u8 words with wide precisions
+    (8, 24, 8), (8, 24, 16), (8, 48, 8), (16, 48, 12), (16, 48, 16),
 ]
 
 SIZES = [0, 1, 2, 17, 1000]
@@ -82,7 +93,8 @@ def test_range_grid(word_bits, state_bits, precision, n):
 
 @pytest.mark.parametrize(
     "word_bits,state_bits,precision",
-    [(32, 64, 32), (32, 64, 24), (32, 64, 16), (32, 64, 8), (16, 32, 16), (16, 32, 12)],
+    [(32, 64, 32), (32, 64, 24), (32, 64, 16), (32, 64, 8), (16, 32, 16),
+     (16, 32, 12), (8, 16, 8), (8, 24, 8), (16, 48, 16), (64, 128, 32)],
 )
 @pytest.mark.parametrize("n", [0, 1, 10, 100])
 def test_chain_grid(word_bits, state_bits, precision, n):
@@ -90,7 +102,6 @@ def test_chain_grid(word_bits, state_bits, precision, n):
     symbols, means, stds = _random_message(rng, n, precision)
     models = _models(means, stds, precision)
 
-    dtype = {8: np.uint8, 16: np.uint16, 32: np.uint32}[word_bits]
     data = rng.randint(0, 1 << min(word_bits, 31), size=n + 2 * (state_bits // word_bits) + 4).astype(
         np.uint64
     ) | 1  # keep words nonzero-ish; last word nonzero required
