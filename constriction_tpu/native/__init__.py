@@ -108,6 +108,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         f64p, f64p, c.c_int64, c.c_int32, u32p, u32p,
     ]
+    lib.ctpu_exact_ncore.restype = None
+    lib.ctpu_exact_ncore.argtypes = [
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        f64p, f64p, c.c_int64, u32p,
+    ]
     lib.ctpu_quantized_ecp.restype = c.c_int32
     lib.ctpu_quantized_ecp.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
@@ -235,7 +240,7 @@ def available() -> bool:
     return LIB is not None
 
 
-DIST_KIND = {"gaussian": 0, "laplace": 1, "cauchy": 2}
+DIST_KIND = {"gaussian": 0, "laplace": 1, "cauchy": 2, "binomial": 3}
 
 
 def ilans_encode(cums, probs, num_symbols, cfg, num_steps, max_words):

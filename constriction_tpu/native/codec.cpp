@@ -173,12 +173,20 @@ static inline uint32_t trunc_u32(double x) {
 // LeakyQuantizer table building (vectorized over symbols, OpenMP parallel)
 // ---------------------------------------------------------------------------
 
-enum DistKind : int32_t { DIST_GAUSSIAN = 0, DIST_LAPLACE = 1, DIST_CAUCHY = 2 };
+enum DistKind : int32_t {
+    DIST_GAUSSIAN = 0, DIST_LAPLACE = 1, DIST_CAUCHY = 2,
+    // Binomial(n=a trials, p=b): discrete CDF evaluated at x (the quantizer
+    // only ever asks at s +- 1/2, i.e. between lattice points), backed by
+    // the AS 63 inc_beta above -- matches the reference's `probability`
+    // crate Binomial::distribution (pybindings/stream/model.rs:927-966).
+    DIST_BINOMIAL = 3,
+};
 
 static inline double dist_cdf(int32_t kind, double x, double a, double b) {
     switch (kind) {
         case DIST_GAUSSIAN: return gaussian_cdf(x, a, b);
         case DIST_LAPLACE:  return laplace_cdf(x, a, b);
+        case DIST_BINOMIAL: return binomial_cdf(x, a, b);
         default:            return cauchy_cdf(x, a, b);
     }
 }
@@ -260,6 +268,63 @@ static inline uint32_t qm_tv(int32_t kind, double a, double b,
     return trunc_u32(free_weight * dist_cdf(kind, (double)s - 0.5, a, b));
 }
 
+// Core edges for one symbol position (shared by ctpu_exact_boundaries and
+// the ncore probe ctpu_exact_ncore).
+static inline void qm_core_edges(
+    int32_t kind, double a, double b, double free_weight, uint32_t freeu,
+    int32_t min_sym, int32_t max_sym, int64_t* out_lo, int64_t* out_hi)
+{
+    // first s with tv >= 1: bisect on the monotone predicate
+    int64_t core_lo;
+    if (qm_tv(kind, a, b, free_weight, max_sym) < 1) {
+        core_lo = max_sym;  // all-zero trunc: clamp (numpy-twin rule)
+    } else {
+        int64_t lo = min_sym, hi = max_sym;  // P(lo)=false (tv undef->0)
+        while (hi - lo > 1) {
+            int64_t mid = lo + ((hi - lo) >> 1);
+            if (qm_tv(kind, a, b, free_weight, mid) >= 1) hi = mid;
+            else lo = mid;
+        }
+        core_lo = hi;
+    }
+    // last s with tv <= free-1  ==  (first s with tv >= free) - 1
+    int64_t core_hi;
+    if (qm_tv(kind, a, b, free_weight, max_sym) <= freeu - 1) {
+        core_hi = max_sym;
+    } else if (qm_tv(kind, a, b, free_weight, min_sym + 1) >= freeu) {
+        core_hi = min_sym;  // clamped below
+    } else {
+        int64_t lo = min_sym + 1, hi = max_sym;  // P(lo)=false, P(hi)=true
+        while (hi - lo > 1) {
+            int64_t mid = lo + ((hi - lo) >> 1);
+            if (qm_tv(kind, a, b, free_weight, mid) >= freeu) hi = mid;
+            else lo = mid;
+        }
+        core_hi = hi - 1;
+    }
+    if (core_hi < core_lo) core_hi = core_lo;
+    *out_lo = core_lo;
+    *out_hi = core_hi;
+}
+
+// ncore probe: per-symbol core sizes only (no boundary values, no cmax cap).
+// Lets callers auto-size cmax before paying for the value fill.
+void ctpu_exact_ncore(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const double* pa, const double* pb, int64_t n, uint32_t* ncore_out)
+{
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    const uint32_t freeu = (uint32_t)free_weight;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        int64_t core_lo, core_hi;
+        qm_core_edges(kind, pa[i], pb[i], free_weight, freeu,
+                      min_sym, max_sym, &core_lo, &core_hi);
+        ncore_out[i] = (uint32_t)(core_hi - core_lo + 1);
+    }
+}
+
 int64_t ctpu_exact_boundaries(
     int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
     const double* pa, const double* pb, int64_t n, int32_t cmax,
@@ -281,35 +346,9 @@ int64_t ctpu_exact_boundaries(
         bad_seen = bad;
         if (bad_seen) continue;
         const double a = pa[i], b = pb[i];
-        // first s with tv >= 1: bisect on the monotone predicate
-        int64_t core_lo;
-        if (qm_tv(kind, a, b, free_weight, max_sym) < 1) {
-            core_lo = max_sym;  // all-zero trunc: clamp (numpy-twin rule)
-        } else {
-            int64_t lo = min_sym, hi = max_sym;  // P(lo)=false (tv undef->0)
-            while (hi - lo > 1) {
-                int64_t mid = lo + ((hi - lo) >> 1);
-                if (qm_tv(kind, a, b, free_weight, mid) >= 1) hi = mid;
-                else lo = mid;
-            }
-            core_lo = hi;
-        }
-        // last s with tv <= free-1  ==  (first s with tv >= free) - 1
-        int64_t core_hi;
-        if (qm_tv(kind, a, b, free_weight, max_sym) <= freeu - 1) {
-            core_hi = max_sym;
-        } else if (qm_tv(kind, a, b, free_weight, min_sym + 1) >= freeu) {
-            core_hi = min_sym;  // clamped below
-        } else {
-            int64_t lo = min_sym + 1, hi = max_sym;  // P(lo)=false, P(hi)=true
-            while (hi - lo > 1) {
-                int64_t mid = lo + ((hi - lo) >> 1);
-                if (qm_tv(kind, a, b, free_weight, mid) >= freeu) hi = mid;
-                else lo = mid;
-            }
-            core_hi = hi - 1;
-        }
-        if (core_hi < core_lo) core_hi = core_lo;
+        int64_t core_lo, core_hi;
+        qm_core_edges(kind, a, b, free_weight, freeu, min_sym, max_sym,
+                      &core_lo, &core_hi);
         int64_t ncore = core_hi - core_lo + 1;
         if (ncore > cmax) {
 #pragma omp critical
@@ -388,6 +427,12 @@ static inline double dist_ppf(int32_t kind, double xi, double a, double b) {
         case DIST_GAUSSIAN: return a + b * SQRT_2 * erfinv_approx(2.0 * xi - 1.0);
         case DIST_LAPLACE:
             return xi < 0.5 ? a + b * log(2.0 * xi) : a - b * log(2.0 - 2.0 * xi);
+        case DIST_BINOMIAL: {
+            // normal approximation of Binomial(n=a, p=b) -- only a GUESS;
+            // the callers' bracketing search restores exactness
+            double mean = a * b, sd = sqrt(fmax(a * b * (1.0 - b), 0.0));
+            return mean + sd * SQRT_2 * erfinv_approx(2.0 * xi - 1.0);
+        }
         default: return a + b * tan(M_PI * (xi - 0.5));
     }
 }

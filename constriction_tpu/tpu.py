@@ -134,9 +134,15 @@ def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
                         max_sym: int, cfg: LaneConfig | None = None):
     """REFERENCE-EXACT per-symbol family encode: the model tables are the
     host f64 LeakyQuantizer's (bit-identical to constriction's
-    QuantizedGaussian/Laplace/Cauchy, quantize.rs:525-568); the rANS coding
-    loop runs on-device.  Slower than :func:`encode_family` (host CDF evals)
-    but bit-compatible with reference-produced models."""
+    QuantizedGaussian/Laplace/Cauchy/Binomial, quantize.rs:525-568 +
+    pybindings/stream/model.rs:927-966); the rANS coding loop runs
+    on-device.  Slower than :func:`encode_family` (host CDF evals) but
+    bit-compatible with reference-produced models.
+
+    For ``family="binomial"`` pass ``(n_trials, p)`` in the (means, scales)
+    slots with ``min_sym=0`` and ``max_sym == n_trials`` for every symbol
+    (the device path needs a shared support; per-symbol ``n`` falls back to
+    the host coders)."""
     from .ops import exact_family as _ef
 
     symbols = np.asarray(symbols)
@@ -148,12 +154,14 @@ def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
 
 def decode_family_exact(init_states, stream, means, scales, family: str,
                         min_sym: int, max_sym: int, num_symbols: int,
-                        cfg: LaneConfig | None = None, cmax: int = 128):
+                        cfg: LaneConfig | None = None,
+                        cmax: int | None = None):
     """REFERENCE-EXACT per-symbol family decode (twin of
     :func:`encode_family_exact`): compact exact boundary tables from the
     host f64 quantizer, quantile inversion + state machine on-device.
-    ``cmax`` bounds the non-linear core per symbol; heavy-tailed families
-    (cauchy) over wide supports need ``cmax >= support size``."""
+    ``cmax`` bounds the non-linear core per symbol; the default (None)
+    auto-sizes it to this parameter batch's tightest bound, which is also
+    the fastest configuration (table DMA and the kernel scan are O(cmax))."""
     from .ops import exact_family as _ef
 
     cfg = _pick_cfg(num_symbols, cfg)

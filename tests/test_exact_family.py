@@ -318,6 +318,118 @@ def test_wide_exact_roundtrip_device_p24(family):
     np.testing.assert_array_equal(out_d, syms)
 
 
+# ---------------------------------------------------------------------------
+# Binomial (the reference's 4th quantized family,
+# pybindings/stream/model.rs:927-966) + auto-sized cmax
+# ---------------------------------------------------------------------------
+
+N_TRIALS = 60
+
+
+def _binomial_params(rng, n):
+    """(n_trials, p) in the generic (means, scales) parameter slots."""
+    return np.full(n, float(N_TRIALS)), rng.uniform(0.02, 0.98, n)
+
+
+def test_binomial_golden_tables_vs_host_quantizer():
+    """Binomial exact tables == the host f64 LeakyQuantizer over random p
+    (AS 63 inc_beta CDF on both sides; chains to the golden-verified host
+    quantizer)."""
+    from constriction_tpu.models.quantized import Binomial
+
+    rng = np.random.RandomState(17)
+    n = min(SOAK_N, 2000)
+    ns, ps = _binomial_params(rng, n)
+    aux, core = ef.exact_boundary_tables(ns, ps, "binomial", 0, N_TRIALS, P)
+    quant = LeakyQuantizer(0, N_TRIALS, P)
+    check = rng.choice(n, size=min(n, 200), replace=False)
+    qs = np.unique(
+        np.concatenate([rng.randint(0, 1 << P, 40), [0, (1 << P) - 1]])
+    )
+    for i in check:
+        m = quant.quantize(Binomial(N_TRIALS, ps[i]))
+        sym, cum, prob = ef._invert_with_tables(
+            qs, np.repeat(aux[i : i + 1], len(qs)),
+            np.repeat(core[i : i + 1], len(qs), axis=0), 0, N_TRIALS, P,
+        )
+        for j, q in enumerate(qs):
+            assert (sym[j], cum[j], prob[j]) == m.qf(int(q)), (i, q, ps[i])
+    # ecp twin
+    syms = np.clip(rng.binomial(N_TRIALS, ps), 0, N_TRIALS).astype(np.int64)
+    cums, probs = ef.exact_ecp(syms, ns, ps, "binomial", 0, N_TRIALS, P)
+    for i in check:
+        m = quant.quantize(Binomial(N_TRIALS, ps[i]))
+        assert (int(cums[i]), int(probs[i])) == m.ecp(int(syms[i])), i
+
+
+def test_binomial_exact_roundtrip_device():
+    """On-device binomial encode + decode (interpreter on CPU), bit-exact
+    with the host twins, auto-sized cmax."""
+    rng = np.random.RandomState(23)
+    cfg = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=P)
+    n = 2000
+    ns, ps = _binomial_params(rng, n)
+    syms = np.clip(rng.binomial(N_TRIALS, ps), 0, N_TRIALS).astype(np.int64)
+    cums, probs = ef.exact_ecp(syms, ns, ps, "binomial", 0, N_TRIALS, P)
+    ref_st, ref_w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), cfg
+    )
+    st, w = ef.encode_family_exact(syms, ns, ps, "binomial", 0, N_TRIALS, cfg)
+    np.testing.assert_array_equal(np.asarray(st), ref_st)
+    np.testing.assert_array_equal(np.asarray(w), ref_w)
+    out_h = ef.decode_family_exact_host(
+        ref_st, ref_w, ns, ps, "binomial", 0, N_TRIALS, cfg, n
+    )
+    np.testing.assert_array_equal(out_h, syms)
+    out_d = np.asarray(
+        ef.decode_family_exact(
+            ref_st, ref_w, ns, ps, "binomial", 0, N_TRIALS, cfg, n
+        )
+    )
+    np.testing.assert_array_equal(out_d, syms)
+
+
+@pytest.mark.parametrize(
+    "family,support",
+    [("gaussian", (MIN, MAX)), ("laplace", (MIN, MAX)),
+     ("cauchy", (MIN, MAX)), ("binomial", (0, N_TRIALS))],
+)
+def test_exact_ncore_native_matches_numpy_twin(family, support):
+    """The C++ ncore probe (per-symbol core sizes, used to auto-size cmax)
+    must agree exactly with the vectorized numpy bisection twin."""
+    import constriction_tpu.native as native
+
+    mn, mx = support
+    rng = np.random.RandomState(37)
+    n = 1000
+    if family == "binomial":
+        means, scales = _binomial_params(rng, n)
+    else:
+        means, scales = _params(rng, n)
+    nc = ef.exact_ncore(means, scales, family, mn, mx, P)
+    if native.LIB is not None:
+        lib = native.LIB
+        try:
+            native.LIB = None
+            nc_np = ef.exact_ncore(means, scales, family, mn, mx, P)
+        finally:
+            native.LIB = lib
+        np.testing.assert_array_equal(nc, nc_np)
+    # the probe bounds the table builder's actual core occupancy exactly:
+    # auto-sized tables must equal explicitly-sized ones at cmax=max(ncore)
+    cmax = int(nc.max())
+    cmax += cmax & 1  # narrow tables pack boundary pairs
+    aux_a, core_a = ef.exact_boundary_tables(
+        means, scales, family, mn, mx, P, None
+    )
+    aux_e, core_e = ef.exact_boundary_tables(
+        means, scales, family, mn, mx, P, cmax
+    )
+    assert core_a.shape[1] == cmax
+    np.testing.assert_array_equal(aux_a, aux_e)
+    np.testing.assert_array_equal(core_a, core_e)
+
+
 @pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
 def test_native_wide_boundary_tables_match_numpy_twin_p24(family):
     """The C++ generator emits the same WIDE (P = 24) pad + aux packing as
