@@ -1,23 +1,30 @@
 """Headline benchmark: interleaved rANS decode throughput on one chip.
 
-Workload mirrors the reference's published benchmark setup (README.md:173-182
-/ benches/lookup.rs): i.i.d. symbols from a ~100-symbol categorical model at
-the "small" preset (precision 12), decoded TPU-first with the ILANS v2
-shared-stream format (constriction_tpu.ops.interleaved2): 2^16 interleaved
-rANS lanes in lockstep, decoded by the Pallas kernel
-(constriction_tpu.ops.pallas_coder): segtree model inversion (coarse
-compares select the CDF segment, the segment index bits steer
-constant-select trees that materialize its boundaries, a short flat
-compare-sum finishes), monotone butterfly refill distribution via
-pltpu.roll, lane states resident in VMEM, double-buffered stream-window
-DMA from HBM.
+Two legs, mirroring the reference's published benchmark setup
+(README.md:173-182 / benches/lookup.rs): i.i.d. symbols from a ~100-symbol
+categorical model, decoded TPU-first with the ILANS2 shared-stream format
+(constriction_tpu.ops.interleaved2):
+
+- DEFAULT preset (PRECISION=24 / u32 words / u64 states -- the exact sizes
+  the reference's Python API pins, stream/mod.rs:184-276): the Pallas
+  ILANS2-64 kernel (ops/pallas_coder64.py, u32-pair limb arithmetic).
+  This is the apples-to-apples headline against the reference's published
+  6.1 ns/symbol default-preset decode, and is the JSON "value".
+- small preset (P=12 / u16 / u32, the reference's lookup-decoder preset):
+  the Pallas ILANS2 kernel (ops/pallas_coder.py, segtree model inversion),
+  reported in the same JSON line as "small_preset_GBps".
+
+Both kernels run 2^16 interleaved rANS lanes in lockstep: lane states in
+VMEM, monotone butterfly refill via pltpu.roll, double-buffered stream
+windows DMA'd from HBM.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "GB/s", "vs_baseline": N,
+     "small_preset_GBps": N, "small_preset_vs_baseline": N}
 
 vs_baseline is relative to the reference's fastest published decode:
-6.1 ns/symbol (ANS 24/32/64 on an i7-7500U, README.md:202) = 0.1639 GB/s for
-1-byte symbols.
+6.1 ns/symbol (ANS 24/32/64 on an i7-7500U, README.md:202) = 0.1639 GB/s
+for 1-byte symbols.
 """
 
 from __future__ import annotations
@@ -31,6 +38,42 @@ import numpy as np
 REFERENCE_DECODE_GBPS = 1.0 / 6.1  # 6.1 ns/symbol, 1-byte symbols
 
 
+def _chained_time(jitted_step, args, n_long, backend):
+    """Chain n decodes inside ONE jit with a data dependency the compiler
+    cannot elide; difference two chain lengths; medians over rounds (the
+    dev tunnel adds ~30 ms dispatch RTT with +-10 ms jitter)."""
+    import jax
+    import jax.numpy as jnp
+
+    def make_chained(n_inner):
+        def run(*a):
+            def body(i, carry):
+                s0, chk = carry
+                s2, contrib = jitted_step(s0, *a[1:])
+                return s2, chk + contrib
+
+            _, chk = jax.lax.fori_loop(0, n_inner, body, (a[0], jnp.uint32(0)))
+            return chk
+
+        return jax.jit(run)
+
+    f1 = make_chained(1)
+    fn_long = make_chained(n_long)
+    _ = np.asarray(f1(*args))
+    _ = np.asarray(fn_long(*args))
+    t1s, tns = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(f1(*args))
+        t1s.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _ = np.asarray(fn_long(*args))
+        tns.append(time.perf_counter() - t0)
+    t1s.sort()
+    tns.sort()
+    return max((tns[len(tns) // 2] - t1s[len(t1s) // 2]) / (n_long - 1), 1e-9)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -40,105 +83,118 @@ def main() -> None:
     )
     from constriction_tpu.ops import interleaved2 as il2
     from constriction_tpu.ops import pallas_coder as pc
+    from constriction_tpu.ops import pallas_coder64 as pc64
     from constriction_tpu.ops.interleaved import LaneConfig
 
     backend = jax.default_backend()
     if backend == "tpu":
         num_lanes, total = 1 << 16, 1 << 25  # 33.5M symbols, 65536 lanes
     else:
-        num_lanes, total = 1 << 10, 1 << 18
+        num_lanes, total = 1 << 10, 1 << 16
+    n_long = 17 if backend == "tpu" else 3
+    interpret = backend != "tpu"
 
     rng = np.random.RandomState(1234)
     alphabet = 100
     probs = rng.dirichlet(np.full(alphabet, 2.0))
-    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
-        probs, 12
-    )
-    cdf = model.cdf
     symbols = rng.choice(alphabet, size=total, p=probs).astype(np.int64)
-
-    cfg = LaneConfig(num_lanes=num_lanes, word_bits=16, state_bits=32, precision=12)
-    cdf64 = cdf.astype(np.uint64)
-    init_states, stream = il2.encode_shared(
-        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
-    )
-    T = -(-total // num_lanes)
+    L = num_lanes
     R = num_lanes // 128
+    T = -(-total // num_lanes)
+    tail = total - (T - 1) * num_lanes
 
-    # Correctness gate: full decode must round-trip bit-exactly.
-    out = np.asarray(pc.decode_shared_pallas(init_states, stream, cdf, cfg, total))
-    if not np.array_equal(out, symbols):
+    def fail(msg):
         print(
             json.dumps(
                 {
-                    "metric": "decode GB/s/chip",
+                    "metric": "ILANS2 rANS decode GB/s/chip",
                     "value": 0.0,
                     "unit": "GB/s",
                     "vs_baseline": 0.0,
-                    "error": "round trip mismatch",
+                    "error": msg,
                 }
             )
         )
         sys.exit(1)
 
-    fn = pc._build_decoder(
-        tuple(int(x) for x in cdf), cfg, T, total - (T - 1) * num_lanes,
-        num_lanes, jax.default_backend() != "tpu",
+    # ---- DEFAULT preset leg: P=24 / W=32 / S=64 (reference default sizes) --
+    model24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
     )
-    stream_j = jnp.asarray(stream, dtype=jnp.uint32)
-    rows = -(-int(stream_j.shape[0]) // 128) + (R + 2)
-    pad = rows * 128 - int(stream_j.shape[0])
-    stream2d = jax.device_put(
-        jnp.concatenate([stream_j, jnp.zeros(pad, dtype=jnp.uint32)]).reshape(rows, 128)
+    cdf24 = model24.cdf
+    cfg64 = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    cdf24_64 = cdf24.astype(np.uint64)
+    st64, stream64 = il2.encode_shared(
+        cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
     )
-    states2d = jax.device_put(
-        jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, 128)
+    dec64 = pc64._build_decoder64(
+        tuple(int(x) for x in cdf24), cfg64, T, tail, L, interpret
     )
+    st64h = np.asarray(st64, np.uint64)
+    hi2 = jax.device_put(
+        jnp.asarray((st64h >> np.uint64(32)).astype(np.uint32)).reshape(R, 128)
+    )
+    lo2 = jax.device_put(
+        jnp.asarray((st64h & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R, 128)
+    )
+    w64 = jax.device_put(pc._pad_stream2d(np.asarray(stream64), R))
 
-    # Robust timing: chain n_inner decodes inside ONE jit with a data
-    # dependency the compiler cannot elide, and difference two chain lengths;
-    # dispatch/readback round trips (the dev tunnel adds a noisy ~30 ms)
-    # cancel exactly.
-    def make_chained(n_inner):
-        def run(s, w):
-            def body(i, carry):
-                s0, chk = carry
-                syms, _fstates = fn(s0, w)
-                dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1  # 0 in practice
-                return s0 ^ dep, chk + syms[0, 0, 0].astype(jnp.uint32)
+    out = np.asarray(dec64(hi2, lo2, w64)[0]).reshape(-1)[:total]
+    if not np.array_equal(out, symbols):
+        fail("DEFAULT-preset round trip mismatch")
 
-            _, chk = jax.lax.fori_loop(0, n_inner, body, (s, jnp.uint32(0)))
-            return chk
+    def _sdec64(h, l, w):
+        syms, _h2, _l2 = dec64(h, l, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
 
-        return jax.jit(run)
+    dt64 = _chained_time(_sdec64, (hi2, lo2, w64), n_long, backend)
+    gbps64 = total / dt64 / 1e9
 
-    n_long = 17 if backend == "tpu" else 3
-    f1 = make_chained(1)
-    fn_long = make_chained(n_long)
-    _ = np.asarray(f1(states2d, stream2d))
-    _ = np.asarray(fn_long(states2d, stream2d))
+    # ---- small preset leg: P=12 / u16 / u32 (lookup-decoder preset) --------
+    model12 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    cdf12 = model12.cdf
+    cfg12 = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    cdf12_64 = cdf12.astype(np.uint64)
+    st12, stream12 = il2.encode_shared(
+        cdf12_64[symbols], cdf12_64[symbols + 1] - cdf12_64[symbols], cfg12
+    )
+    dec12 = pc._build_decoder(
+        tuple(int(x) for x in cdf12), cfg12, T, tail, L, interpret
+    )
+    st12_2d = jax.device_put(
+        jnp.asarray(np.asarray(st12), jnp.uint32).reshape(R, 128)
+    )
+    w12 = jax.device_put(pc._pad_stream2d(np.asarray(stream12), R))
+    out = np.asarray(dec12(st12_2d, w12)[0]).reshape(-1)[:total]
+    if not np.array_equal(out, symbols):
+        fail("small-preset round trip mismatch")
 
-    # medians over several rounds: the dev tunnel's ~30 ms dispatch RTT has
-    # +-10 ms jitter, so single-round differences of short chains are noisy
-    t1s, tns = [], []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _ = np.asarray(f1(states2d, stream2d))
-        t1s.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        _ = np.asarray(fn_long(states2d, stream2d))
-        tns.append(time.perf_counter() - t0)
-    t1s.sort(); tns.sort()
-    dt = max((tns[len(tns) // 2] - t1s[len(t1s) // 2]) / (n_long - 1), 1e-9)
+    def _sdec12(s, w):
+        syms, _f = dec12(s, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
 
-    gbps = total / dt / 1e9  # 1-byte symbols
+    dt12 = _chained_time(_sdec12, (st12_2d, w12), n_long, backend)
+    gbps12 = total / dt12 / 1e9
+
     print(
         json.dumps(
             {
-                "metric": "ILANS2 interleaved rANS decode throughput per chip (100-symbol model, P=12, Pallas)",
-                "value": round(gbps, 4),
+                "metric": (
+                    "ILANS2-64 interleaved rANS decode GB/s/chip at the "
+                    "reference DEFAULT preset (P=24/u32/u64, 100-symbol "
+                    "model, Pallas)"
+                ),
+                "value": round(gbps64, 4),
                 "unit": "GB/s",
-                "vs_baseline": round(gbps / REFERENCE_DECODE_GBPS, 2),
+                "vs_baseline": round(gbps64 / REFERENCE_DECODE_GBPS, 2),
+                "small_preset_GBps": round(gbps12, 4),
+                "small_preset_vs_baseline": round(
+                    gbps12 / REFERENCE_DECODE_GBPS, 2
+                ),
             }
         )
     )
