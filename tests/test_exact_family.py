@@ -169,7 +169,7 @@ def test_facade_entry_points():
     np.testing.assert_array_equal(out, syms)
 
 
-@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy", "binomial"])
 def test_native_boundary_tables_match_numpy_twin(family):
     """The C++ bisection boundary generator must agree exactly with the
     windowed numpy twin over random parameters."""
@@ -179,6 +179,22 @@ def test_native_boundary_tables_match_numpy_twin(family):
         pytest.skip("native lib unavailable")
     rng = np.random.RandomState(13)
     n = 4000
+    if family == "binomial":
+        ns_, ps_ = _binomial_params(rng, n)
+        aux_n, core_n = ef.exact_boundary_tables(
+            ns_, ps_, family, 0, N_TRIALS, P, 64
+        )
+        lib = native.LIB
+        try:
+            native.LIB = None
+            aux_p, core_p = ef.exact_boundary_tables(
+                ns_, ps_, family, 0, N_TRIALS, P, 64
+            )
+        finally:
+            native.LIB = lib
+        np.testing.assert_array_equal(aux_n, aux_p)
+        np.testing.assert_array_equal(core_n, core_p)
+        return
     means, scales = _params(rng, n)
     aux_n, core_n = ef.exact_boundary_tables(
         means, scales, family, MIN, MAX, P, CMAX[family]
