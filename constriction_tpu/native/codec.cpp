@@ -268,40 +268,74 @@ static inline uint32_t qm_tv(int32_t kind, double a, double b,
     return trunc_u32(free_weight * dist_cdf(kind, (double)s - 0.5, a, b));
 }
 
+// First s in (min_sym, max_sym] whose monotone trunc value reaches
+// `threshold`, or max_sym + 1 when none does.  Starts from an approximate
+// PPF guess and brackets exponentially, so the typical cost is ~3-5 CDF
+// evaluations instead of a full log2(span) bisection.  `dist_ppf` is
+// declared below (decode-side guesses share it).
+static inline double dist_ppf(int32_t kind, double xi, double a, double b);
+
+static inline int64_t qm_first_reaching(
+    int32_t kind, double a, double b, double free_weight,
+    uint32_t threshold, int32_t min_sym, int32_t max_sym, double guess_f)
+{
+    int64_t g;
+    if (guess_f <= (double)(min_sym + 1)) g = min_sym + 1;
+    else if (guess_f >= (double)max_sym) g = max_sym;
+    else g = (int64_t)floor(guess_f);
+
+    int64_t lo = min_sym, hi;  // invariant: tv(lo) < threshold (tv(min)=0
+    int64_t hi_cap = (int64_t)max_sym + 1;  // virtual "true" sentinel
+    if (qm_tv(kind, a, b, free_weight, g) >= threshold) {
+        hi = g;
+        int64_t step = 1;
+        for (;;) {
+            int64_t nxt = hi - step;
+            if (nxt <= min_sym) break;
+            if (qm_tv(kind, a, b, free_weight, nxt) >= threshold) {
+                hi = nxt; step <<= 1;
+            } else { lo = nxt; break; }
+        }
+    } else {
+        lo = g;
+        hi = hi_cap;
+        int64_t step = 1;
+        for (;;) {
+            int64_t nxt = lo + step;
+            if (nxt > max_sym) break;
+            if (qm_tv(kind, a, b, free_weight, nxt) < threshold) {
+                lo = nxt; step <<= 1;
+            } else { hi = nxt; break; }
+        }
+    }
+    while (hi - lo > 1) {
+        int64_t mid = lo + ((hi - lo) >> 1);
+        if (qm_tv(kind, a, b, free_weight, mid) >= threshold) hi = mid;
+        else lo = mid;
+    }
+    return hi;
+}
+
 // Core edges for one symbol position (shared by ctpu_exact_boundaries and
-// the ncore probe ctpu_exact_ncore).
+// the ncore probe ctpu_exact_ncore).  Guess-seeded: the left edge sits where
+// CDF ~ 1/free, the right edge where CDF ~ 1 - 1/free.
 static inline void qm_core_edges(
     int32_t kind, double a, double b, double free_weight, uint32_t freeu,
     int32_t min_sym, int32_t max_sym, int64_t* out_lo, int64_t* out_hi)
 {
-    // first s with tv >= 1: bisect on the monotone predicate
-    int64_t core_lo;
-    if (qm_tv(kind, a, b, free_weight, max_sym) < 1) {
-        core_lo = max_sym;  // all-zero trunc: clamp (numpy-twin rule)
-    } else {
-        int64_t lo = min_sym, hi = max_sym;  // P(lo)=false (tv undef->0)
-        while (hi - lo > 1) {
-            int64_t mid = lo + ((hi - lo) >> 1);
-            if (qm_tv(kind, a, b, free_weight, mid) >= 1) hi = mid;
-            else lo = mid;
-        }
-        core_lo = hi;
-    }
-    // last s with tv <= free-1  ==  (first s with tv >= free) - 1
-    int64_t core_hi;
-    if (qm_tv(kind, a, b, free_weight, max_sym) <= freeu - 1) {
-        core_hi = max_sym;
-    } else if (qm_tv(kind, a, b, free_weight, min_sym + 1) >= freeu) {
-        core_hi = min_sym;  // clamped below
-    } else {
-        int64_t lo = min_sym + 1, hi = max_sym;  // P(lo)=false, P(hi)=true
-        while (hi - lo > 1) {
-            int64_t mid = lo + ((hi - lo) >> 1);
-            if (qm_tv(kind, a, b, free_weight, mid) >= freeu) hi = mid;
-            else lo = mid;
-        }
-        core_hi = hi - 1;
-    }
+    const double inv_free = 1.0 / free_weight;
+    int64_t first_pos = qm_first_reaching(
+        kind, a, b, free_weight, 1u, min_sym, max_sym,
+        dist_ppf(kind, inv_free, a, b) + 0.5);
+    // first s with tv >= 1: max_sym + 1 means all-zero trunc -> clamp
+    int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
+    // last s with tv <= free-1  ==  (first s with tv >= free) - 1; the
+    // clamp cases (whole support saturated / nothing saturated) fall out of
+    // the sentinel and the final max()
+    int64_t first_sat = qm_first_reaching(
+        kind, a, b, free_weight, freeu, min_sym, max_sym,
+        dist_ppf(kind, 1.0 - inv_free, a, b) + 0.5);
+    int64_t core_hi = first_sat - 1;
     if (core_hi < core_lo) core_hi = core_lo;
     *out_lo = core_lo;
     *out_hi = core_hi;
@@ -346,21 +380,32 @@ int64_t ctpu_exact_boundaries(
         bad_seen = bad;
         if (bad_seen) continue;
         const double a = pa[i], b = pb[i];
-        int64_t core_lo, core_hi;
-        qm_core_edges(kind, a, b, free_weight, freeu, min_sym, max_sym,
-                      &core_lo, &core_hi);
-        int64_t ncore = core_hi - core_lo + 1;
-        if (ncore > cmax) {
+        // left edge by guess-seeded search; the right edge falls out of the
+        // forward fill below (each core value is one CDF eval anyway, so
+        // probing past the end costs one extra eval, not a second search)
+        int64_t first_pos = qm_first_reaching(
+            kind, a, b, free_weight, 1u, min_sym, max_sym,
+            dist_ppf(kind, 1.0 / free_weight, a, b) + 0.5);
+        int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
+        uint32_t* row = core + i * cmax;
+        // j = 0 is unconditional: the clamp rule keeps ncore >= 1 even when
+        // tv(core_lo) is already saturated (sharp-step models)
+        row[0] = qm_tv(kind, a, b, free_weight, core_lo)
+               + (uint32_t)(core_lo - min_sym);
+        int64_t ncore = 1;
+        bool overflow = false;
+        for (int64_t s = core_lo + 1; s <= max_sym; s++) {
+            uint32_t tv = qm_tv(kind, a, b, free_weight, s);
+            if (tv > freeu - 1) break;  // saturated: right-linear regime
+            if (ncore >= cmax) { overflow = true; break; }
+            row[ncore++] = tv + (uint32_t)(s - min_sym);
+        }
+        if (overflow) {
 #pragma omp critical
             if (!bad || bad > 1 + i) bad = 1 + i;  // lowest index wins
             continue;
         }
         aux[i] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << aux_shift);
-        uint32_t* row = core + i * cmax;
-        for (int64_t j = 0; j < ncore; j++) {
-            int64_t s = core_lo + j;
-            row[j] = qm_tv(kind, a, b, free_weight, s) + (uint32_t)(s - min_sym);
-        }
         for (int64_t j = ncore; j < cmax; j++) row[j] = padv;
     }
     return bad;

@@ -984,16 +984,190 @@ def _cum_prob_from_sym_tree(sym: jax.Array, cdf: np.ndarray, precision: int,
     return cum, nxt - cum
 
 
+def _bitmapsel_cost(precision: int, b: int) -> int:
+    """Static vector-op estimate for _cum_prob_from_sym_bitmap at bucket
+    width 2^b (used to pick b and to dispatch against the tree form)."""
+    nb = 1 << (precision - b)
+    wpb = 1 << (b - 5)
+    # bucket rank + (words + base + next) select trees + per-word popcounts
+    # and the word pick + in-word bit select + next-bit scan
+    return 2 * (nb - 1) + (wpb + 2) * (nb - 1) + 12 * wpb + 120
+
+
+def _cum_prob_from_sym_bitmap(sym: jax.Array, cdf: np.ndarray,
+                              precision: int, bucket_bits: int | None = None):
+    """(cum, prob) for known symbols with cost INDEPENDENT of K: the
+    encode-side twin of :func:`_compare_sum_bitmap`.
+
+    The boundary positions ``cdf[0..K-1]`` form a 2^P-bit bitmap over
+    quantile space (distinct: leaky models have every prob >= 1), so
+    ``cum = cdf[sym]`` is the position of the ``sym``-th set bit -- a
+    SELECT, the inverse of the decoder's RANK.  Split quantile space into
+    2^(P-b) buckets of 2^b bits.  Per lane:
+
+    1. the bucket holding the ``sym``-th bit is the rank of ``sym`` in the
+       per-bucket base counts (compare-sum over <= 2^(P-b) host constants,
+       deduplicated);
+    2. select the bucket's bitmap words + base count + after-bucket next
+       boundary via :func:`_select_tree` on the bucket-index bits;
+    3. in-bucket select: per-word popcounts pick the word, SWAR byte
+       counts pick the byte, two halving steps pick the bit;
+    4. ``nxt = cdf[sym+1]`` is the next set bit after ``cum`` (isolate-LSB
+       on the masked word, then the first nonzero later word, else the
+       selected after-bucket constant -- which is 2^P when sym+1 == K).
+
+    Bitstream-identical to the other encode lookups.  Requires
+    cdf[0] == 0 and P <= 15 (positions fit the select constants); at
+    K=4096/P=12 this is ~330 ops vs the select tree's ~2100."""
+    c = [int(v) for v in cdf]
+    K = len(c) - 1
+    P = precision
+    assert c[0] == 0 and P <= 15
+    if bucket_bits is None:
+        bucket_bits = min(range(5, min(P, 10)),
+                          key=lambda bb: _bitmapsel_cost(P, bb))
+    assert bucket_bits <= 9
+    b = bucket_bits
+    NB = 1 << (P - b)
+    WPB = 1 << (b - 5)
+
+    import bisect
+    from collections import Counter
+
+    cb = c[:K]
+    wtab = [[0] * NB for _ in range(WPB)]
+    for v in cb:
+        wtab[(v >> 5) & (WPB - 1)][v >> b] |= 1 << (v & 31)
+    basec, nxta = [], []
+    for u_ in range(NB):
+        basec.append(bisect.bisect_left(cb, u_ << b))
+        i2 = bisect.bisect_left(cb, (u_ + 1) << b)
+        nxta.append(cb[i2] if i2 < K else (1 << P))
+
+    si = sym.astype(jnp.int32)
+    zero = jnp.zeros(sym.shape, jnp.int32)
+
+    # 1. bucket u = max{u : basec[u] <= sym} as a rank over the (sorted)
+    #    base counts; equal thresholds collapse to one compare
+    u = zero
+    const_hits = 0
+    for val, mult in sorted(Counter(basec[1:]).items()):
+        if val == 0:
+            const_hits += mult
+        else:
+            u = u + jnp.where(si >= np.int32(val), np.int32(mult), zero)
+    if const_hits:
+        u = u + np.int32(const_hits)
+
+    # 2. bucket constants by u's bits
+    bits = [(u & np.int32(1 << k)) != 0 for k in range(P - b)]
+    uz32 = jnp.zeros(sym.shape, jnp.uint32)
+    words = [_select_tree(bits, wtab[w]) + uz32 for w in range(WPB)]
+    basev = (_select_tree(bits, basec) + uz32).astype(jnp.int32)
+    nxtv = (_select_tree(bits, nxta) + uz32).astype(jnp.int32)
+    r = si - basev  # 0-based rank of the target bit within the bucket
+
+    # 3a. pick the word holding the r-th set bit (prefix popcounts)
+    selw = words[0]
+    rbase = zero
+    wbase = zero
+    if WPB > 1:
+        pref = _popcount32(words[0])
+        for w in range(1, WPB):
+            gow = r >= pref
+            selw = jnp.where(gow, words[w], selw)
+            rbase = jnp.where(gow, pref, rbase)
+            wbase = jnp.where(gow, np.int32(32 * w), wbase)
+            if w < WPB - 1:
+                pref = pref + _popcount32(words[w])
+    r2 = r - rbase
+
+    # 3b. byte within the word (SWAR byte counts)
+    bc = _popc_bytes(selw)
+    p1 = (bc & np.uint32(0xFF)).astype(jnp.int32)
+    p2 = p1 + ((bc >> 8) & np.uint32(0xFF)).astype(jnp.int32)
+    p3 = p2 + ((bc >> 16) & np.uint32(0xFF)).astype(jnp.int32)
+    i1 = r2 >= p1
+    i2_ = r2 >= p2
+    i3 = r2 >= p3
+    byte = (jnp.where(i1, 1, 0) + jnp.where(i2_, 1, 0)
+            + jnp.where(i3, 1, 0))
+    rb = r2 - jnp.where(i3, p3, jnp.where(i2_, p2, jnp.where(i1, p1, zero)))
+    xb = (selw >> (byte * 8).astype(jnp.uint32)) & np.uint32(0xFF)
+
+    # 3c. bit within the byte (halving descend; each level tests the rank
+    #     against the popcount of the low half)
+    lo4 = xb & np.uint32(0xF)
+    p4 = ((lo4 & 1) + ((lo4 >> 1) & 1) + ((lo4 >> 2) & 1)
+          + (lo4 >> 3)).astype(jnp.int32)
+    hi4 = rb >= p4
+    nib = jnp.where(hi4, xb >> 4, lo4)
+    r4 = rb - jnp.where(hi4, p4, zero)
+    lo2 = nib & np.uint32(0x3)
+    p2b = ((lo2 & 1) + (lo2 >> 1)).astype(jnp.int32)
+    hi2 = r4 >= p2b
+    pr = jnp.where(hi2, nib >> 2, lo2) & np.uint32(0x3)
+    r5 = r4 - jnp.where(hi2, p2b, zero)
+    hi1 = r5 >= (pr & 1).astype(jnp.int32)
+    pos = (byte * 8 + jnp.where(hi4, 4, 0) + jnp.where(hi2, 2, 0)
+           + jnp.where(hi1, 1, 0))
+    bucket_base = u << b
+    cum = bucket_base + wbase + pos
+
+    # 4. next boundary: first set bit after pos in selw, else the first
+    #    nonzero later word, else the after-bucket constant
+    above = selw & ~((np.uint32(2) << pos.astype(jnp.uint32)) - np.uint32(1))
+    found = above
+    fbase = wbase
+    for w in range(1, WPB):
+        use = jnp.logical_and(
+            jnp.logical_and(np.int32(32 * w) > wbase, words[w] != 0),
+            found == 0,
+        )
+        found = jnp.where(use, words[w], found)
+        fbase = jnp.where(use, np.int32(32 * w), fbase)
+    iso = found & (np.uint32(0) - found)
+    lsb = _popcount32(iso - np.uint32(1))
+    nxt = jnp.where(found != 0, bucket_base + fbase + lsb, nxtv)
+    return cum.astype(jnp.uint32), (nxt - cum).astype(jnp.uint32)
+
+
 def _cum_prob_from_sym(sym: jax.Array, cdf: np.ndarray, precision: int):
-    """Encode-side (cum, prob) lookup: bit-steered select trees for all but
-    tiny alphabets (the symbol is an input, so no compares are needed),
-    flat packed compare-sum below that.  The flat form's cum << P | prob
-    packing needs 2P <= 32; default-preset precisions always go through
-    the tree (whose per = 1 branch holds one u32 boundary per leaf)."""
+    """Encode-side (cum, prob) lookup, picked by static vector-op cost:
+
+    - flat packed compare-sum (3 ops/boundary; needs 2P <= 32) -- tiny
+      alphabets,
+    - bit-steered select trees (the symbol is an input, so its bits can
+      directly steer constant selects) -- small/mid alphabets and all
+      P > 15,
+    - bitmap select (K-independent ~330 ops; P <= 15) -- large alphabets.
+
+    All forms return identical (cum, prob) -- the choice never changes
+    the bitstream.  CTPU_FORCE_INVERSION's "tree"/"bitmap" values are
+    honored here too (when valid) so perf experiments can steer both
+    sides of the coder."""
     K = len(cdf) - 1
-    if K > 16 or precision > 15:
-        return _cum_prob_from_sym_tree(sym, cdf, precision)
-    return _cum_prob_from_sym_flat(sym, cdf, precision)
+    P = precision
+    candidates = []
+    if K <= 16 and P <= 15:
+        candidates.append(("flat", 3 * (K - 1)))
+    per = 2 if P <= 15 else 1
+    candidates.append(("tree", min(
+        _tree_cost(K, P, bb) for bb in (8, 16, 32, 64, 128) if bb // per >= 1
+    )))
+    if 5 < P <= 15 and int(cdf[0]) == 0:
+        candidates.append(("bitmap", min(
+            _bitmapsel_cost(P, bb) for bb in range(5, min(P, 10))
+        )))
+    best = min(candidates, key=lambda kv: kv[1])[0]
+    forced = os.environ.get("CTPU_FORCE_INVERSION", "")
+    if forced and forced in {name for name, _ in candidates}:
+        best = forced
+    if best == "bitmap":
+        return _cum_prob_from_sym_bitmap(sym, cdf, P)
+    if best == "tree":
+        return _cum_prob_from_sym_tree(sym, cdf, P)
+    return _cum_prob_from_sym_flat(sym, cdf, P)
 
 
 

@@ -615,3 +615,91 @@ def test_force_inversion_rebuilds_cached_kernels(monkeypatch):
     monkeypatch.delenv("CTPU_FORCE_INVERSION")
     again = pc._build_decoder(cdf_t, cfg, 2, 256, 256, True)
     assert again is auto_build
+
+@pytest.mark.parametrize(
+    "K,precision",
+    [(300, 12), (1000, 12), (4095, 12), (4096, 12), (1000, 13), (2000, 11),
+     (500, 15), (257, 10), (100, 6)],
+)
+def test_cum_prob_from_sym_bitmap_oracle(K, precision):
+    """The K-independent bitmap-SELECT encode lookup (sym-th set bit of the
+    boundary bitmap) must match the CDF exactly on EVERY symbol."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K * 13 + precision)
+    if K > (1 << precision):
+        pytest.skip("alphabet larger than quantile space")
+    c = _leaky_cdf(rng, K, precision)
+    syms = np.arange(K, dtype=np.int32)
+    for bb in (None, 5, 7, 9):
+        if bb is not None and bb >= precision:
+            continue
+        fn = jax.jit(
+            lambda s, bb=bb: pc._cum_prob_from_sym_bitmap(
+                s, c, precision, bucket_bits=bb
+            )
+        )
+        cum, prob = (np.asarray(x) for x in fn(jnp.asarray(syms)))
+        np.testing.assert_array_equal(cum, c[syms], err_msg=f"b={bb}")
+        np.testing.assert_array_equal(
+            prob, c[syms + 1] - c[syms], err_msg=f"b={bb}"
+        )
+
+
+@pytest.mark.parametrize(
+    "K,precision", [(16, 12), (100, 12), (1000, 12), (4096, 12), (500, 15),
+                    (100, 16), (100, 24)]
+)
+def test_all_encode_lookup_forms_agree(K, precision):
+    """Every eligible encode-side (cum, prob) lookup form must produce the
+    identical answer on the same symbols: the dispatcher's choice can never
+    change the bitstream."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(K * 5 + precision)
+    c = _leaky_cdf(rng, K, precision)
+    syms = np.concatenate(
+        [np.arange(min(K, 512)), rng.randint(0, K, size=1000), [K - 1]]
+    ).astype(np.int32)
+    forms = [("tree", lambda s: pc._cum_prob_from_sym_tree(s, c, precision))]
+    if K <= 16 and precision <= 15:
+        forms.append(
+            ("flat", lambda s: pc._cum_prob_from_sym_flat(s, c, precision))
+        )
+    if K > 16 and precision <= 15:
+        forms.append(
+            ("segmented",
+             lambda s: pc._cum_prob_from_sym_segmented(s, c, precision))
+        )
+    if 5 < precision <= 15:
+        forms.append(
+            ("bitmap",
+             lambda s: pc._cum_prob_from_sym_bitmap(s, c, precision))
+        )
+    for name, fn in forms:
+        cum, prob = (np.asarray(x) for x in jax.jit(fn)(jnp.asarray(syms)))
+        np.testing.assert_array_equal(cum, c[syms], err_msg=name)
+        np.testing.assert_array_equal(prob, c[syms + 1] - c[syms],
+                                      err_msg=name)
+
+
+@pytest.mark.parametrize("K", [1000, 4096])
+def test_pallas_encode_bitmap_roundtrip(K):
+    """End-to-end Pallas encode at large K routes through the bitmap-select
+    lookup (P=12 <= 15 gate, cost below the select tree's) and must stay
+    bitstream-identical to the host encoder."""
+    rng = np.random.RandomState(K + 1)
+    n, L, P = 5000, 256, 12
+    cdf = _leaky_cdf(rng, K, P)
+    probs = (cdf[1:] - cdf[:-1]) / float(1 << P)
+    symbols = rng.choice(K, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=P)
+    cdf64 = cdf.astype(np.uint64)
+    states, stream = il2.encode_shared(
+        cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
+    )
+    st_d, stream_d = pc.encode_iid_pallas(symbols, cdf, cfg)
+    np.testing.assert_array_equal(np.asarray(st_d), states)
+    np.testing.assert_array_equal(np.asarray(stream_d), stream)
