@@ -64,10 +64,8 @@ def main() -> None:
         t_prep = time.perf_counter() - t0
         ncore = (aux >> 24).astype(np.int64)
         cmax = int(ncore.max())
-        CP1 = cmax + 1
-        tabs = np.empty((T * L, CP1), np.uint32)
-        tabs[:, 0] = aux
-        tabs[:, 1:] = core[:, :cmax]
+        tabs, cmax = ef.pack_decode_tables(aux, core[:, :cmax], P)
+        CP1 = tabs.shape[1]
         tabs4 = np.ascontiguousarray(
             tabs.reshape(T, R, 128, CP1).transpose(0, 3, 1, 2)
         )

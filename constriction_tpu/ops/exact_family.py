@@ -344,6 +344,46 @@ def exact_boundary_tables(
     return aux, core.astype(np.uint32)
 
 
+def pack_decode_tables(
+    aux: np.ndarray, core: np.ndarray, precision: int
+) -> Tuple[np.ndarray, int]:
+    """(aux, core) -> device table planes ``[n, CP1] u32`` in the decode
+    kernels' packed (b - 1) layout, plus the effective (rounded) cmax.
+
+    Plane 0 is aux.  Narrow (P <= 16): u16 (b - 1) pairs (even | odd << 16)
+    with pads forced to 0xFFFF by the ncore index mask -- raw narrow tables
+    cannot distinguish a saturated 2^P - 1 boundary from a pad by value.
+    Wide (16 < P <= 24): 24-bit (b - 1) quads, 4 boundaries per 3 planes;
+    raw wide pads are 2^P, so ``core - 1`` maps them to the 0xFFFFFF pad
+    uniformly with the real boundaries (which are >= 1).  The (b - 1)
+    store is what lets the kernels scan with a strict ``<`` prefix mask
+    and no pad masking; see the kernel bodies.
+    """
+    n, cmax = core.shape
+    if precision > 16:
+        G = -(-cmax // 4)
+        bm1 = np.full((n, 4 * G), (1 << precision) - 1, np.uint32)
+        bm1[:, :cmax] = core - 1
+        grp = bm1.reshape(n, G, 4)
+        tabs = np.empty((n, 1 + 3 * G), np.uint32)
+        tabs[:, 0] = aux
+        w = np.empty((n, G, 3), np.uint32)
+        w[..., 0] = grp[..., 0] | (grp[..., 1] << 24)
+        w[..., 1] = (grp[..., 1] >> 8) | (grp[..., 2] << 16)
+        w[..., 2] = (grp[..., 2] >> 16) | (grp[..., 3] << 8)
+        tabs[:, 1:] = w.reshape(n, 3 * G)
+        return tabs, 4 * G
+    assert cmax % 2 == 0
+    ncore = (aux >> 16).astype(np.int64)
+    bm1 = np.where(
+        np.arange(cmax)[None, :] < ncore[:, None], core - 1, 0xFFFF
+    ).astype(np.uint32)
+    tabs = np.empty((n, cmax // 2 + 1), np.uint32)
+    tabs[:, 0] = aux
+    tabs[:, 1:] = bm1[:, 0::2] | (bm1[:, 1::2] << 16)
+    return tabs, cmax
+
+
 # ---------------------------------------------------------------------------
 # Numpy oracle decode (twin of the kernel, used for verification)
 # ---------------------------------------------------------------------------
@@ -511,31 +551,42 @@ def _exact_decode_kernel_body(
         cl = (aux & np.uint32(0xFFFF)).astype(jnp.int32)
         nc = (aux >> 16).astype(jnp.int32)
 
-        # core scan: count, max boundary <= q, min boundary > q.
-        # Pads cannot be told apart by value: a clamped sharp-step core can
-        # hold the saturated boundary b = free + s_rel = 2^P - 1, which at
-        # P = 16 equals the 0xFFFF pad (and q itself can be 0xFFFF there).
-        # Mask by index instead -- entry j is real iff j < ncore -- and use
-        # 2^P as the no-next sentinel (an un-excluded pad would cap nxtc at
-        # 65535 and shorten the top interval by one at P = 16).
-        sent = np.int32(1 << P)
+        # Core scan over (b - 1) u16 pairs.  The device table stores
+        # boundaries MINUS ONE with pads forced to 0xFFFF by an ncore index
+        # mask on the host (raw narrow tables are ambiguous: a saturated
+        # sharp-step boundary b = 2^P - 1 collides with the 0xFFFF pad at
+        # P = 16; in b-1 space real entries are <= 2^P - 2).  Boundaries
+        # ascend within a lane, so ``le = b-1 < q`` (<=> b <= q) is a
+        # prefix mask over the plane index: ``cnt`` counts it, ``cumc`` is
+        # the LAST selected entry (plain select), and ``nxtc`` is that
+        # entry's SUCCESSOR.  A pad successor yields nxtc = 0x10000, which
+        # is only ever consumed through min(nxtc, rstart) with
+        # rstart <= 2^P -- the table builder guarantees ncore >= 1, so the
+        # cnt == 0 path always sees the real first boundary.
         cnt = jnp.zeros((R, LANES), jnp.int32)
-        cumc = jnp.zeros((R, LANES), jnp.int32)
-        nxtc = jnp.full((R, LANES), sent, jnp.int32)
+        cumc = jnp.full((R, LANES), np.int32(-1), jnp.int32)
+        nxtc = None
+        pend = None
         for w in range(cmax // 2):
             pairs = tbuf[slot, 1 + w]
-            for half in range(2):
-                b = ((pairs >> (16 * half)) & np.uint32(0xFFFF)).astype(
-                    jnp.int32
-                )
-                real = nc > np.int32(2 * w + half)
-                le = jnp.logical_and(b <= q, real)
-                cnt = cnt + jnp.where(le, 1, 0)
-                cumc = jnp.maximum(cumc, jnp.where(le, b, 0))
-                nxtc = jnp.minimum(
-                    nxtc,
-                    jnp.where(jnp.logical_or(le, ~real), sent, b),
-                )
+            b0 = (pairs & np.uint32(0xFFFF)).astype(jnp.int32)
+            b1 = (pairs >> 16).astype(jnp.int32)
+            if nxtc is None:
+                nxtc = b0
+            for b, bnext in ((pend, b0), (b0, b1)):
+                if b is None:
+                    continue
+                le = b < q
+                cnt = cnt + le.astype(jnp.int32)
+                cumc = jnp.where(le, b, cumc)
+                nxtc = jnp.where(le, bnext, nxtc)
+            pend = b1
+        le = pend < q
+        cnt = cnt + le.astype(jnp.int32)
+        cumc = jnp.where(le, pend, cumc)
+        nxtc = jnp.where(le, np.int32(0xFFFF), nxtc)
+        cumc = cumc + 1  # back to b space (only consumed when cnt > 0)
+        nxtc = nxtc + 1
 
         core_hi_rel = cl + nc - 1
         rstart = jnp.where(
@@ -782,14 +833,12 @@ def decode_family_exact(
     )
     cmax = core.shape[1]
     if wide:
-        # wide tables: plane 0 aux, one u32 plane per boundary
-        CP1 = cmax + 1
-        tabs = np.empty((T * L, CP1), np.uint32)
-        tabs[:, 0] = aux
-        tabs[:, 1:] = core
+        tabs, cmax = pack_decode_tables(aux, core, cfg.precision)
+        CP1 = tabs.shape[1]
         tabs4 = np.ascontiguousarray(
             tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
         )
+        _check_table_vmem(CP1, R, L)
         fn = _build_exact_decoder64(
             int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
         )
@@ -805,11 +854,8 @@ def decode_family_exact(
             _pad_stream2d(stream, R),
         )
         return syms.reshape(-1)[:num_symbols]
-    # pack: plane 0 aux, planes 1.. core pairs (even | odd << 16)
-    CP1 = cmax // 2 + 1
-    tabs = np.empty((T * L, CP1), np.uint32)
-    tabs[:, 0] = aux
-    tabs[:, 1:] = core[:, 0::2] | (core[:, 1::2] << 16)
+    tabs, cmax = pack_decode_tables(aux, core, cfg.precision)
+    CP1 = tabs.shape[1]
     tabs4 = np.ascontiguousarray(
         tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
     )
@@ -885,17 +931,48 @@ def _exact_decode_kernel_body64(
         cl = (aux & np.uint32(0xFFFFFF)).astype(jnp.int32)
         nc = (aux >> 24).astype(jnp.int32)
 
-        # core scan; wide pads are 2^P = the sentinel, no masking needed
-        sent = np.int32(1 << P)
+        # Core scan over PACKED 24-bit (b - 1) fields, 4 boundaries per 3
+        # planes (25% less table DMA and VMEM than one-per-plane -- the
+        # kernel is table-DMA-bound).  Within a lane the boundaries ascend,
+        # so ``le`` is a prefix mask over the plane index: ``cnt`` counts
+        # it, ``cumc`` is the LAST selected boundary (plain select, no max
+        # lattice), and ``nxtc`` is that boundary's SUCCESSOR (select of
+        # b_next under the same mask).  Storing b - 1 makes the compare a
+        # strict `<` and fits the pad in 24 bits: pads are
+        # 0xFFFFFF = 2^P - 1 in b-1 space -- never `< q`, and + 1 turns the
+        # successor of the last real boundary into the 2^P sentinel.
+        G = cmax // 4
+        m24 = np.uint32(0xFFFFFF)
+        m16 = np.uint32(0xFFFF)
+        m8 = np.uint32(0xFF)
         cnt = jnp.zeros((R, LANES), jnp.int32)
-        cumc = jnp.zeros((R, LANES), jnp.int32)
-        nxtc = jnp.full((R, LANES), sent, jnp.int32)
-        for w in range(cmax):
-            b = tbuf[slot, 1 + w].astype(jnp.int32)
-            le = b <= q
-            cnt = cnt + jnp.where(le, 1, 0)
-            cumc = jnp.maximum(cumc, jnp.where(le, b, 0))
-            nxtc = jnp.minimum(nxtc, jnp.where(le, sent, b))
+        cumc = jnp.full((R, LANES), np.int32(-1), jnp.int32)
+        nxtc = None  # initialized from b_0 (covers the cnt == 0 case)
+        pend = None  # boundary awaiting its successor
+        for g in range(G):
+            w0 = tbuf[slot, 1 + 3 * g]
+            w1 = tbuf[slot, 2 + 3 * g]
+            w2 = tbuf[slot, 3 + 3 * g]
+            b0 = (w0 & m24).astype(jnp.int32)
+            b1 = ((w0 >> 24) | ((w1 & m16) << 8)).astype(jnp.int32)
+            b2 = ((w1 >> 16) | ((w2 & m8) << 16)).astype(jnp.int32)
+            b3 = (w2 >> 8).astype(jnp.int32)
+            if nxtc is None:
+                nxtc = b0
+            for b, bnext in ((pend, b0), (b0, b1), (b1, b2), (b2, b3)):
+                if b is None:
+                    continue
+                le = b < q  # b - 1 < q  <=>  b <= q
+                cnt = cnt + le.astype(jnp.int32)
+                cumc = jnp.where(le, b, cumc)
+                nxtc = jnp.where(le, bnext, nxtc)
+            pend = b3
+        le = pend < q
+        cnt = cnt + le.astype(jnp.int32)
+        cumc = jnp.where(le, pend, cumc)
+        nxtc = jnp.where(le, np.int32((1 << P) - 1), nxtc)
+        cumc = cumc + 1  # back to b space (only consumed when cnt > 0)
+        nxtc = nxtc + 1
 
         core_hi_rel = cl + nc - 1
         rstart = jnp.where(
@@ -953,6 +1030,19 @@ def _exact_decode_kernel_body64(
     return kernel
 
 
+def _check_table_vmem(CP1, R, L):
+    """Friendly guard for the ~16 MB/core VMEM scoped limit: the decoder
+    double-buffers the per-step table block plus stream windows + states."""
+    need = (2 * CP1 * R + 2 * (R + 1) + 2 * R) * LANES * 4
+    if need > 15 * 1024 * 1024:
+        raise ValueError(
+            f"exact-table block ({CP1} planes x {R} rows) needs ~{need >> 20} MB"
+            " of VMEM scratch > the ~16 MB/core budget; lower cfg.num_lanes"
+            f" (currently {L}) or split the batch so the auto-sized cmax"
+            " shrinks"
+        )
+
+
 @functools.lru_cache(maxsize=16)
 def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
                            interpret):
@@ -960,7 +1050,8 @@ def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
     from jax.experimental.pallas import tpu as pltpu
 
     R = L // LANES
-    CP1 = cmax + 1
+    assert cmax % 4 == 0
+    CP1 = 1 + 3 * (cmax // 4)
     kernel = _exact_decode_kernel_body64(
         pltpu, pl, min_sym=min_sym, max_sym=max_sym, cfg=cfg,
         T=T, tail=tail, R=R, cmax=cmax,
