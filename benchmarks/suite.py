@@ -202,6 +202,35 @@ def main() -> None:
             return s ^ dep, syms[0, 0, 0].astype(jnp.uint32)
 
         dt_dec = _chain_time(_sdec_big, (st2, w2))
+
+        # encode side: the bitmap-select sym->(cum,prob) lookup keeps the
+        # device encoder K-independent too (ops/pallas_coder.py,
+        # _cum_prob_from_sym_bitmap); verify wire-format identity with the
+        # host encoder, then time it
+        cap_rows = T * R + 1
+        enc = pc._build_encoder(
+            tuple(int(x) for x in cdf), cfg, T, tail, L, cap_rows, not on_tpu
+        )
+        syms3d = jax.device_put(
+            jnp.concatenate(
+                [jnp.asarray(symbols, jnp.int32),
+                 jnp.zeros(T * L - total, jnp.int32)]
+            ).reshape(T, R, 128)
+        )
+        buf_d, st_d, end_d = enc(syms3d)
+        e0 = int(end_d[0])
+        assert np.array_equal(
+            np.asarray(buf_d).reshape(-1)[e0 : cap_rows * 128], stream
+        ) and np.array_equal(
+            np.asarray(st_d).reshape(-1), init_states.astype(np.uint32)
+        ), f"rANS encode mismatch (K={K_big})"
+
+        def _senc_big(s3, enc=enc):
+            buf, states, end = enc(s3)
+            dep = ((states[0, 0] >> 31) & 1).astype(jnp.int32)
+            return s3 ^ dep, end[0].astype(jnp.uint32)
+
+        dt_enc = _chain_time(_senc_big, (syms3d,))
         name = f"rANS large-alphabet categorical (K={K_big}, bitmap-rank inversion)"
         row = {
             "workload": name,
@@ -209,12 +238,12 @@ def main() -> None:
             "overhead_pct": round(overhead * 100, 3),
             "marginal_overhead_pct": None,
             "decode_GBps": round(total / dt_dec / 1e9, 2),
-            "encode_GBps": None,
+            "encode_GBps": round(total / dt_enc / 1e9, 2),
         }
         rows.append(row)
         print(
             f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-            f"| — | {row['decode_GBps']} | — |"
+            f"| — | {row['decode_GBps']} | {row['encode_GBps']} |"
         )
 
     # DEFAULT preset on device: W=32 / S=64 / P=24 (ILANS2-64,
@@ -524,6 +553,117 @@ def main() -> None:
         f"| {row['encode_GBps']} |"
     )
 
+    # REFERENCE-EXACT per-symbol Gaussians at the DEFAULT precision
+    # (BASELINE config 5): Q.npz-style latents, one exact f64 LeakyQuantizer
+    # model per element (quantize.rs:525-568 at PRECISION=24), coding loop
+    # and quantile inversion fully on device (ops/exact_family.py).  The
+    # bitstream is bit-identical to a reference-produced one; table prep
+    # (the host-side f64 CDF work) is reported separately -- it is a
+    # per-model cost, the decode number is the device coding throughput.
+    from constriction_tpu.ops import exact_family as ef
+
+    qpath = "/root/reference/Q.npz"
+    if os.path.exists(qpath):
+        lat = np.load(qpath)["arr_0"].astype(np.float64).reshape(-1)
+    else:
+        lat = rng.randn(512 * 512) * 0.15
+    n_ex = (total >> 2) if on_tpu else (1 << 16)
+    reps_q = -(-n_ex // len(lat))
+    means_ex = np.tile(lat * 50.0, reps_q)[:n_ex]
+    scales_ex = np.exp(rng.normal(0.7, 0.4, size=n_ex))
+    min_se, max_se = -100, 100
+    cfg_ex = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    symbols_ex = np.clip(
+        np.round(means_ex + scales_ex * rng.randn(n_ex)), min_se, max_se
+    ).astype(np.int64)
+
+    t0 = time.perf_counter()
+    cums_ex, probs_ex = ef.exact_ecp(
+        symbols_ex, means_ex, scales_ex, "gaussian", min_se, max_se, 24
+    )
+    ecp_msyms = n_ex / (time.perf_counter() - t0) / 1e6
+    info_bits = -np.sum(np.log2(probs_ex.astype(np.float64) / float(1 << 24)))
+
+    t0 = time.perf_counter()
+    T_ex = -(-n_ex // L)
+    aux_ex, core_ex = ef.exact_boundary_tables(
+        *ef._pad_params(means_ex, scales_ex, T_ex * L, "gaussian", max_se),
+        "gaussian", min_se, max_se, 24,
+    )
+    prep_msyms = n_ex / (time.perf_counter() - t0) / 1e6
+    cmax_ex = core_ex.shape[1]
+
+    states_ex, stream_ex = ef.encode_tables_pallas(cums_ex, probs_ex, cfg_ex)
+    stream_ex = np.asarray(stream_ex)
+    overhead = (len(stream_ex) * 32 + L * 64) / info_bits - 1.0
+    out = np.asarray(ef.decode_family_exact(
+        states_ex, stream_ex, means_ex, scales_ex, "gaussian",
+        min_se, max_se, cfg_ex, n_ex,
+    ))
+    assert np.array_equal(out, symbols_ex), "exact-family decode mismatch"
+
+    # chain-timed device decode (same kernel decode_family_exact builds)
+    tabs_ex, cmax_r = ef.pack_decode_tables(aux_ex, core_ex, 24)
+    CP1_ex = tabs_ex.shape[1]
+    tabs4_ex = jax.device_put(jnp.asarray(np.ascontiguousarray(
+        tabs_ex.reshape(T_ex, R, 128, CP1_ex).transpose(0, 3, 1, 2)
+    )))
+    tail_ex = n_ex - (T_ex - 1) * L
+    dfn = ef._build_exact_decoder64(
+        min_se, max_se, cfg_ex, T_ex, tail_ex, L, cmax_r, not on_tpu
+    )
+    st64 = np.asarray(states_ex, np.uint64)
+    hi2d = jax.device_put(
+        jnp.asarray((st64 >> np.uint64(32)).astype(np.uint32)).reshape(R, 128))
+    lo2d = jax.device_put(
+        jnp.asarray((st64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R, 128))
+    w2ex = jax.device_put(ef._pad_stream2d(stream_ex, R))
+
+    def _sxdec(h, l, tb, w):
+        syms, _nh, _nl = dfn(h, l, tb, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+    dt_xdec = _chain_time(_sxdec, (hi2d, lo2d, tabs4_ex, w2ex))
+
+    # chain-timed device encode over the (cum, prob) planes
+    cap_rows_ex = T_ex * R + 1
+    efn = ef._build_exact_encoder64(cfg_ex, T_ex, tail_ex, L, cap_rows_ex,
+                                    not on_tpu)
+    cpad = np.zeros(T_ex * L, np.uint32)
+    ppad = np.ones(T_ex * L, np.uint32)
+    cpad[:n_ex] = cums_ex
+    ppad[:n_ex] = probs_ex
+    c3 = jax.device_put(jnp.asarray(cpad).reshape(T_ex, R, 128))
+    p3 = jax.device_put(jnp.asarray(ppad).reshape(T_ex, R, 128))
+
+    def _sxenc(c3_, p3_):
+        buf, hi_, lo_, end = efn(c3_, p3_)
+        dep = ((lo_[0, 0] >> 31) & 1).astype(jnp.uint32)
+        return c3_ ^ dep, end[0].astype(jnp.uint32)
+
+    dt_xenc = _chain_time(_sxenc, (c3, p3))
+
+    name = (f"REFERENCE-EXACT per-symbol Gaussian (Q.npz, P=24, "
+            f"cmax={cmax_ex})")
+    row = {
+        "workload": name,
+        "entropy_bits": round(info_bits / n_ex, 3),
+        "overhead_pct": round(overhead * 100, 3),
+        "marginal_overhead_pct": None,
+        "decode_GBps": round(n_ex / dt_xdec / 1e9, 2),
+        "encode_GBps": round(n_ex / dt_xenc / 1e9, 2),
+        "table_prep_Msyms": round(prep_msyms, 2),
+        "ecp_prep_Msyms": round(ecp_msyms, 2),
+    }
+    rows.append(row)
+    print(
+        f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+        f"| — | {row['decode_GBps']} | {row['encode_GBps']} |"
+        f"  (table prep {row['table_prep_Msyms']} Msym/s, "
+        f"ecp {row['ecp_prep_Msyms']} Msym/s)"
+    )
+
     # --- TChain bits-back (P=16 and the DEFAULT precision P=24) ---
     # Decode turns data words (quantiles) into symbols and pushes leftover
     # information to a remainder stream; encode is the exact inverse.  The
@@ -593,7 +733,7 @@ def main() -> None:
     )
     assert np.array_equal(q24b, q24) and np.all(h24b == 256), "TChain-24 round trip"
 
-    qw24 = jax.device_put(jnp.asarray(tc.pack_q24(q24, L)))
+    qw24 = jax.device_put(jnp.asarray(q24).reshape(T, R, 128))
     dec24 = tc._build_tchain24_decoder(tuple(int(x) for x in cdf24t), T, L, not on_tpu)
 
     def _tdec24(qw_):

@@ -871,6 +871,185 @@ def decode_family_exact(
 
 
 # ---------------------------------------------------------------------------
+# Core-size-grouped coding: the decode kernel's cost is O(cmax) in both
+# table DMA and scan ops, but cmax is a BATCH max -- one wide-core symbol
+# (a flat distribution) inflates every lane's cost.  The grouped path
+# stable-sorts symbols by per-symbol core size (exact_ncore -- derivable
+# from (means, scales) alone, so the decoder reconstructs the identical
+# order), encodes them as ONE stream in that order, and decodes in
+# consecutive SEGMENTS of grid steps, each segment running a kernel whose
+# static cmax is the segment's own tight bound.  Lane states and the
+# stream word offset chain between segment launches, so the wire format is
+# exactly the ungrouped format of the permuted message: one state header,
+# zero rate cost.  Measured on the Q.npz-style workload (mean ncore 29,
+# max 161) the weighted table width drops ~4.7x.
+# ---------------------------------------------------------------------------
+
+
+def _segment_dp(stepw: np.ndarray, max_segments: int):
+    """Partition the non-decreasing per-step width sequence into at most
+    ``max_segments`` contiguous segments minimizing sum(len * max); the
+    step sequence is sorted, so candidate boundaries are the distinct-width
+    run edges.  Returns [(t0, nsteps, cmax)]."""
+    T = len(stepw)
+    vals, starts = [], []
+    for t in range(T):
+        if not vals or stepw[t] != vals[-1]:
+            vals.append(int(stepw[t]))
+            starts.append(t)
+    starts.append(T)
+    m = len(vals)
+    if m <= max_segments:
+        return [
+            (starts[i], starts[i + 1] - starts[i], vals[i]) for i in range(m)
+        ]
+    # dp[k][j]: min cost of runs 0..j with k+1 segments; cost of a segment
+    # of runs i..j is (#steps) * vals[j] (widths ascend)
+    INF = float("inf")
+    nsteps = lambda i, j: starts[j + 1] - starts[i]
+    dp = [[INF] * m for _ in range(max_segments)]
+    choice = [[0] * m for _ in range(max_segments)]
+    for j in range(m):
+        dp[0][j] = nsteps(0, j) * vals[j]
+    for k in range(1, max_segments):
+        for j in range(k, m):
+            best, bi = INF, k
+            for i in range(k, j + 1):
+                c = dp[k - 1][i - 1] + nsteps(i, j) * vals[j]
+                if c < best:
+                    best, bi = c, i
+            dp[k][j] = best
+            choice[k][j] = bi
+    segs = []
+    j = m - 1
+    k = max_segments - 1
+    while k > 0:
+        i = choice[k][j]
+        segs.append((starts[i], starts[j + 1] - starts[i], vals[j]))
+        j = i - 1
+        k -= 1
+    segs.append((0, starts[j + 1], vals[j]))
+    return segs[::-1]
+
+
+def group_plan(
+    means, scales, family: str, min_sym: int, max_sym: int, precision: int,
+    L: int, num_symbols: int, max_segments: int = 6,
+):
+    """Deterministic core-size grouping shared by encoder and decoder.
+
+    Returns ``(perm, segments)``: ``perm`` (i64[n]) is the stable symbol
+    order (sorted by per-symbol core size); ``segments`` is
+    ``[(t0, nsteps, cmax)]`` over the permuted message's grid steps, with
+    each cmax a multiple of 4 (the wide-table packing quantum).  Both sides
+    compute this from (means, scales) alone -- the native and numpy
+    ``exact_ncore`` twins are bit-identical, so the orders agree."""
+    n = num_symbols
+    T = -(-n // L) if n else 0
+    ncore = exact_ncore(
+        np.asarray(means, np.float64).reshape(-1)[:n],
+        np.asarray(scales, np.float64).reshape(-1)[:n],
+        family, min_sym, max_sym, precision,
+    ).astype(np.int64)
+    perm = np.argsort(ncore, kind="stable")
+    padded = np.ones(T * L, np.int64)  # pad-model cores are tiny
+    padded[:n] = ncore[perm]
+    stepmax = padded.reshape(T, L).max(axis=1)
+    stepw = np.minimum((stepmax + 3) & ~3, np.int64(255 & ~3) + 4)
+    if int(stepw.max(initial=0)) >= (1 << 8):
+        raise ValueError(
+            f"core needs {int(stepmax.max())} boundaries; the wide table "
+            "format caps ncore at 255 (use the host decode path)"
+        )
+    return perm, _segment_dp(stepw, max_segments)
+
+
+def encode_family_exact_grouped(
+    symbols, means, scales, family: str, min_sym: int, max_sym: int,
+    cfg: LaneConfig, interpret: bool | None = None, max_segments: int = 6,
+):
+    """Core-size-grouped reference-exact encode: same wire format as
+    :func:`encode_family_exact` applied to the core-sorted symbol order;
+    decode with :func:`decode_family_exact_grouped` (same max_segments)."""
+    assert family in EXACT_FAMILIES
+    symbols = np.asarray(symbols).reshape(-1)
+    means = np.asarray(means, np.float64).reshape(-1)
+    scales = np.asarray(scales, np.float64).reshape(-1)
+    perm, _ = group_plan(
+        means, scales, family, min_sym, max_sym, cfg.precision,
+        cfg.num_lanes, len(symbols), max_segments,
+    )
+    return encode_family_exact(
+        symbols[perm], means[perm], scales[perm], family, min_sym, max_sym,
+        cfg, interpret,
+    )
+
+
+def decode_family_exact_grouped(
+    init_states, stream, means, scales, family: str, min_sym: int,
+    max_sym: int, cfg: LaneConfig, num_symbols: int,
+    interpret: bool | None = None, max_segments: int = 6,
+) -> np.ndarray:
+    """Decode a :func:`encode_family_exact_grouped` stream: reconstructs
+    the core-size order from (means, scales), decodes each segment with a
+    tight-cmax kernel (lane states + stream offset chain between segment
+    launches), and scatters symbols back to their original positions."""
+    assert family in EXACT_FAMILIES
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    L = cfg.num_lanes
+    assert L % LANES == 0
+    assert cfg.state_bits == 64 and cfg.word_bits == 32, (
+        "grouped decode covers the wide-table (S=64) path; use "
+        "decode_family_exact for narrow configs"
+    )
+    assert 16 < cfg.precision <= 24
+    n = num_symbols
+    if n == 0:
+        return np.zeros(0, np.int64)
+    means = np.asarray(means, np.float64).reshape(-1)
+    scales = np.asarray(scales, np.float64).reshape(-1)
+    perm, segments = group_plan(
+        means, scales, family, min_sym, max_sym, cfg.precision, L, n,
+        max_segments,
+    )
+    T = -(-n // L)
+    R = L // LANES
+    pm, ps = _pad_params(means[perm], scales[perm], T * L, family, max_sym)
+
+    st = np.asarray(init_states, dtype=np.uint64)
+    hi = jnp.asarray((st >> np.uint64(32)).astype(np.uint32)).reshape(R, LANES)
+    lo = jnp.asarray((st & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(
+        R, LANES
+    )
+    stream2d = _pad_stream2d(stream, R)
+    base = jnp.zeros((1,), jnp.int32)
+    outs = []
+    for t0, nsteps, cmax in segments:
+        sl = slice(t0 * L, (t0 + nsteps) * L)
+        aux, core = exact_boundary_tables(
+            pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision, cmax,
+        )
+        tabs, cmax_r = pack_decode_tables(aux, core, cfg.precision)
+        CP1 = tabs.shape[1]
+        tabs4 = np.ascontiguousarray(
+            tabs.reshape(nsteps, R, LANES, CP1).transpose(0, 3, 1, 2)
+        )
+        _check_table_vmem(CP1, R, L)
+        last = t0 + nsteps == T
+        tail_s = (n - (T - 1) * L) if last else L
+        fn = _build_exact_decoder64_seg(
+            int(min_sym), int(max_sym), cfg, nsteps, tail_s, L, cmax_r,
+            interpret,
+        )
+        syms, hi, lo, base = fn(base, hi, lo, jnp.asarray(tabs4), stream2d)
+        outs.append(np.asarray(syms).reshape(-1))
+    out = np.empty(n, dtype=np.int64)
+    out[perm] = np.concatenate(outs)[:n]
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DEFAULT-preset (W=32 / S=64 / 16 < P <= 24) twins: wide tables, u32-pair
 # lane states (state algebra from ops/pallas_coder64.py).  This makes the
 # reference's actual default-preset models (P = 24, the precision the
@@ -881,7 +1060,7 @@ def decode_family_exact(
 
 def _exact_decode_kernel_body64(
     pltpu, pl, *, min_sym: int, max_sym: int, cfg: LaneConfig,
-    T: int, tail: int, R: int, cmax: int,
+    T: int, tail: int, R: int, cmax: int, seg: bool = False,
 ):
     from .pallas_coder64 import _mul40x25
 
@@ -892,11 +1071,20 @@ def _exact_decode_kernel_body64(
     span = max_sym - min_sym
     CP1 = cmax + 1  # aux plane + one u32 plane per core boundary
 
-    def kernel(hi_in, lo_in, tabs_hbm, stream_hbm,
-               syms_out, hi_out, lo_out,
-               hi_s, lo_s, win, tbuf, base_s, sem, tsem):
+    def kernel(*refs):
         # tabs_hbm: [T, CP1, R, 128] u32; plane 0 = aux, 1.. = boundaries
-        # (pads carry 2^P: un-matchable and identical to the sentinel)
+        # (pads carry 2^P: un-matchable and identical to the sentinel).
+        # ``seg`` kernels additionally take the starting stream word offset
+        # as a scalar-prefetch arg and emit the final offset, so segment
+        # launches chain into one continuous decode (grouped path).
+        if seg:
+            (base_in, hi_in, lo_in, tabs_hbm, stream_hbm,
+             syms_out, hi_out, lo_out, base_out,
+             hi_s, lo_s, win, tbuf, base_s, sem, tsem) = refs
+        else:
+            (hi_in, lo_in, tabs_hbm, stream_hbm,
+             syms_out, hi_out, lo_out,
+             hi_s, lo_s, win, tbuf, base_s, sem, tsem) = refs
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
         slot = t % 2
@@ -905,8 +1093,20 @@ def _exact_decode_kernel_body64(
         def _init():
             hi_s[:] = hi_in[:]
             lo_s[:] = lo_in[:]
-            base_s[0] = 0
-            _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
+            if seg:
+                b0 = base_in[0]
+                base_s[0] = b0
+                row0 = jnp.minimum(
+                    b0 >> 7, np.int32(stream_hbm.shape[0] - (R + 1))
+                )
+                d0 = pltpu.make_async_copy(
+                    stream_hbm.at[pl.ds(row0, R + 1)], win.at[0], sem.at[0]
+                )
+                d0.start()
+                d0.wait()
+            else:
+                base_s[0] = 0
+                _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
             d = pltpu.make_async_copy(tabs_hbm.at[0], tbuf.at[0], tsem.at[0])
             d.start()
             d.wait()
@@ -1026,6 +1226,8 @@ def _exact_decode_kernel_body64(
         def _final():
             hi_out[:] = hi_s[:]
             lo_out[:] = lo_s[:]
+            if seg:
+                base_out[0] = base_s[0]
 
     return kernel
 
@@ -1084,6 +1286,68 @@ def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+    return jax.jit(fn)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_exact_decoder64_seg(min_sym, max_sym, cfg, T, tail, L, cmax,
+                               interpret):
+    """Segment variant of :func:`_build_exact_decoder64` for the grouped
+    path: takes the starting stream word offset as a scalar-prefetch input
+    and returns the final offset, so consecutive launches decode one
+    continuous stream.  Called as ``fn(base, hi, lo, tabs4, stream2d) ->
+    (syms, hi, lo, base)``."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = L // LANES
+    assert cmax % 4 == 0
+    CP1 = 1 + 3 * (cmax // 4)
+    kernel = _exact_decode_kernel_body64(
+        pltpu, pl, min_sym=min_sym, max_sym=max_sym, cfg=cfg,
+        T=T, tail=tail, R=R, cmax=cmax, seg=True,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((R, LANES), lambda t, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # tables [T, CP1, R, 128]
+            pl.BlockSpec(memory_space=pl.ANY),  # stream
+        ],
+        out_specs=[
+            pl.BlockSpec((1, R, LANES), lambda t, b: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t, b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, LANES), jnp.uint32),          # state hi
+            pltpu.VMEM((R, LANES), jnp.uint32),          # state lo
+            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),   # stream windows
+            pltpu.VMEM((2, CP1, R, LANES), jnp.uint32),  # table buffers
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         interpret=interpret,
     )

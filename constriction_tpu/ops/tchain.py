@@ -859,7 +859,13 @@ _M24 = 0xFFFFFF
 
 
 def pack_q24(q: np.ndarray, L: int) -> np.ndarray:
-    """[T*L] u32 (24-bit) quantiles -> [T, 3R/4, 128] u32 planar words."""
+    """[T*L] u32 (24-bit) quantiles -> [T, 3R/4, 128] u32 planar words.
+
+    Host-side STORAGE helper only (25% smaller than one-per-word).  The
+    TChain-24 kernels deliberately take raw u32 tiles instead: the in-kernel
+    unpack's cross-sublane relayouts cost ~3x the rest of the decode step
+    (measured 4.1 -> 11+ GB/s dropping it), while the extra input DMA is
+    fully hidden by the BlockSpec pipeline."""
     R = L // 128
     assert R % 4 == 0, "num_lanes must be a multiple of 512 for 24-bit packing"
     T = len(q) // L
@@ -1007,7 +1013,12 @@ def _tchain24_decode_kernel(pltpu, pl, *, cdf, T: int, R: int,
             arow_s[1] = cap_rows
 
         hh, hl = hh_s[:], hl_s[:]
-        q = _unpack_q24_block(jnp, qw_in[0])
+        # raw u32 quantile tiles: the 24-bit packed layout saved 25% of the
+        # input DMA but its unpack (reshape + cross-sublane stack) cost ~3x
+        # the whole rest of the step in Mosaic relayouts -- measured 4.1 ->
+        # 11+ GB/s switching to one quantile per word (input DMA is fully
+        # hidden by the BlockSpec pipeline either way)
+        q = qw_in[0]
         sym, cum, prob = _compare_sum_auto(q, c, 24)
         nhi, nlo = _mul40x25(hh, hl, prob.astype(jnp.uint32))
         qc = q - cum.astype(jnp.uint32)
@@ -1071,7 +1082,7 @@ def _tchain24_encode_kernel(pltpu, pl, *, cdf, T: int, R: int):
         hh_s[:] = q_hi
         hl_s[:] = q_lo
         base_s[0] = nxt
-        qw_out[0] = _pack_q24_block(jnp, q)
+        qw_out[0] = q  # raw u32 tiles (see the decode kernel's note)
 
         @pl.when(t == T - 1)
         def _final():
@@ -1096,7 +1107,7 @@ def _build_tchain24_decoder(cdf_tuple, T: int, L: int, interpret: bool):
         kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, 3 * R // 4, LANES), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1144,13 +1155,13 @@ def _build_tchain24_encoder(cdf_tuple, T: int, L: int, interpret: bool):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3 * R // 4, LANES), lambda t: (T - 1 - t, 0, 0),
+            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, 3 * R // 4, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((T, R, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
         ],
@@ -1176,7 +1187,7 @@ def tchain24_decode_pallas(quantiles, cdf, cfg: LaneConfig = TCHAIN24_CFG,
     L = cfg.num_lanes
     q = np.asarray(quantiles, dtype=np.uint32)
     n = len(q)
-    assert n % L == 0 and L % 512 == 0
+    assert n % L == 0 and L % LANES == 0
     if not (q < (1 << 24)).all():
         raise ValueError("quantiles must be 24-bit values")
     T = n // L
@@ -1185,7 +1196,7 @@ def tchain24_decode_pallas(quantiles, cdf, cfg: LaneConfig = TCHAIN24_CFG,
                 np.full(L, 256, np.uint64))
     R = L // LANES
     cap_rows = T * R + 1
-    qw = jnp.asarray(pack_q24(q, L))
+    qw = jnp.asarray(q).reshape(T, R, LANES)
     fn = _build_tchain24_decoder(
         tuple(int(x) for x in np.asarray(cdf)), T, L, interpret
     )
@@ -1209,7 +1220,7 @@ def tchain24_encode_pallas(symbols, remainders, heads, cdf,
     L = cfg.num_lanes
     symbols = np.asarray(symbols, dtype=np.int32)
     n = len(symbols)
-    assert n % L == 0 and L % 512 == 0
+    assert n % L == 0 and L % LANES == 0
     T = n // L
     if T == 0:
         return np.zeros(0, np.uint32), np.asarray(heads, np.uint64).copy()
@@ -1228,4 +1239,4 @@ def tchain24_encode_pallas(symbols, remainders, heads, cdf,
     heads_out = (
         np.asarray(hh, np.uint64).reshape(-1) << np.uint64(32)
     ) | np.asarray(hl, np.uint64).reshape(-1)
-    return unpack_q24(np.asarray(qw)).reshape(-1), heads_out
+    return np.asarray(qw).reshape(-1), heads_out

@@ -131,7 +131,8 @@ def decode_family(init_states, stream, means, scales, family: str,
 
 
 def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
-                        max_sym: int, cfg: LaneConfig | None = None):
+                        max_sym: int, cfg: LaneConfig | None = None,
+                        grouped: bool = False):
     """REFERENCE-EXACT per-symbol family encode: the model tables are the
     host f64 LeakyQuantizer's (bit-identical to constriction's
     QuantizedGaussian/Laplace/Cauchy/Binomial, quantize.rs:525-568 +
@@ -142,11 +143,21 @@ def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
     For ``family="binomial"`` pass ``(n_trials, p)`` in the (means, scales)
     slots with ``min_sym=0`` and ``max_sym == n_trials`` for every symbol
     (the device path needs a shared support; per-symbol ``n`` falls back to
-    the host coders)."""
+    the host coders).
+
+    ``grouped=True`` (S=64 configs) stable-sorts the symbols by per-symbol
+    core size before coding, which lets the decoder run tight-cmax segment
+    kernels -- several times faster on heterogeneous (mean, scale) batches
+    at zero rate cost.  The flag selects the wire ORDER, so pass the same
+    value to :func:`decode_family_exact`."""
     from .ops import exact_family as _ef
 
     symbols = np.asarray(symbols)
     cfg = _pick_cfg(len(symbols), cfg)
+    if grouped:
+        return _ef.encode_family_exact_grouped(
+            symbols, means, scales, family, min_sym, max_sym, cfg
+        )
     return _ef.encode_family_exact(
         symbols, means, scales, family, min_sym, max_sym, cfg
     )
@@ -155,16 +166,23 @@ def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
 def decode_family_exact(init_states, stream, means, scales, family: str,
                         min_sym: int, max_sym: int, num_symbols: int,
                         cfg: LaneConfig | None = None,
-                        cmax: int | None = None):
+                        cmax: int | None = None, grouped: bool = False):
     """REFERENCE-EXACT per-symbol family decode (twin of
     :func:`encode_family_exact`): compact exact boundary tables from the
     host f64 quantizer, quantile inversion + state machine on-device.
     ``cmax`` bounds the non-linear core per symbol; the default (None)
     auto-sizes it to this parameter batch's tightest bound, which is also
-    the fastest configuration (table DMA and the kernel scan are O(cmax))."""
+    the fastest configuration (table DMA and the kernel scan are O(cmax)).
+    ``grouped`` must match the encode-side flag (core-size-sorted wire
+    order, decoded with tight per-segment cmax kernels)."""
     from .ops import exact_family as _ef
 
     cfg = _pick_cfg(num_symbols, cfg)
+    if grouped:
+        return _ef.decode_family_exact_grouped(
+            np.asarray(init_states), np.asarray(stream), means, scales,
+            family, min_sym, max_sym, cfg, num_symbols,
+        )
     return _ef.decode_family_exact(
         np.asarray(init_states), np.asarray(stream), means, scales,
         family, min_sym, max_sym, cfg, num_symbols, cmax=cmax,

@@ -471,3 +471,114 @@ def test_native_wide_boundary_tables_match_numpy_twin_p24(family):
         native.LIB = lib
     np.testing.assert_array_equal(aux_n, aux_p)
     np.testing.assert_array_equal(core_n, core_p)
+
+# ---------------------------------------------------------------------------
+# Core-size-grouped coding (ops/exact_family.py group_plan + the segment
+# kernels): symbols are stable-sorted by per-symbol core size so the decode
+# runs tight-cmax segments; the wire format is the ungrouped format of the
+# permuted message.
+# ---------------------------------------------------------------------------
+
+
+def test_group_plan_deterministic_and_covering():
+    """group_plan is a pure function of (means, scales): both coder sides
+    derive the identical permutation/segments; segments tile the grid and
+    each segment's cmax covers its own symbols' cores."""
+    rng = np.random.RandomState(77)
+    n, L = 3000, 256
+    means = rng.uniform(-60, 60, n)
+    scales = np.exp(rng.normal(0.7, 0.6, n))
+    perm, segs = ef.group_plan(means, scales, "gaussian", MIN, MAX, 24, L, n)
+    perm2, segs2 = ef.group_plan(means, scales, "gaussian", MIN, MAX, 24, L, n)
+    np.testing.assert_array_equal(perm, perm2)
+    assert segs == segs2
+    assert sorted(perm) == list(range(n))
+    T = -(-n // L)
+    assert segs[0][0] == 0 and sum(s[1] for s in segs) == T
+    for (t0, ns, w), (t0n, _, _) in zip(segs, segs[1:] + [(T, 0, 0)]):
+        assert t0 + ns == t0n
+        assert w % 4 == 0
+    nc = ef.exact_ncore(means, scales, "gaussian", MIN, MAX, 24)[perm]
+    for t0, ns, w in segs:
+        hi = min((t0 + ns) * L, n)
+        if t0 * L < hi:
+            assert int(nc[t0 * L : hi].max()) <= w
+    # widths ascend (sorted order) and the plan respects the segment cap
+    widths = [w for _, _, w in segs]
+    assert widths == sorted(widths) and len(segs) <= 6
+
+
+def test_segment_dp_optimal_small():
+    """The <= K-segment partition from _segment_dp matches brute force on
+    small non-decreasing width sequences."""
+    import itertools
+
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        T = rng.randint(2, 9)
+        stepw = np.sort(rng.choice([8, 16, 24, 32, 64], size=T))
+        K = rng.randint(1, 4)
+        segs = ef._segment_dp(stepw, K)
+        assert len(segs) <= K and sum(s[1] for s in segs) == T
+        cost = sum(ns * w for _, ns, w in segs)
+        # brute force over boundary subsets
+        best = None
+        for k in range(1, K + 1):
+            for cuts in itertools.combinations(range(1, T), k - 1):
+                edges = [0, *cuts, T]
+                c = sum(
+                    (edges[i + 1] - edges[i]) * int(stepw[edges[i + 1] - 1])
+                    for i in range(k)
+                )
+                best = c if best is None else min(best, c)
+        assert cost == best
+        for t0, ns, w in segs:
+            assert int(stepw[t0 : t0 + ns].max()) == w
+
+
+@pytest.mark.parametrize("family", ["gaussian", "laplace"])
+def test_grouped_roundtrip_device(family):
+    """Grouped encode/decode round-trips bit-exactly and the wire equals
+    the ungrouped encode of the permuted message (host encoder oracle)."""
+    rng = np.random.RandomState(41)
+    n = 1200
+    means = rng.uniform(-60, 60, n)
+    scales = np.exp(rng.normal(0.7, 0.5, n))
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), MIN, MAX
+    ).astype(np.int64)
+    perm, segs = ef.group_plan(
+        means, scales, family, MIN, MAX, 24, CFG64.num_lanes, n
+    )
+    assert len(segs) >= 2  # heterogeneous scales -> a real multi-segment plan
+    cums, probs = ef.exact_ecp(
+        syms[perm], means[perm], scales[perm], family, MIN, MAX, 24
+    )
+    ref_st, ref_w = il2.encode_shared(
+        cums.astype(np.uint64), probs.astype(np.uint64), CFG64
+    )
+    out = ef.decode_family_exact_grouped(
+        ref_st, ref_w, means, scales, family, MIN, MAX, CFG64, n
+    )
+    np.testing.assert_array_equal(out, syms)
+
+
+def test_grouped_facade():
+    """tpu.encode/decode_family_exact(grouped=True) round-trip."""
+    import constriction_tpu.tpu as ctpu
+
+    rng = np.random.RandomState(43)
+    n = 700
+    means = rng.uniform(-40, 40, n)
+    scales = np.exp(rng.normal(0.5, 0.5, n))
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), MIN, MAX
+    ).astype(np.int64)
+    st, w = ctpu.encode_family_exact(
+        syms, means, scales, "gaussian", MIN, MAX, CFG64, grouped=True
+    )
+    out = ctpu.decode_family_exact(
+        st, np.asarray(w), means, scales, "gaussian", MIN, MAX, n, CFG64,
+        grouped=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), syms)
