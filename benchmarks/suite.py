@@ -584,34 +584,50 @@ def main() -> None:
     ecp_msyms = n_ex / (time.perf_counter() - t0) / 1e6
     info_bits = -np.sum(np.log2(probs_ex.astype(np.float64) / float(1 << 24)))
 
-    t0 = time.perf_counter()
+    # grouped coding: symbols stable-sorted by core size, decode runs
+    # tight-cmax segment kernels chained through (states, stream offset)
     T_ex = -(-n_ex // L)
-    aux_ex, core_ex = ef.exact_boundary_tables(
-        *ef._pad_params(means_ex, scales_ex, T_ex * L, "gaussian", max_se),
-        "gaussian", min_se, max_se, 24,
+    perm_ex, segs_ex = ef.group_plan(
+        means_ex, scales_ex, "gaussian", min_se, max_se, 24, L, n_ex
     )
+    cums_g = cums_ex[perm_ex]
+    probs_g = probs_ex[perm_ex]
+    pm_ex, ps_ex = ef._pad_params(
+        means_ex[perm_ex], scales_ex[perm_ex], T_ex * L, "gaussian", max_se
+    )
+    t0 = time.perf_counter()
+    seg_tabs = []
+    for t0s, nsteps, cmax_s in segs_ex:
+        sl = slice(t0s * L, (t0s + nsteps) * L)
+        aux_s, core_s = ef.exact_boundary_tables(
+            pm_ex[sl], ps_ex[sl], "gaussian", min_se, max_se, 24, cmax_s
+        )
+        tb, cmax_r = ef.pack_decode_tables(aux_s, core_s, 24)
+        seg_tabs.append((tb, cmax_r, t0s, nsteps))
     prep_msyms = n_ex / (time.perf_counter() - t0) / 1e6
-    cmax_ex = core_ex.shape[1]
+    cmax_ex = round(sum(ns * w for _, ns, w in segs_ex) / T_ex)
 
-    states_ex, stream_ex = ef.encode_tables_pallas(cums_ex, probs_ex, cfg_ex)
+    states_ex, stream_ex = ef.encode_tables_pallas(cums_g, probs_g, cfg_ex)
     stream_ex = np.asarray(stream_ex)
     overhead = (len(stream_ex) * 32 + L * 64) / info_bits - 1.0
-    out = np.asarray(ef.decode_family_exact(
+    out = np.asarray(ef.decode_family_exact_grouped(
         states_ex, stream_ex, means_ex, scales_ex, "gaussian",
         min_se, max_se, cfg_ex, n_ex,
     ))
     assert np.array_equal(out, symbols_ex), "exact-family decode mismatch"
 
-    # chain-timed device decode (same kernel decode_family_exact builds)
-    tabs_ex, cmax_r = ef.pack_decode_tables(aux_ex, core_ex, 24)
-    CP1_ex = tabs_ex.shape[1]
-    tabs4_ex = jax.device_put(jnp.asarray(np.ascontiguousarray(
-        tabs_ex.reshape(T_ex, R, 128, CP1_ex).transpose(0, 3, 1, 2)
-    )))
-    tail_ex = n_ex - (T_ex - 1) * L
-    dfn = ef._build_exact_decoder64(
-        min_se, max_se, cfg_ex, T_ex, tail_ex, L, cmax_r, not on_tpu
-    )
+    # chain-timed device decode: compose the segment kernels in one jit
+    seg_fns, seg_tabs4 = [], []
+    for tb, cmax_r, t0s, nsteps in seg_tabs:
+        CP1_s = tb.shape[1]
+        seg_tabs4.append(jax.device_put(jnp.asarray(np.ascontiguousarray(
+            tb.reshape(nsteps, R, 128, CP1_s).transpose(0, 3, 1, 2)
+        ))))
+        last = t0s + nsteps == T_ex
+        tail_s = (n_ex - (T_ex - 1) * L) if last else L
+        seg_fns.append(ef._build_exact_decoder64_seg(
+            min_se, max_se, cfg_ex, nsteps, tail_s, L, cmax_r, not on_tpu
+        ))
     st64 = np.asarray(states_ex, np.uint64)
     hi2d = jax.device_put(
         jnp.asarray((st64 >> np.uint64(32)).astype(np.uint32)).reshape(R, 128))
@@ -619,12 +635,16 @@ def main() -> None:
         jnp.asarray((st64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R, 128))
     w2ex = jax.device_put(ef._pad_stream2d(stream_ex, R))
 
-    def _sxdec(h, l, tb, w):
-        syms, _nh, _nl = dfn(h, l, tb, w)
+    def _sxdec(h, l, *tbs):
+        b = jnp.zeros((1,), jnp.int32)
+        syms = None
+        for fn, tb in zip(seg_fns, tbs):
+            syms, h2, l2, b = fn(b, h, l, tb, w2ex)
+            h, l = h2, l2
         dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
         return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
 
-    dt_xdec = _chain_time(_sxdec, (hi2d, lo2d, tabs4_ex, w2ex))
+    dt_xdec = _chain_time(_sxdec, (hi2d, lo2d, *seg_tabs4))
 
     # chain-timed device encode over the (cum, prob) planes
     cap_rows_ex = T_ex * R + 1
@@ -632,8 +652,8 @@ def main() -> None:
                                     not on_tpu)
     cpad = np.zeros(T_ex * L, np.uint32)
     ppad = np.ones(T_ex * L, np.uint32)
-    cpad[:n_ex] = cums_ex
-    ppad[:n_ex] = probs_ex
+    cpad[:n_ex] = cums_g
+    ppad[:n_ex] = probs_g
     c3 = jax.device_put(jnp.asarray(cpad).reshape(T_ex, R, 128))
     p3 = jax.device_put(jnp.asarray(ppad).reshape(T_ex, R, 128))
 
@@ -644,8 +664,8 @@ def main() -> None:
 
     dt_xenc = _chain_time(_sxenc, (c3, p3))
 
-    name = (f"REFERENCE-EXACT per-symbol Gaussian (Q.npz, P=24, "
-            f"cmax={cmax_ex})")
+    name = (f"REFERENCE-EXACT per-symbol Gaussian (Q.npz, P=24, grouped, "
+            f"weighted cmax={cmax_ex})")
     row = {
         "workload": name,
         "entropy_bits": round(info_bits / n_ex, 3),

@@ -838,7 +838,6 @@ def decode_family_exact(
         tabs4 = np.ascontiguousarray(
             tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
         )
-        _check_table_vmem(CP1, R, L)
         fn = _build_exact_decoder64(
             int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
         )
@@ -1035,7 +1034,6 @@ def decode_family_exact_grouped(
         tabs4 = np.ascontiguousarray(
             tabs.reshape(nsteps, R, LANES, CP1).transpose(0, 3, 1, 2)
         )
-        _check_table_vmem(CP1, R, L)
         last = t0 + nsteps == T
         tail_s = (n - (T - 1) * L) if last else L
         fn = _build_exact_decoder64_seg(
@@ -1058,6 +1056,17 @@ def decode_family_exact_grouped(
 # ---------------------------------------------------------------------------
 
 
+def _table_gchunk(R: int, G: int) -> int:
+    """Boundary-plane groups per streamed chunk: sized so the two chunk
+    buffers stay within ~9 MB of VMEM regardless of cmax (the chunked DMA
+    removes the old whole-table double-buffer's VMEM ceiling).  At
+    L=32768 this keeps cmax <= 48 single-chunk -- the bulk of a typical
+    grouped plan -- and only the wide-core tail segments pay the chunk
+    handoff."""
+    budget = 9 * 1024 * 1024
+    return max(1, min(G, budget // (3 * R * LANES * 4 * 2)))
+
+
 def _exact_decode_kernel_body64(
     pltpu, pl, *, min_sym: int, max_sym: int, cfg: LaneConfig,
     T: int, tail: int, R: int, cmax: int, seg: bool = False,
@@ -1069,7 +1078,10 @@ def _exact_decode_kernel_body64(
     qmask = np.uint32((1 << P) - 1)
     free = (1 << P) - 1 - (max_sym - min_sym)
     span = max_sym - min_sym
-    CP1 = cmax + 1  # aux plane + one u32 plane per core boundary
+    G = cmax // 4
+    CP1 = 1 + 3 * G  # aux plane + 3 packed planes per 4-boundary group
+    GC = _table_gchunk(R, G)
+    NC = -(-G // GC)
 
     def kernel(*refs):
         # tabs_hbm: [T, CP1, R, 128] u32; plane 0 = aux, 1.. = boundaries
@@ -1080,14 +1092,30 @@ def _exact_decode_kernel_body64(
         if seg:
             (base_in, hi_in, lo_in, tabs_hbm, stream_hbm,
              syms_out, hi_out, lo_out, base_out,
-             hi_s, lo_s, win, tbuf, base_s, sem, tsem) = refs
+             hi_s, lo_s, win, abuf, cbuf, base_s, sem, asem, tsem) = refs
         else:
             (hi_in, lo_in, tabs_hbm, stream_hbm,
              syms_out, hi_out, lo_out,
-             hi_s, lo_s, win, tbuf, base_s, sem, tsem) = refs
+             hi_s, lo_s, win, abuf, cbuf, base_s, sem, asem, tsem) = refs
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
         slot = t % 2
+        # chunk-buffer slots follow the GLOBAL chunk index t*NC + c so the
+        # two buffers alternate seamlessly across step boundaries
+        parity = (t % 2) * (NC % 2)
+
+        def _aux_copy(tt, sl):
+            return pltpu.make_async_copy(
+                tabs_hbm.at[tt, 0], abuf.at[sl], asem.at[sl]
+            )
+
+        def _chunk_copy(tt, c, sl):
+            npl = min(3 * GC, CP1 - 1 - 3 * GC * c)  # static per unrolled c
+            return pltpu.make_async_copy(
+                tabs_hbm.at[tt, pl.ds(1 + 3 * GC * c, npl)],
+                cbuf.at[sl, pl.ds(0, npl)],
+                tsem.at[sl],
+            )
 
         @pl.when(t == 0)
         def _init():
@@ -1107,41 +1135,36 @@ def _exact_decode_kernel_body64(
             else:
                 base_s[0] = 0
                 _init_stream_window(pltpu, pl, stream_hbm, win, sem, R)
-            d = pltpu.make_async_copy(tabs_hbm.at[0], tbuf.at[0], tsem.at[0])
-            d.start()
-            d.wait()
+            _aux_copy(0, 0).start()
+            _chunk_copy(0, 0, 0).start()
 
         @pl.when(t + 1 < T)
-        def _prefetch_tabs():
-            pltpu.make_async_copy(
-                tabs_hbm.at[t + 1], tbuf.at[1 - slot], tsem.at[1 - slot]
-            ).start()
+        def _prefetch_aux():
+            _aux_copy(t + 1, 1 - slot).start()
 
-        @pl.when(t > 0)
-        def _wait_tabs():
-            pltpu.make_async_copy(
-                tabs_hbm.at[t], tbuf.at[slot], tsem.at[slot]
-            ).wait()
+        _aux_copy(t, slot).wait()
 
         hi = hi_s[:]
         lo = lo_s[:]
         q = (lo & qmask).astype(jnp.int32)
 
-        aux = tbuf[slot, 0]
+        aux = abuf[slot]
         cl = (aux & np.uint32(0xFFFFFF)).astype(jnp.int32)
         nc = (aux >> 24).astype(jnp.int32)
 
         # Core scan over PACKED 24-bit (b - 1) fields, 4 boundaries per 3
         # planes (25% less table DMA and VMEM than one-per-plane -- the
-        # kernel is table-DMA-bound).  Within a lane the boundaries ascend,
-        # so ``le`` is a prefix mask over the plane index: ``cnt`` counts
-        # it, ``cumc`` is the LAST selected boundary (plain select, no max
-        # lattice), and ``nxtc`` is that boundary's SUCCESSOR (select of
-        # b_next under the same mask).  Storing b - 1 makes the compare a
-        # strict `<` and fits the pad in 24 bits: pads are
-        # 0xFFFFFF = 2^P - 1 in b-1 space -- never `< q`, and + 1 turns the
-        # successor of the last real boundary into the 2^P sentinel.
-        G = cmax // 4
+        # kernel is table-DMA-bound), STREAMED in GC-group chunks: chunk c
+        # is scanned while chunk c+1 (or the next step's chunk 0) DMAs into
+        # the other buffer, so VMEM stays bounded at any cmax.  Within a
+        # lane the boundaries ascend, so ``le`` is a prefix mask over the
+        # plane index: ``cnt`` counts it, ``cumc`` is the LAST selected
+        # boundary (plain select, no max lattice), and ``nxtc`` is that
+        # boundary's SUCCESSOR (select of b_next under the same mask).
+        # Storing b - 1 makes the compare a strict `<` and fits the pad in
+        # 24 bits: pads are 0xFFFFFF = 2^P - 1 in b-1 space -- never
+        # `< q`, and + 1 turns the successor of the last real boundary
+        # into the 2^P sentinel.
         m24 = np.uint32(0xFFFFFF)
         m16 = np.uint32(0xFFFF)
         m8 = np.uint32(0xFF)
@@ -1149,24 +1172,35 @@ def _exact_decode_kernel_body64(
         cumc = jnp.full((R, LANES), np.int32(-1), jnp.int32)
         nxtc = None  # initialized from b_0 (covers the cnt == 0 case)
         pend = None  # boundary awaiting its successor
-        for g in range(G):
-            w0 = tbuf[slot, 1 + 3 * g]
-            w1 = tbuf[slot, 2 + 3 * g]
-            w2 = tbuf[slot, 3 + 3 * g]
-            b0 = (w0 & m24).astype(jnp.int32)
-            b1 = ((w0 >> 24) | ((w1 & m16) << 8)).astype(jnp.int32)
-            b2 = ((w1 >> 16) | ((w2 & m8) << 16)).astype(jnp.int32)
-            b3 = (w2 >> 8).astype(jnp.int32)
-            if nxtc is None:
-                nxtc = b0
-            for b, bnext in ((pend, b0), (b0, b1), (b1, b2), (b2, b3)):
-                if b is None:
-                    continue
-                le = b < q  # b - 1 < q  <=>  b <= q
-                cnt = cnt + le.astype(jnp.int32)
-                cumc = jnp.where(le, b, cumc)
-                nxtc = jnp.where(le, bnext, nxtc)
-            pend = b3
+        for c in range(NC):
+            sc = (parity + c) % 2
+            _chunk_copy(t, c, sc).wait()
+            if c + 1 < NC:
+                _chunk_copy(t, c + 1, (parity + c + 1) % 2).start()
+            else:
+
+                @pl.when(t + 1 < T)
+                def _prefetch_next_step():
+                    _chunk_copy(t + 1, 0, (parity + NC) % 2).start()
+
+            for j in range(min(GC, G - c * GC)):
+                w0 = cbuf[sc, 3 * j]
+                w1 = cbuf[sc, 3 * j + 1]
+                w2 = cbuf[sc, 3 * j + 2]
+                b0 = (w0 & m24).astype(jnp.int32)
+                b1 = ((w0 >> 24) | ((w1 & m16) << 8)).astype(jnp.int32)
+                b2 = ((w1 >> 16) | ((w2 & m8) << 16)).astype(jnp.int32)
+                b3 = (w2 >> 8).astype(jnp.int32)
+                if nxtc is None:
+                    nxtc = b0
+                for b, bnext in ((pend, b0), (b0, b1), (b1, b2), (b2, b3)):
+                    if b is None:
+                        continue
+                    le = b < q  # b - 1 < q  <=>  b <= q
+                    cnt = cnt + le.astype(jnp.int32)
+                    cumc = jnp.where(le, b, cumc)
+                    nxtc = jnp.where(le, bnext, nxtc)
+                pend = b3
         le = pend < q
         cnt = cnt + le.astype(jnp.int32)
         cumc = jnp.where(le, pend, cumc)
@@ -1232,19 +1266,6 @@ def _exact_decode_kernel_body64(
     return kernel
 
 
-def _check_table_vmem(CP1, R, L):
-    """Friendly guard for the ~16 MB/core VMEM scoped limit: the decoder
-    double-buffers the per-step table block plus stream windows + states."""
-    need = (2 * CP1 * R + 2 * (R + 1) + 2 * R) * LANES * 4
-    if need > 15 * 1024 * 1024:
-        raise ValueError(
-            f"exact-table block ({CP1} planes x {R} rows) needs ~{need >> 20} MB"
-            " of VMEM scratch > the ~16 MB/core budget; lower cfg.num_lanes"
-            f" (currently {L}) or split the batch so the auto-sized cmax"
-            " shrinks"
-        )
-
-
 @functools.lru_cache(maxsize=16)
 def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
                            interpret):
@@ -1278,18 +1299,28 @@ def _build_exact_decoder64(min_sym, max_sym, cfg, T, tail, L, cmax,
             jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((R, LANES), jnp.uint32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.uint32),          # state hi
-            pltpu.VMEM((R, LANES), jnp.uint32),          # state lo
-            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),   # stream windows
-            pltpu.VMEM((2, CP1, R, LANES), jnp.uint32),  # table buffers
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_seg64_scratch(pltpu, R, cmax),
         interpret=interpret,
     )
     return jax.jit(fn)
+
+
+def _seg64_scratch(pltpu, R, cmax):
+    """Scratch set shared by the wide decoders: states, stream windows,
+    aux double buffer, chunked core-plane buffers, and their semaphores."""
+    G = cmax // 4
+    GC = _table_gchunk(R, G)
+    return [
+        pltpu.VMEM((R, LANES), jnp.uint32),            # state hi
+        pltpu.VMEM((R, LANES), jnp.uint32),            # state lo
+        pltpu.VMEM((2, R + 1, LANES), jnp.uint32),     # stream windows
+        pltpu.VMEM((2, R, LANES), jnp.uint32),         # aux planes
+        pltpu.VMEM((2, 3 * GC, R, LANES), jnp.uint32),  # core chunks
+        pltpu.SMEM((1,), jnp.int32),
+        pltpu.SemaphoreType.DMA((2,)),                 # stream
+        pltpu.SemaphoreType.DMA((2,)),                 # aux
+        pltpu.SemaphoreType.DMA((2,)),                 # chunks
+    ]
 
 
 @functools.lru_cache(maxsize=64)
@@ -1330,15 +1361,7 @@ def _build_exact_decoder64_seg(min_sym, max_sym, cfg, T, tail, L, cmax,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((R, LANES), jnp.uint32),          # state hi
-            pltpu.VMEM((R, LANES), jnp.uint32),          # state lo
-            pltpu.VMEM((2, R + 1, LANES), jnp.uint32),   # stream windows
-            pltpu.VMEM((2, CP1, R, LANES), jnp.uint32),  # table buffers
-            pltpu.SMEM((1,), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=_seg64_scratch(pltpu, R, cmax),
     )
     fn = pl.pallas_call(
         kernel,

@@ -674,3 +674,69 @@ def _decode_blocks_device_range64(states, streams, cdf, cfg, block_len, mesh):
         _split_u64(states), streams, cfg, block_len, mesh, make,
         has_bad=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# Random access inside sharded containers (reference analog: the Pos/Seek
+# jump-table design, /root/reference/src/lib.rs:425-580).  Block headers
+# already give block-granular seeks for free; these helpers add
+# WITHIN-block checkpoints so long blocks can be entered mid-stream
+# without decoding from the block start.
+# ---------------------------------------------------------------------------
+
+
+def build_block_checkpoints(container, cdf, interval: int):
+    """Per-block decoder snapshots every ``interval`` grid steps.
+
+    Returns ``(offsets i64[B, C], states [B, C, L])`` with
+    ``C = ceil(T_block / interval) - 1`` (the block header itself is the
+    t=0 snapshot).  rANS containers only (range-decoder seeks need the
+    encoder-side point recomputation; use block-granular access there).
+    """
+    states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
+    if coder_id != CODER_RANS:
+        raise ValueError(
+            "within-block checkpoints cover rANS containers; range "
+            "containers seek at block granularity (the block header is "
+            "the snapshot)"
+        )
+    B = len(streams)
+    offs, sts = [], []
+    for b in range(B):
+        nb = min(block_len, max(n - b * block_len, 0))
+        o, s = il2.build_checkpoints(
+            states[b], streams[b], nb, cdf, cfg, interval
+        )
+        offs.append(o)
+        sts.append(s)
+    C = max(len(o) for o in offs) if offs else 0
+    off_arr = np.zeros((B, C), dtype=np.int64)
+    st_arr = np.zeros((B, C) + sts[0].shape[1:], dtype=sts[0].dtype)
+    for b in range(B):
+        off_arr[b, : len(offs[b])] = offs[b]
+        st_arr[b, : len(offs[b])] = sts[b]
+    return off_arr, st_arr
+
+
+def decode_block_from_checkpoint(
+    container, cdf, interval: int, block: int, ckpt_index: int,
+    offsets, states, device: bool = False,
+):
+    """Decode block ``block``'s suffix starting at within-block checkpoint
+    ``ckpt_index`` (from :func:`build_block_checkpoints`); bit-equal to the
+    corresponding slice of a full :func:`decode`.  Returns
+    ``(global_start_symbol, suffix)`` -- the suffix is clipped to the
+    message length for the final block."""
+    blk_states, streams, n, block_len, cfg, coder_id = unpack_sharded(
+        container
+    )
+    if coder_id != CODER_RANS:
+        raise ValueError("within-block checkpoints cover rANS containers")
+    if not 0 <= block < len(streams):
+        raise ValueError(f"block {block} out of range")
+    nb = min(block_len, max(n - block * block_len, 0))
+    rel_start, suffix = il2.decode_from_checkpoint(
+        ckpt_index, offsets[block], states[block], streams[block], nb,
+        cdf, cfg, interval, device=device,
+    )
+    return block * block_len + rel_start, suffix

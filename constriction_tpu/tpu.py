@@ -33,7 +33,8 @@ SMALL_CFG = LaneConfig(num_lanes=1024, word_bits=16, state_bits=32, precision=12
 DEFAULT64_CFG = LaneConfig(num_lanes=32768, word_bits=32, state_bits=64, precision=24)
 
 
-def _pick_cfg(n: int, cfg: LaneConfig | None) -> LaneConfig:
+def _pick_cfg(n: int, cfg: LaneConfig | None,
+              cdf=None) -> LaneConfig:
     if cfg is not None:
         return cfg
     # lane count should not dwarf the message (the per-lane state header is
@@ -41,7 +42,28 @@ def _pick_cfg(n: int, cfg: LaneConfig | None) -> LaneConfig:
     L = 128
     while L * 2 <= min(DEFAULT_CFG.num_lanes, max(n // 8, 128)):
         L *= 2
-    return LaneConfig(num_lanes=L, word_bits=16, state_bits=32, precision=12)
+    # The model's fixed-point CDF determines the precision; the facade only
+    # picks matching (W, S) sizes: P <= 16 rides the u32-state kernels,
+    # 16 < P <= 24 (including the reference's DEFAULT preset, P = 24,
+    # stack.rs:139) the u32-pair S=64 kernels -- which decode *faster* than
+    # the small preset on-chip, so high precision costs nothing.  Before
+    # round 4 the facade pinned P=12 and rejected P=24 models, giving away
+    # ~1000x the reference default's marginal rate overhead on skewed
+    # models unless callers passed an explicit cfg.
+    P = 12
+    if cdf is not None:
+        top = int(np.asarray(cdf)[-1])
+        if top & (top - 1) or not (1 << 2) <= top <= (1 << 24):
+            raise ValueError(
+                f"cdf[-1] == {top} is not a supported power of two "
+                "(2^2 .. 2^24); rebuild the model with a fixed-point "
+                "precision in that range"
+            )
+        P = top.bit_length() - 1
+    if P <= 16:
+        return LaneConfig(num_lanes=L, word_bits=16, state_bits=32,
+                          precision=P)
+    return LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=P)
 
 
 def _check_cdf(cdf, cfg: LaneConfig) -> None:
@@ -89,7 +111,7 @@ def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
             f"symbols must be in [0, {len(cdf) - 1}), got range "
             f"[{int(symbols.min())}, {int(symbols.max())}]"
         )
-    cfg = _pick_cfg(len(symbols), cfg)
+    cfg = _pick_cfg(len(symbols), cfg, cdf)
     _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
 
@@ -227,7 +249,7 @@ def encode_iid_range(symbols, cdf, cfg: LaneConfig | None = None):
     (ILANS2-R), encoded on-device; decode with :func:`decode_iid_range`.
     Default-preset configs (S=64) route to the ILANS2-R64 Pallas encoder."""
     symbols = np.asarray(symbols)
-    cfg = _pick_cfg(len(symbols), cfg)
+    cfg = _pick_cfg(len(symbols), cfg, cdf)
     _check_cdf(cdf, cfg)
     return _il2.encode_iid_categorical_range(symbols, cdf, cfg, device=True)
 
@@ -236,7 +258,7 @@ def decode_iid_range(points, stream, cdf, num_symbols: int,
                      cfg: LaneConfig | None = None):
     """Decode an ILANS2-R stream with the Pallas range decoder (the
     default-preset S=64 sizes route to the ILANS2-R64 kernel)."""
-    cfg = _pick_cfg(num_symbols, cfg)
+    cfg = _pick_cfg(num_symbols, cfg, cdf)
     _check_cdf(cdf, cfg)
     if not _il2._pallas_eligible(cfg):
         # mirror encode_iid_range's host fallback: data encoded through a

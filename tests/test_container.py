@@ -314,3 +314,60 @@ def test_padding_avoids_zero_probability_symbol():
         )
         out = parallel.decode(cont, cdf, device=device)
         assert np.array_equal(out, symbols), f"device={device}"
+
+
+def test_block_checkpoints_random_access():
+    """Within-block checkpoint seek: decoding a block suffix from a
+    checkpoint is bit-equal to the corresponding slice of the full decode
+    (reference analog: Pos/Seek jump tables, lib.rs:425-580)."""
+    n = 20011
+    symbols, cdf = _workload(n)
+    cont = parallel.encode(symbols, cdf, cfg=CFG, num_blocks=4, device=False)
+    full = parallel.decode(cont, cdf, device=False)
+    np.testing.assert_array_equal(full, symbols)
+    _, _, _, block_len, cfg, _ = parallel.unpack_sharded(cont)
+    interval = 3
+    offs, sts = parallel.build_block_checkpoints(cont, cdf, interval)
+    assert offs.shape[0] == 4
+    L = cfg.num_lanes
+    for block in (0, 2, 3):
+        for ck in (0, offs.shape[1] - 1):
+            start, suffix = parallel.decode_block_from_checkpoint(
+                cont, cdf, interval, block, ck, offs, sts
+            )
+            rel = (ck + 1) * interval * L
+            assert start == block * block_len + rel
+            end = min((block + 1) * block_len, n)
+            np.testing.assert_array_equal(suffix, symbols[start:end])
+
+
+def test_block_checkpoints_s64_and_range_guard():
+    """Checkpoints work at the DEFAULT preset (u64 block states); range
+    containers are rejected with a clear message."""
+    n = 6000
+    rng = np.random.RandomState(11)
+    probs = rng.dirichlet(np.ones(37))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    )
+    symbols = rng.choice(37, size=n, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=32, state_bits=64, precision=24)
+    cont = parallel.encode(
+        symbols, model.cdf, cfg=cfg, num_blocks=2, device=False
+    )
+    interval = 2
+    offs, sts = parallel.build_block_checkpoints(cont, model.cdf, interval)
+    assert sts.dtype == np.uint64
+    start, suffix = parallel.decode_block_from_checkpoint(
+        cont, model.cdf, interval, 1, 0, offs, sts
+    )
+    end = min(2 * (n // 2 + n % 2) + len(suffix), n)
+    np.testing.assert_array_equal(suffix, symbols[start : start + len(suffix)])
+    assert start + len(suffix) == n  # final block clips to message length
+
+    cont_r = parallel.encode(
+        symbols, model.cdf, cfg=cfg, num_blocks=2, device=False,
+        coder="range",
+    )
+    with pytest.raises(ValueError, match="block granularity"):
+        parallel.build_block_checkpoints(cont_r, model.cdf, interval)

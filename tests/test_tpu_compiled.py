@@ -314,3 +314,42 @@ def test_tchain24_bits_back(tpu, workload):
     q2, h2 = tchain.tchain24_encode_pallas(syms, rem, heads, cdf24, cfg24)
     np.testing.assert_array_equal(q2, data)
     assert np.all(h2 == 256)
+
+
+def test_exact_family_grouped_multichunk(tpu):
+    """Core-size-grouped exact decode compiled through Mosaic with the
+    chunked table DMA active: a heavy-tailed scale mix at L=32768 forces a
+    multi-segment plan whose widest segment streams its boundary planes in
+    several chunks (exceeding the whole-table VMEM budget that capped the
+    pre-chunking kernels)."""
+    from constriction_tpu.ops import exact_family as ef
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    rng = np.random.RandomState(77)
+    L = 32768
+    n = 3 * L + 1000
+    means = rng.uniform(-60, 60, n)
+    # bimodal scales: mostly tight cores plus a wide-core tail
+    scales = np.where(
+        rng.rand(n) < 0.9,
+        np.exp(rng.normal(0.4, 0.3, n)),
+        np.exp(rng.normal(2.6, 0.2, n)),
+    )
+    syms = np.clip(
+        np.round(means + rng.randn(n) * scales), -100, 100
+    ).astype(np.int64)
+    cfg = LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=24)
+    perm, segs = ef.group_plan(
+        means, scales, "gaussian", -100, 100, 24, L, n
+    )
+    assert len(segs) >= 2
+    widest = max(w for _, _, w in segs)
+    G = widest // 4
+    assert G > ef._table_gchunk(L // 128, G), "workload must force chunking"
+    st, w = ef.encode_family_exact_grouped(
+        syms, means, scales, "gaussian", -100, 100, cfg
+    )
+    out = ef.decode_family_exact_grouped(
+        st, np.asarray(w), means, scales, "gaussian", -100, 100, cfg, n
+    )
+    np.testing.assert_array_equal(out, syms)

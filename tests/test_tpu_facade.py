@@ -1,6 +1,7 @@
 """Public TPU facade round trips (interpreter mode on the CPU test mesh)."""
 
 import numpy as np
+import pytest
 
 import constriction_tpu.tpu as ctpu
 from constriction_tpu.models.categorical import (
@@ -106,3 +107,34 @@ def test_facade_range_decode_host_fallback_for_ineligible_config():
     pts, stream = ctpu.encode_iid_range(syms, model.cdf, cfg=cfg)
     out = ctpu.decode_iid_range(pts, stream, model.cdf, len(syms), cfg=cfg)
     assert np.array_equal(np.asarray(out)[: len(syms)], syms)
+
+
+def test_facade_precision_follows_model():
+    """The facade infers the lane config from the model's fixed-point CDF:
+    a P=24 model rides the S=64 kernels with no explicit cfg (before this,
+    the facade pinned P=12 and rejected default-preset models)."""
+    import constriction_tpu.tpu as ctpu
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+
+    rng = np.random.RandomState(4)
+    p = np.array([0.9] + [0.1 / 9] * 9)
+    syms = rng.choice(10, size=600, p=p)
+    m24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 24)
+    data = ctpu.encode_iid(syms, m24.cdf)
+    from constriction_tpu.ops import interleaved2 as il2
+
+    _, _, _, cfg = il2.unpack_container2(np.asarray(data))
+    assert (cfg.precision, cfg.state_bits, cfg.word_bits) == (24, 64, 32)
+    np.testing.assert_array_equal(ctpu.decode_iid(data, m24.cdf), syms)
+
+    m16 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 16)
+    d16 = ctpu.encode_iid(syms, m16.cdf)
+    _, _, _, cfg16 = il2.unpack_container2(np.asarray(d16))
+    assert (cfg16.precision, cfg16.state_bits) == (16, 32)
+    np.testing.assert_array_equal(ctpu.decode_iid(d16, m16.cdf), syms)
+
+    with pytest.raises(ValueError, match="power of two"):
+        # 11-entry cdf (10 symbols, all syms in range) topping at 110
+        ctpu.encode_iid(syms, np.arange(0, 121, 11))
