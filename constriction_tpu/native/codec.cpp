@@ -411,6 +411,92 @@ int64_t ctpu_exact_boundaries(
     return bad;
 }
 
+// Fused wide-table build: boundary fill + the device kernels' packed (b-1)
+// 24-bit-quad layout, written directly as [n, 1 + 3*G] u32 planes
+// (G = ceil(cmax/4); plane 0 is aux).  Skips the intermediate [n, cmax]
+// core array and the numpy packing pass entirely -- on a single-core host
+// the numpy pack costs ~4x the CDF evaluations themselves.  Semantics are
+// identical to ctpu_exact_boundaries + the Python pack_decode_tables wide
+// branch (ops/exact_family.py): pads are (2^P)-1 in (b-1) space, aux keeps
+// the RAW cmax cap (ncore < 2^8 for wide tables, so cmax <= 255 and the
+// local row buffer is a fixed 256-entry stack array).
+int64_t ctpu_exact_tables_packed(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const double* pa, const double* pb, int64_t n, int32_t cmax,
+    uint32_t* tabs)
+{
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    const uint32_t freeu = (uint32_t)free_weight;
+    const uint32_t padm1 = (1u << precision) - 1;  // (pad 2^P) - 1
+    const int64_t G = (cmax + 3) / 4;
+    const int64_t CP1 = 1 + 3 * G;
+    if (precision <= 16 || cmax > 255) return -1;  // wide tables only
+    int64_t bad = 0;
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; i++) {
+        int64_t bad_seen;
+#pragma omp atomic read
+        bad_seen = bad;
+        if (bad_seen) continue;
+        const double a = pa[i], b = pb[i];
+        int64_t first_pos = qm_first_reaching(
+            kind, a, b, free_weight, 1u, min_sym, max_sym,
+            dist_ppf(kind, 1.0 / free_weight, a, b) + 0.5);
+        int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
+        uint32_t bm1[256];
+        bm1[0] = qm_tv(kind, a, b, free_weight, core_lo)
+               + (uint32_t)(core_lo - min_sym) - 1u;
+        int64_t ncore = 1;
+        bool overflow = false;
+        for (int64_t s = core_lo + 1; s <= max_sym; s++) {
+            uint32_t tv = qm_tv(kind, a, b, free_weight, s);
+            if (tv > freeu - 1) break;  // saturated: right-linear regime
+            if (ncore >= cmax) { overflow = true; break; }
+            bm1[ncore++] = tv + (uint32_t)(s - min_sym) - 1u;
+        }
+        if (overflow) {
+#pragma omp critical
+            if (!bad || bad > 1 + i) bad = 1 + i;  // lowest index wins
+            continue;
+        }
+        for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
+        uint32_t* out = tabs + i * CP1;
+        out[0] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 24);
+        for (int64_t g = 0; g < G; g++) {
+            const uint32_t* q = bm1 + 4 * g;
+            out[1 + 3 * g]     = q[0] | (q[1] << 24);
+            out[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
+            out[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
+        }
+    }
+    return bad;
+}
+
+// Blocked u32 transpose: src[t, r, c] -> dst[t, c, r] (the device table
+// layout moves the plane axis in front of the lane axes; numpy's strided
+// transpose + ascontiguousarray walks one element at a time).
+void ctpu_transpose_u32(
+    const uint32_t* src, uint32_t* dst,
+    int64_t nsteps, int64_t rows, int64_t cols)
+{
+    const int64_t B = 64;
+    for (int64_t t = 0; t < nsteps; t++) {
+        const uint32_t* s = src + t * rows * cols;
+        uint32_t* d = dst + t * rows * cols;
+#pragma omp parallel for schedule(static)
+        for (int64_t r0 = 0; r0 < rows; r0 += B) {
+            const int64_t r1 = r0 + B < rows ? r0 + B : rows;
+            for (int64_t c0 = 0; c0 < cols; c0 += B) {
+                const int64_t c1 = c0 + B < cols ? c0 + B : cols;
+                for (int64_t r = r0; r < r1; r++)
+                    for (int64_t c = c0; c < c1; c++)
+                        d[c * rows + r] = s[r * cols + c];
+            }
+        }
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Decode-side quantile inversion for quantized families.
 //

@@ -103,6 +103,18 @@ def exact_ncore(
     from .. import native
 
     if native.LIB is not None and family in EXACT_FAMILIES:
+        # core size depends only on the (mean, scale) pair: probe unique
+        # pairs once (see packed_tables_device's memo note)
+        z = mean + 1j * scale
+        uz, inv = np.unique(z, return_inverse=True)
+        if len(uz) <= n // 2:
+            out_u = np.empty(len(uz), dtype=np.uint32)
+            native.LIB.ctpu_exact_ncore(
+                native.DIST_KIND[family], min_sym, max_sym, precision,
+                np.ascontiguousarray(uz.real), np.ascontiguousarray(uz.imag),
+                len(uz), out_u,
+            )
+            return out_u[inv]
         out = np.empty(n, dtype=np.uint32)
         native.LIB.ctpu_exact_ncore(
             native.DIST_KIND[family], min_sym, max_sym, precision,
@@ -382,6 +394,93 @@ def pack_decode_tables(
     tabs[:, 0] = aux
     tabs[:, 1:] = bm1[:, 0::2] | (bm1[:, 1::2] << 16)
     return tabs, cmax
+
+
+def packed_tables_device(
+    means, scales, family: str, min_sym: int, max_sym: int, precision: int,
+    cmax: int, nsteps: int, R: int,
+) -> Tuple[np.ndarray, int]:
+    """Wide decode tables in the device layout ``[nsteps, CP1, R, 128]``
+    (plane axis in front of the lane axes), plus the rounded cmax.
+
+    The native path fuses boundary fill + 24-bit-quad packing in one C++
+    pass (no [n, cmax] intermediate) followed by a blocked transpose --
+    on a single-core host the numpy pack + strided transpose cost ~5x the
+    CDF evaluations themselves.  Falls back to exact_boundary_tables +
+    pack_decode_tables + numpy transpose (bit-identical output).
+
+    Repeated (mean, scale) pairs are memoized: a row depends only on the
+    pair (for fixed family/support/precision), so unique pairs are built
+    once and gathered back.  Neural-compression parameter batches hit this
+    hard -- scale-hyperprior codecs commonly quantize scales to a small
+    discrete table, and the CDF evaluations (~ncore glibc erf calls per
+    row) dominate prep cost."""
+    mean = np.ascontiguousarray(np.asarray(means, np.float64).reshape(-1))
+    scale = np.ascontiguousarray(np.asarray(scales, np.float64).reshape(-1))
+    n = nsteps * R * 128
+    assert len(mean) == n
+    assert 16 < precision <= 24
+
+    # dedup on exact f64 equality (complex pairing is injective on floats;
+    # -0.0 folding to 0.0 is value-identical for every family CDF)
+    z = mean + 1j * scale
+    uz, inv = np.unique(z, return_inverse=True)
+    if len(uz) <= n // 2:
+        tabs_u, cmax_r = _packed_table_rows(
+            np.ascontiguousarray(uz.real), np.ascontiguousarray(uz.imag),
+            family, min_sym, max_sym, precision, cmax,
+        )
+        tabs = tabs_u[inv]
+    else:
+        tabs, cmax_r = _packed_table_rows(
+            mean, scale, family, min_sym, max_sym, precision, cmax
+        )
+    CP1 = tabs.shape[1]
+
+    from .. import native
+
+    if native.LIB is not None:
+        tabs4 = np.empty((nsteps, CP1, R * 128), dtype=np.uint32)
+        native.LIB.ctpu_transpose_u32(
+            np.ascontiguousarray(tabs).reshape(-1), tabs4.reshape(-1),
+            nsteps, R * 128, CP1,
+        )
+        return tabs4.reshape(nsteps, CP1, R, 128), cmax_r
+    tabs4 = np.ascontiguousarray(
+        tabs.reshape(nsteps, R, 128, CP1).transpose(0, 3, 1, 2)
+    )
+    return tabs4, cmax_r
+
+
+def _packed_table_rows(
+    mean, scale, family: str, min_sym: int, max_sym: int, precision: int,
+    cmax: int,
+) -> Tuple[np.ndarray, int]:
+    """Packed wide-table rows ``[n, 1 + 3*ceil(cmax/4)] u32`` (plane 0 is
+    aux) for arbitrary-length parameter vectors; fused C++ when available."""
+    from .. import native
+
+    n = len(mean)
+    G = -(-cmax // 4)
+    CP1 = 1 + 3 * G
+    if (native.LIB is not None and family in EXACT_FAMILIES
+            and cmax <= 255):
+        tabs = np.empty((n, CP1), dtype=np.uint32)
+        bad = native.LIB.ctpu_exact_tables_packed(
+            native.DIST_KIND[family], min_sym, max_sym, precision,
+            mean, scale, n, cmax, tabs.reshape(-1),
+        )
+        if bad:
+            raise ValueError(
+                f"core of symbol {int(bad) - 1} needs more than cmax={cmax} "
+                "boundaries; increase cmax (flat distributions make the "
+                "whole support non-linear)"
+            )
+        return tabs, 4 * G
+    aux, core = exact_boundary_tables(
+        mean, scale, family, min_sym, max_sym, precision, cmax
+    )
+    return pack_decode_tables(aux, core, precision)
 
 
 # ---------------------------------------------------------------------------
@@ -827,16 +926,13 @@ def decode_family_exact(
         return jnp.zeros((0,), jnp.int32)
     tail = num_symbols - (T - 1) * L
     R = L // LANES
-    aux, core = exact_boundary_tables(
-        *_pad_params(means, scales, T * L, family, max_sym), family,
-        min_sym, max_sym, cfg.precision, cmax,
-    )
-    cmax = core.shape[1]
+    pm, ps = _pad_params(means, scales, T * L, family, max_sym)
     if wide:
-        tabs, cmax = pack_decode_tables(aux, core, cfg.precision)
-        CP1 = tabs.shape[1]
-        tabs4 = np.ascontiguousarray(
-            tabs.reshape(T, R, LANES, CP1).transpose(0, 3, 1, 2)
+        if cmax is None:
+            nc = exact_ncore(pm, ps, family, min_sym, max_sym, cfg.precision)
+            cmax = max(int(nc.max()) if len(nc) else 1, 1)
+        tabs4, cmax = packed_tables_device(
+            pm, ps, family, min_sym, max_sym, cfg.precision, cmax, T, R
         )
         fn = _build_exact_decoder64(
             int(min_sym), int(max_sym), cfg, T, tail, L, cmax, interpret
@@ -853,6 +949,9 @@ def decode_family_exact(
             _pad_stream2d(stream, R),
         )
         return syms.reshape(-1)[:num_symbols]
+    aux, core = exact_boundary_tables(
+        pm, ps, family, min_sym, max_sym, cfg.precision, cmax,
+    )
     tabs, cmax = pack_decode_tables(aux, core, cfg.precision)
     CP1 = tabs.shape[1]
     tabs4 = np.ascontiguousarray(
@@ -1026,13 +1125,9 @@ def decode_family_exact_grouped(
     outs = []
     for t0, nsteps, cmax in segments:
         sl = slice(t0 * L, (t0 + nsteps) * L)
-        aux, core = exact_boundary_tables(
+        tabs4, cmax_r = packed_tables_device(
             pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision, cmax,
-        )
-        tabs, cmax_r = pack_decode_tables(aux, core, cfg.precision)
-        CP1 = tabs.shape[1]
-        tabs4 = np.ascontiguousarray(
-            tabs.reshape(nsteps, R, LANES, CP1).transpose(0, 3, 1, 2)
+            nsteps, R,
         )
         last = t0 + nsteps == T
         tail_s = (n - (T - 1) * L) if last else L
