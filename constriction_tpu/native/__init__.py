@@ -53,13 +53,16 @@ class ChainState(ctypes.Structure):
 
 
 def _stale() -> bool:
-    """Rebuild when codec.cpp is newer than the .so (source edits must not be
-    silently shadowed by an old binary)."""
+    """Rebuild when a C++ source is newer than the .so (source edits must
+    not be silently shadowed by an old binary)."""
     if not os.path.exists(_SO):
         return True
-    src = os.path.join(_HERE, "codec.cpp")
     try:
-        return os.path.getmtime(src) > os.path.getmtime(_SO)
+        so_m = os.path.getmtime(_SO)
+        return any(
+            os.path.getmtime(os.path.join(_HERE, f)) > so_m
+            for f in ("codec.cpp", "surrogate.cpp")
+        )
     except OSError:
         return True
 
@@ -121,6 +124,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ctpu_transpose_u32.restype = None
     lib.ctpu_transpose_u32.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int64,
+    ]
+    lib.ctpu_surrogate_window.restype = None
+    lib.ctpu_surrogate_window.argtypes = [
+        c.c_int32, c.c_double, c.c_double, c.c_double,
+        c.c_int64, c.c_int64, f64p,
     ]
     lib.ctpu_quantized_ecp.restype = c.c_int32
     lib.ctpu_quantized_ecp.argtypes = [

@@ -17,6 +17,7 @@
 // Exposed via a plain C ABI for ctypes.  Build: python -m constriction_tpu.native.build
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <cmath>
 #include <algorithm>
@@ -275,9 +276,33 @@ static inline uint32_t qm_tv(int32_t kind, double a, double b,
 // declared below (decode-side guesses share it).
 static inline double dist_ppf(int32_t kind, double xi, double a, double b);
 
+// Exact predicate tv(s) >= threshold; with fast=true it is decided by the
+// cheap surrogate (defined below) whenever the margin allows, falling back
+// to the glibc evaluation only on ambiguity -- the RESULT is identical
+// either way, so every search below converges to the same boundary.
+static inline bool qm_ge(int32_t kind, double a, double b,
+                         double free_weight, uint32_t threshold, int64_t s,
+                         bool fast);
+static inline bool qm_fast_enabled();
+
+static const double QM_MARGIN = 0x1p-9;
+
+// The surrogate evaluators live in surrogate.cpp, a separate translation
+// unit compiled with relaxed FP flags so the loops vectorize; this TU
+// keeps strict semantics (see build.py).  A ~ free * CDF; every integer
+// decision taken from A is re-derived with exact glibc evaluations when A
+// is margin-close to a boundary, so outputs stay bit-identical.
+void ctpu_surrogate_window(
+    int32_t kind, double a, double b, double free_weight,
+    int64_t s0, int64_t m, double* A);
+void ctpu_surrogate_eval_batch(
+    int32_t kind, const double* a, const double* b, double free_weight,
+    const double* x, int64_t n, double* A);
+
 static inline int64_t qm_first_reaching(
     int32_t kind, double a, double b, double free_weight,
-    uint32_t threshold, int32_t min_sym, int32_t max_sym, double guess_f)
+    uint32_t threshold, int32_t min_sym, int32_t max_sym, double guess_f,
+    bool fast = false)
 {
     int64_t g;
     if (guess_f <= (double)(min_sym + 1)) g = min_sym + 1;
@@ -286,13 +311,13 @@ static inline int64_t qm_first_reaching(
 
     int64_t lo = min_sym, hi;  // invariant: tv(lo) < threshold (tv(min)=0
     int64_t hi_cap = (int64_t)max_sym + 1;  // virtual "true" sentinel
-    if (qm_tv(kind, a, b, free_weight, g) >= threshold) {
+    if (qm_ge(kind, a, b, free_weight, threshold, g, fast)) {
         hi = g;
         int64_t step = 1;
         for (;;) {
             int64_t nxt = hi - step;
             if (nxt <= min_sym) break;
-            if (qm_tv(kind, a, b, free_weight, nxt) >= threshold) {
+            if (qm_ge(kind, a, b, free_weight, threshold, nxt, fast)) {
                 hi = nxt; step <<= 1;
             } else { lo = nxt; break; }
         }
@@ -303,14 +328,14 @@ static inline int64_t qm_first_reaching(
         for (;;) {
             int64_t nxt = lo + step;
             if (nxt > max_sym) break;
-            if (qm_tv(kind, a, b, free_weight, nxt) < threshold) {
+            if (!qm_ge(kind, a, b, free_weight, threshold, nxt, fast)) {
                 lo = nxt; step <<= 1;
             } else { hi = nxt; break; }
         }
     }
     while (hi - lo > 1) {
         int64_t mid = lo + ((hi - lo) >> 1);
-        if (qm_tv(kind, a, b, free_weight, mid) >= threshold) hi = mid;
+        if (qm_ge(kind, a, b, free_weight, threshold, mid, fast)) hi = mid;
         else lo = mid;
     }
     return hi;
@@ -321,12 +346,13 @@ static inline int64_t qm_first_reaching(
 // CDF ~ 1/free, the right edge where CDF ~ 1 - 1/free.
 static inline void qm_core_edges(
     int32_t kind, double a, double b, double free_weight, uint32_t freeu,
-    int32_t min_sym, int32_t max_sym, int64_t* out_lo, int64_t* out_hi)
+    int32_t min_sym, int32_t max_sym, int64_t* out_lo, int64_t* out_hi,
+    bool fast = false)
 {
     const double inv_free = 1.0 / free_weight;
     int64_t first_pos = qm_first_reaching(
         kind, a, b, free_weight, 1u, min_sym, max_sym,
-        dist_ppf(kind, inv_free, a, b) + 0.5);
+        dist_ppf(kind, inv_free, a, b) + 0.5, fast);
     // first s with tv >= 1: max_sym + 1 means all-zero trunc -> clamp
     int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
     // last s with tv <= free-1  ==  (first s with tv >= free) - 1; the
@@ -334,7 +360,7 @@ static inline void qm_core_edges(
     // the sentinel and the final max()
     int64_t first_sat = qm_first_reaching(
         kind, a, b, free_weight, freeu, min_sym, max_sym,
-        dist_ppf(kind, 1.0 - inv_free, a, b) + 0.5);
+        dist_ppf(kind, 1.0 - inv_free, a, b) + 0.5, fast);
     int64_t core_hi = first_sat - 1;
     if (core_hi < core_lo) core_hi = core_lo;
     *out_lo = core_lo;
@@ -350,12 +376,69 @@ void ctpu_exact_ncore(
     const double free_weight =
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
     const uint32_t freeu = (uint32_t)free_weight;
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
+    if (!fast) {
 #pragma omp parallel for schedule(static)
-    for (int64_t i = 0; i < n; i++) {
-        int64_t core_lo, core_hi;
-        qm_core_edges(kind, pa[i], pb[i], free_weight, freeu,
-                      min_sym, max_sym, &core_lo, &core_hi);
-        ncore_out[i] = (uint32_t)(core_hi - core_lo + 1);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t core_lo, core_hi;
+            qm_core_edges(kind, pa[i], pb[i], free_weight, freeu,
+                          min_sym, max_sym, &core_lo, &core_hi, false);
+            ncore_out[i] = (uint32_t)(core_hi - core_lo + 1);
+        }
+        return;
+    }
+    // Block-synchronous bisection: all lanes of a block step together so
+    // the surrogate evaluates 4-wide; only margin-ambiguous comparisons
+    // (~2*margin of evals) fall back to a scalar glibc call.  Converges to
+    // the same first-reaching boundaries as qm_core_edges for every input
+    // (predicates are exact either way), so ncore is bit-identical.
+    const int64_t BLK = 1024;
+#pragma omp parallel for schedule(static)
+    for (int64_t i0 = 0; i0 < n; i0 += BLK) {
+        const int64_t m = (i0 + BLK < n) ? BLK : (n - i0);
+        int64_t lo[BLK], hi[BLK];
+        double xs[BLK], A[BLK];
+        int64_t first1[BLK];
+        for (int pass = 0; pass < 2; pass++) {
+            const uint32_t th = pass == 0 ? 1u : freeu;
+            for (int64_t k = 0; k < m; k++) {
+                lo[k] = min_sym;           // virtual false sentinel
+                hi[k] = (int64_t)max_sym + 1;  // virtual true sentinel
+            }
+            for (;;) {
+                bool any = false;
+                for (int64_t k = 0; k < m; k++) {
+                    int64_t mid = lo[k] + ((hi[k] - lo[k]) >> 1);
+                    xs[k] = (double)mid - 0.5;
+                    if (hi[k] - lo[k] > 1) any = true;
+                }
+                if (!any) break;
+                ctpu_surrogate_eval_batch(kind, pa + i0, pb + i0,
+                                          free_weight, xs, m, A);
+                for (int64_t k = 0; k < m; k++) {
+                    if (hi[k] - lo[k] <= 1) continue;
+                    int64_t mid = lo[k] + ((hi[k] - lo[k]) >> 1);
+                    bool ge;
+                    if (A[k] > (double)th + QM_MARGIN) ge = true;
+                    else if (A[k] < (double)th - QM_MARGIN) ge = false;
+                    else ge = qm_tv(kind, pa[i0 + k], pb[i0 + k],
+                                    free_weight, mid) >= th;
+                    if (ge) hi[k] = mid; else lo[k] = mid;
+                }
+            }
+            if (pass == 0) {
+                for (int64_t k = 0; k < m; k++)
+                    first1[k] = hi[k];
+            } else {
+                for (int64_t k = 0; k < m; k++) {
+                    int64_t core_lo =
+                        first1[k] > max_sym ? max_sym : first1[k];
+                    int64_t core_hi = hi[k] - 1;  // first_sat - 1
+                    if (core_hi < core_lo) core_hi = core_lo;
+                    ncore_out[i0 + k] = (uint32_t)(core_hi - core_lo + 1);
+                }
+            }
+        }
     }
 }
 
@@ -411,6 +494,153 @@ int64_t ctpu_exact_boundaries(
     return bad;
 }
 
+// ---------------------------------------------------------------------------
+// Fast surrogate evaluation of A ~ free * CDF with an exactness margin.
+//
+// The exact-table fill is bound by glibc erf/exp/atan calls (~100 ns each on
+// this host; ~ncore + search evals per symbol).  The fill only needs
+// trunc(free * CDF) -- an INTEGER -- so a cheap approximation A with a
+// validated error bound E works whenever A is at least margin-far from an
+// integer: floor(A - margin) == floor(A + margin) pins the exact trunc
+// value without ever calling libm.  Entries within the margin (~2*margin
+// fraction, margin = 2^-9) are re-evaluated with the exact glibc path, so
+// THE OUTPUT IS BIT-IDENTICAL to the pure path for every input.
+//
+// Surrogate accuracy (validated by tests/test_exact_family.py's surrogate
+// bound test over random parameter sweeps): erf <= ~4e-15 abs, erfc branch
+// <= ~4e-12 abs, atan <= ~3e-14 abs, exp <= ~1e-14 rel; free <= 2^24 puts
+// |A - Y| <= ~6e-5, a >8000x safety factor under the 2^-9 margin.
+// Coefficients are Chebyshev fits (benchmarks/fit_surrogates note in git
+// history); branch-free form so g++ -O3 auto-vectorizes the window loops.
+// ---------------------------------------------------------------------------
+
+static inline bool qm_fast_enabled() {
+    static int v = -1;
+    if (v < 0) {
+        const char* e = getenv("CTPU_EXACT_FAST");
+        v = (e && e[0] == '0') ? 0 : 1;
+    }
+    return v == 1;
+}
+
+// Exact trunc value from the surrogate when unambiguous, glibc otherwise.
+static inline uint32_t qm_tv_margined(
+    int32_t kind, double a, double b, double free_weight, int64_t s,
+    double A)
+{
+    double lo = A - QM_MARGIN, hi = A + QM_MARGIN;
+    double flo = std::floor(lo < 0.0 ? 0.0 : lo);
+    double fhi = std::floor(hi < 0.0 ? 0.0 : hi);
+    if (flo == fhi) return (uint32_t)flo;
+    return qm_tv(kind, a, b, free_weight, s);
+}
+
+static inline bool qm_ge(int32_t kind, double a, double b,
+                         double free_weight, uint32_t threshold, int64_t s,
+                         bool fast)
+{
+    if (fast) {
+        double A;
+        ctpu_surrogate_window(kind, a, b, free_weight, s, 1, &A);
+        if (A > (double)threshold + QM_MARGIN) return true;
+        if (A < (double)threshold - QM_MARGIN) return false;
+    }
+    return qm_tv(kind, a, b, free_weight, s) >= threshold;
+}
+
+// Windowed fast row fill: surrogate evaluation in 32-entry chunks (lazily,
+// stopping at the first saturated boundary), ambiguous entries patched
+// with glibc, and (core_lo, ncore, b-1 values) derived with the same
+// clamp rules as the pure walk.  Returns ncore, or -1 when the window is
+// inconclusive (caller falls back to the pure per-symbol path), or -2 on
+// cmax overflow.
+static inline int64_t qm_fill_fast_row(
+    int32_t kind, double a, double b, double free_weight, uint32_t freeu,
+    int32_t min_sym, int32_t max_sym, int32_t cmax,
+    uint32_t* bm1, int64_t* core_lo_out)
+{
+    const int64_t W_MAX = 272;
+    const int64_t CHUNK = 32;
+    int64_t W = (int64_t)cmax + 16;
+    if (W > W_MAX) W = W_MAX;
+    double g = dist_ppf(kind, 1.0 / free_weight, a, b);
+    int64_t ws;
+    if (g != g || g <= (double)min_sym) {
+        ws = min_sym + 1;
+    } else {
+        double gf = std::floor(g) - 3.0;
+        ws = gf <= (double)(min_sym + 1) ? min_sym + 1
+            : (gf >= (double)max_sym ? max_sym : (int64_t)gf);
+    }
+    int64_t n_eval = max_sym - ws + 1;
+    if (n_eval > W) n_eval = W;
+    double A[W_MAX];
+    int64_t evaluated = 0;
+
+    int64_t j0 = -1;        // first index with tv >= 1
+    int64_t ncore = 0;
+    int64_t core_lo = 0;
+    uint32_t last_tv = 0;
+    for (int64_t j = 0; j < n_eval; j++) {
+        if (j >= evaluated) {
+            int64_t m = n_eval - evaluated;
+            if (m > CHUNK) m = CHUNK;
+            ctpu_surrogate_window(kind, a, b, free_weight, ws + evaluated,
+                                  m, A + evaluated);
+            evaluated += m;
+        }
+        uint32_t tv = qm_tv_margined(kind, a, b, free_weight, ws + j, A[j]);
+        last_tv = tv;
+        if (j0 < 0) {
+            if (tv < 1u) continue;
+            if (j == 0 && ws != min_sym + 1) return -1;  // left edge unproven
+            j0 = j;
+            core_lo = ws + j0;
+            *core_lo_out = core_lo;
+            bm1[0] = tv + (uint32_t)(core_lo - min_sym) - 1u;
+            ncore = 1;
+            continue;
+        }
+        if (tv > freeu - 1) return ncore;  // saturated: right-linear regime
+        if (ncore >= cmax) return -2;
+        bm1[ncore++] = tv + (uint32_t)(ws + j - min_sym) - 1u;
+    }
+    // ran off the window: conclusive only if it covers the support end
+    if (ws + n_eval - 1 < max_sym) return -1;
+    if (j0 < 0) {
+        // no positive trunc anywhere: core_lo clamps to max_sym
+        *core_lo_out = max_sym;
+        bm1[0] = last_tv + (uint32_t)(max_sym - min_sym) - 1u;
+        return 1;
+    }
+    return ncore;
+}
+
+// Pure (all-glibc) row fill, shared by the fast path's fallback and the
+// no-AVX/no-fast builds; identical to the original walk.
+static inline int64_t qm_fill_pure_row(
+    int32_t kind, double a, double b, double free_weight, uint32_t freeu,
+    int32_t min_sym, int32_t max_sym, int32_t cmax,
+    uint32_t* bm1, int64_t* core_lo_out)
+{
+    int64_t first_pos = qm_first_reaching(
+        kind, a, b, free_weight, 1u, min_sym, max_sym,
+        dist_ppf(kind, 1.0 / free_weight, a, b) + 0.5,
+        qm_fast_enabled() && kind != DIST_BINOMIAL);
+    int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
+    *core_lo_out = core_lo;
+    bm1[0] = qm_tv(kind, a, b, free_weight, core_lo)
+           + (uint32_t)(core_lo - min_sym) - 1u;
+    int64_t ncore = 1;
+    for (int64_t s = core_lo + 1; s <= max_sym; s++) {
+        uint32_t tv = qm_tv(kind, a, b, free_weight, s);
+        if (tv > freeu - 1) break;
+        if (ncore >= cmax) return -2;
+        bm1[ncore++] = tv + (uint32_t)(s - min_sym) - 1u;
+    }
+    return ncore;
+}
+
 // Fused wide-table build: boundary fill + the device kernels' packed (b-1)
 // 24-bit-quad layout, written directly as [n, 1 + 3*G] u32 planes
 // (G = ceil(cmax/4); plane 0 is aux).  Skips the intermediate [n, cmax]
@@ -432,6 +662,7 @@ int64_t ctpu_exact_tables_packed(
     const int64_t G = (cmax + 3) / 4;
     const int64_t CP1 = 1 + 3 * G;
     if (precision <= 16 || cmax > 255) return -1;  // wide tables only
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
     int64_t bad = 0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
@@ -440,22 +671,16 @@ int64_t ctpu_exact_tables_packed(
         bad_seen = bad;
         if (bad_seen) continue;
         const double a = pa[i], b = pb[i];
-        int64_t first_pos = qm_first_reaching(
-            kind, a, b, free_weight, 1u, min_sym, max_sym,
-            dist_ppf(kind, 1.0 / free_weight, a, b) + 0.5);
-        int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
         uint32_t bm1[256];
-        bm1[0] = qm_tv(kind, a, b, free_weight, core_lo)
-               + (uint32_t)(core_lo - min_sym) - 1u;
-        int64_t ncore = 1;
-        bool overflow = false;
-        for (int64_t s = core_lo + 1; s <= max_sym; s++) {
-            uint32_t tv = qm_tv(kind, a, b, free_weight, s);
-            if (tv > freeu - 1) break;  // saturated: right-linear regime
-            if (ncore >= cmax) { overflow = true; break; }
-            bm1[ncore++] = tv + (uint32_t)(s - min_sym) - 1u;
-        }
-        if (overflow) {
+        int64_t core_lo;
+        int64_t ncore = fast
+            ? qm_fill_fast_row(kind, a, b, free_weight, freeu, min_sym,
+                               max_sym, cmax, bm1, &core_lo)
+            : -1;
+        if (ncore == -1)
+            ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu, min_sym,
+                                     max_sym, cmax, bm1, &core_lo);
+        if (ncore == -2) {
 #pragma omp critical
             if (!bad || bad > 1 + i) bad = 1 + i;  // lowest index wins
             continue;

@@ -91,6 +91,23 @@ def _ppf_guess(family: str, p: float, mean, scale):
     raise ValueError(family)
 
 
+def _dedup_probe(mean, scale):
+    """(unique_pairs, inverse) when a full exact-pair dedup is likely to
+    pay, else None.  A 4096-point sample gates the O(n log n) np.unique --
+    fully-continuous parameter batches (sampled unique fraction > 1/2)
+    skip it entirely."""
+    n = len(mean)
+    if n >= 4096:
+        step = max(n // 4096, 1)
+        zs = mean[::step] + 1j * scale[::step]
+        if len(np.unique(zs)) > len(zs) // 2:
+            return None
+    z = mean + 1j * scale
+    uz, inv = np.unique(z, return_inverse=True)
+    return (uz, inv) if len(uz) <= n // 2 else None
+
+
+
 def exact_ncore(
     means, scales, family: str, min_sym: int, max_sym: int, precision: int,
 ) -> np.ndarray:
@@ -105,9 +122,9 @@ def exact_ncore(
     if native.LIB is not None and family in EXACT_FAMILIES:
         # core size depends only on the (mean, scale) pair: probe unique
         # pairs once (see packed_tables_device's memo note)
-        z = mean + 1j * scale
-        uz, inv = np.unique(z, return_inverse=True)
-        if len(uz) <= n // 2:
+        dd = _dedup_probe(mean, scale)
+        if dd is not None:
+            uz, inv = dd
             out_u = np.empty(len(uz), dtype=np.uint32)
             native.LIB.ctpu_exact_ncore(
                 native.DIST_KIND[family], min_sym, max_sym, precision,
@@ -423,9 +440,9 @@ def packed_tables_device(
 
     # dedup on exact f64 equality (complex pairing is injective on floats;
     # -0.0 folding to 0.0 is value-identical for every family CDF)
-    z = mean + 1j * scale
-    uz, inv = np.unique(z, return_inverse=True)
-    if len(uz) <= n // 2:
+    dd = _dedup_probe(mean, scale)
+    if dd is not None:
+        uz, inv = dd
         tabs_u, cmax_r = _packed_table_rows(
             np.ascontiguousarray(uz.real), np.ascontiguousarray(uz.imag),
             family, min_sym, max_sym, precision, cmax,

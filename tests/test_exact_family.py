@@ -582,3 +582,96 @@ def test_grouped_facade():
         grouped=True,
     )
     np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+# ---------------------------------------------------------------------------
+# Surrogate fast path (native/surrogate.cpp): the vectorized approximation
+# of free * CDF only has to stay within the trunc-ambiguity margin of the
+# exact glibc value -- codec.cpp re-derives every margin-close decision
+# exactly -- so these tests pin (a) the error bound with a wide safety
+# factor and (b) bit-identical outputs of the fast and pure paths.
+# ---------------------------------------------------------------------------
+
+
+def test_surrogate_error_bound():
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("native library unavailable")
+    import math
+
+    rng = np.random.RandomState(7)
+    P = 24
+    min_s, max_s = -100, 100
+    free = float((1 << P) - 1 - (max_s - min_s))
+    margin = 2.0 ** -9
+
+    def exact_cdf(kind, x, a, b):
+        if kind == 0:
+            return (1.0 + math.erf((x - a) / (b * math.sqrt(2.0)))) / 2.0
+        if kind == 1:
+            if x < a:
+                return 0.5 * math.exp((x - a) / b)
+            return 1.0 - 0.5 * math.exp((a - x) / b)
+        return 0.5 + math.atan((x - a) / b) / math.pi
+
+    worst = 0.0
+    for kind in (0, 1, 2):
+        for trial in range(60):
+            a = float(rng.randn() * 10.0 ** rng.randint(-2, 4))
+            b = float(np.exp(rng.uniform(-6, 6)))
+            s0 = int(rng.randint(min_s + 1, max_s))
+            m = min(64, max_s - s0 + 1)
+            A = np.empty(m, np.float64)
+            native.LIB.ctpu_surrogate_window(kind, a, b, free, s0, m, A)
+            for j in range(m):
+                y = free * exact_cdf(kind, (s0 + j) - 0.5, a, b)
+                worst = max(worst, abs(A[j] - y))
+    # >32x safety under the ambiguity margin
+    assert worst < margin / 32.0, worst
+
+
+def test_fast_path_bit_identical_to_pure():
+    """ctpu_exact_ncore + ctpu_exact_tables_packed under CTPU_EXACT_FAST=1
+    vs =0, elementwise, in subprocesses (the flag is latched per process)."""
+    import subprocess
+    import sys
+
+    code = r"""
+import os, sys
+import numpy as np
+from constriction_tpu import native
+if native.LIB is None:
+    print("SKIP"); raise SystemExit(0)
+lib = native.LIB
+rng = np.random.RandomState(int(os.environ["CTPU_AB_SEED"]))
+n = 1 << 12
+means = np.ascontiguousarray(rng.randn(n) * 50.0)
+scales = np.ascontiguousarray(np.exp(rng.normal(0.5, 1.5, size=n)))
+chks = []
+for kind in (0, 1, 2):
+    nc = np.empty(n, np.uint32)
+    lib.ctpu_exact_ncore(kind, -100, 100, 24, means, scales, n, nc)
+    cmax = min(int(nc.max()), 255)
+    G = -(-cmax // 4)
+    tabs = np.empty((n, 1 + 3 * G), np.uint32)
+    bad = lib.ctpu_exact_tables_packed(
+        kind, -100, 100, 24, means, scales, n, cmax, tabs.reshape(-1))
+    chks.append((int(nc.sum()), int(bad),
+                 int(tabs.sum(dtype=np.uint64)) if not bad else 0))
+print(chks)
+"""
+    outs = {}
+    for flag in ("1", "0"):
+        env = dict(os.environ)
+        env["CTPU_EXACT_FAST"] = flag
+        env["CTPU_AB_SEED"] = "1234"
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[flag] = r.stdout.strip()
+    if "SKIP" in outs["1"]:
+        pytest.skip("native library unavailable")
+    assert outs["1"] == outs["0"], (outs["1"], outs["0"])
