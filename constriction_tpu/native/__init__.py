@@ -121,6 +121,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
         f64p, f64p, c.c_int64, c.c_int32, u32p,
     ]
+    lib.ctpu_exact_tables_packed_t.restype = c.c_int64
+    lib.ctpu_exact_tables_packed_t.argtypes = [
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        f64p, f64p, c.c_int64, c.c_int64, c.c_int32, u32p,
+    ]
     lib.ctpu_transpose_u32.restype = None
     lib.ctpu_transpose_u32.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int64,

@@ -698,6 +698,82 @@ int64_t ctpu_exact_tables_packed(
     return bad;
 }
 
+// Fill + transpose fused: rows are built 64 symbols at a time in an
+// L1-resident block buffer and written straight into the device layout
+// dst[t, plane, lane] (lane = the symbol's index within its grid step of
+// `rows` lanes) -- the [n, CP1] intermediate of ctpu_exact_tables_packed
+// never exists, which on a single-core host saves ~2x the fill cost in
+// allocation faults and a full read+write pass.  Same bad/overflow
+// contract as ctpu_exact_tables_packed.
+int64_t ctpu_exact_tables_packed_t(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const double* pa, const double* pb, int64_t nsteps, int64_t rows,
+    int32_t cmax, uint32_t* dst)
+{
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+    const uint32_t freeu = (uint32_t)free_weight;
+    const uint32_t padm1 = (1u << precision) - 1;
+    const int64_t G = (cmax + 3) / 4;
+    const int64_t CP1 = 1 + 3 * G;
+    if (precision <= 16 || cmax > 255) return -1;
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
+    const int64_t B = 64;
+    int64_t bad = 0;
+#pragma omp parallel for schedule(static) collapse(1)
+    for (int64_t t = 0; t < nsteps; t++) {
+        int64_t bad_seen;
+#pragma omp atomic read
+        bad_seen = bad;
+        if (bad_seen) continue;
+        uint32_t blk[64 * 256 + 64];  // B rows x CP1 (CP1 <= 1+3*64 = 193)
+        uint32_t* step_dst = dst + t * CP1 * rows;
+        const double* sa = pa + t * rows;
+        const double* sb = pb + t * rows;
+        for (int64_t r0 = 0; r0 < rows; r0 += B) {
+            const int64_t r1 = r0 + B < rows ? r0 + B : rows;
+            for (int64_t r = r0; r < r1; r++) {
+                const double a = sa[r], b = sb[r];
+                uint32_t bm1[256];
+                int64_t core_lo;
+                int64_t ncore = fast
+                    ? qm_fill_fast_row(kind, a, b, free_weight, freeu,
+                                       min_sym, max_sym, cmax, bm1, &core_lo)
+                    : -1;
+                if (ncore == -1)
+                    ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu,
+                                             min_sym, max_sym, cmax, bm1,
+                                             &core_lo);
+                if (ncore == -2) {
+#pragma omp critical
+                    {
+                        int64_t i = t * rows + r;
+                        if (!bad || bad > 1 + i) bad = 1 + i;
+                    }
+                    ncore = 1;  // keep the block well-defined; result unused
+                }
+                for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
+                uint32_t* row = blk + (r - r0) * CP1;
+                row[0] = (uint32_t)(core_lo - min_sym)
+                       | ((uint32_t)ncore << 24);
+                for (int64_t g = 0; g < G; g++) {
+                    const uint32_t* q = bm1 + 4 * g;
+                    row[1 + 3 * g]     = q[0] | (q[1] << 24);
+                    row[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
+                    row[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
+                }
+            }
+            // scatter the block transposed: plane-contiguous runs of B
+            for (int64_t c = 0; c < CP1; c++) {
+                uint32_t* out = step_dst + c * rows + r0;
+                for (int64_t r = r0; r < r1; r++)
+                    out[r - r0] = blk[(r - r0) * CP1 + c];
+            }
+        }
+    }
+    return bad;
+}
+
 // Blocked u32 transpose: src[t, r, c] -> dst[t, c, r] (the device table
 // layout moves the plane axis in front of the lane axes; numpy's strided
 // transpose + ascontiguousarray walks one element at a time).

@@ -438,9 +438,29 @@ def packed_tables_device(
     assert len(mean) == n
     assert 16 < precision <= 24
 
-    # dedup on exact f64 equality (complex pairing is injective on floats;
-    # -0.0 folding to 0.0 is value-identical for every family CDF)
+    from .. import native
+
+    # continuous batches with the native lib ride the fully-fused C++ path:
+    # boundary fill + quad packing + transpose in one pass, no [n, CP1]
+    # intermediate (its allocation faults + extra read/write pass cost as
+    # much as the CDF math on a single-core host)
     dd = _dedup_probe(mean, scale)
+    if (dd is None and native.LIB is not None and family in EXACT_FAMILIES
+            and cmax <= 255):
+        G = -(-cmax // 4)
+        CP1 = 1 + 3 * G
+        tabs4 = np.empty((nsteps, CP1, R * 128), dtype=np.uint32)
+        bad = native.LIB.ctpu_exact_tables_packed_t(
+            native.DIST_KIND[family], min_sym, max_sym, precision,
+            mean, scale, nsteps, R * 128, cmax, tabs4.reshape(-1),
+        )
+        if bad:
+            raise ValueError(
+                f"core of symbol {int(bad) - 1} needs more than cmax={cmax} "
+                "boundaries; increase cmax (flat distributions make the "
+                "whole support non-linear)"
+            )
+        return tabs4.reshape(nsteps, CP1, R, 128), 4 * G
     if dd is not None:
         uz, inv = dd
         tabs_u, cmax_r = _packed_table_rows(
@@ -453,8 +473,6 @@ def packed_tables_device(
             mean, scale, family, min_sym, max_sym, precision, cmax
         )
     CP1 = tabs.shape[1]
-
-    from .. import native
 
     if native.LIB is not None:
         tabs4 = np.empty((nsteps, CP1, R * 128), dtype=np.uint32)

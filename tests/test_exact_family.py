@@ -675,3 +675,43 @@ print(chks)
     if "SKIP" in outs["1"]:
         pytest.skip("native library unavailable")
     assert outs["1"] == outs["0"], (outs["1"], outs["0"])
+
+
+def test_fused_transposed_fill_matches_two_pass():
+    """ctpu_exact_tables_packed_t (fill + pack + transpose in one C++ pass)
+    must equal ctpu_exact_tables_packed followed by a transpose."""
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(9)
+    for fam, kind in (("gaussian", 0), ("laplace", 1), ("cauchy", 2)):
+        for nsteps, R in ((3, 2), (2, 8)):
+            n = nsteps * R * 128
+            means = np.ascontiguousarray(rng.randn(n) * 40)
+            scales = np.ascontiguousarray(np.exp(rng.normal(0.3, 1.0, n)))
+            nc = ef.exact_ncore(means, scales, fam, -100, 100, 24)
+            cmax = int(nc.max())
+            G = -(-cmax // 4)
+            CP1 = 1 + 3 * G
+            t4a = np.empty((nsteps, CP1, R * 128), np.uint32)
+            bad = native.LIB.ctpu_exact_tables_packed_t(
+                kind, -100, 100, 24, means, scales, nsteps, R * 128, cmax,
+                t4a.reshape(-1))
+            assert bad == 0
+            tabs = np.empty((n, CP1), np.uint32)
+            bad = native.LIB.ctpu_exact_tables_packed(
+                kind, -100, 100, 24, means, scales, n, cmax,
+                tabs.reshape(-1))
+            assert bad == 0
+            t4b = np.ascontiguousarray(
+                tabs.reshape(nsteps, R * 128, CP1).transpose(0, 2, 1))
+            np.testing.assert_array_equal(t4a, t4b)
+    # overflow reports the lowest offending symbol (1-based), like the
+    # row-form builder
+    means = np.zeros(256)
+    scales = np.full(256, 50.0)
+    t4 = np.empty((1, 1 + 3 * 2, 256), np.uint32)
+    bad = native.LIB.ctpu_exact_tables_packed_t(
+        0, -100, 100, 24, means, scales, 1, 256, 8, t4.reshape(-1))
+    assert bad == 1
