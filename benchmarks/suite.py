@@ -98,15 +98,19 @@ def main() -> None:
     # "overhead" counts the fixed per-lane state header (L*32 bits, of which
     # ~L*16 are recoverable payload) -- it amortizes with message length.
     # "marginal" is the true asymptotic per-symbol overhead, measured via
-    # the exact rANS conservation law: at every point of an encode,
-    #   W * words_emitted + sum(log2 state) - sum(log2 seed) - info_so_far
-    # equals the accumulated renorm slack (>= 0), because encode_symbol
-    # multiplies the state by exactly 2^P/prob up to the integer floor.
-    # Differencing two message lengths therefore gives
-    #   marginal = (W*dwords + dlog2(states)) / dinfo - 1
-    # with NO noise term.  (Naively differencing stream lengths alone adds
-    # a per-lane state-content drift of up to +-S-W bits/lane, which at low
-    # entropies dwarfs the true slack by orders of magnitude.)
+    # rANS near-conservation: each encode step multiplies the state by
+    # 2^P/prob up to integer rounding (state' = floor(state/prob)*2^P +
+    # cum + rem), so
+    #   W * words_emitted + sum(log2 state) - sum(log2 seed) - info
+    # tracks the accumulated coding overhead up to a per-step rounding
+    # residual of O(1/state) bits (which can make the total dip a few
+    # bits NEGATIVE on a long message -- a displayed ~-1e-4 % is zero).
+    # Differencing two message lengths,
+    #   marginal = (W*dwords + dlog2(states)) / dinfo - 1,
+    # is therefore accurate to ~1e-4 %.  (Naively differencing stream
+    # lengths alone adds a per-lane state-content drift of up to +-(S-W)
+    # bits/lane, which at low entropies dwarfs the true overhead by four
+    # orders of magnitude.)
 
     def _marginal(words_f, st_f, words_h, st_h, dinfo, W):
         c_f = np.sum(np.log2(np.asarray(st_f).astype(np.float64)))

@@ -192,6 +192,15 @@ static inline double dist_cdf(int32_t kind, double x, double a, double b) {
     }
 }
 
+// forward declarations (defined further down / in surrogate.cpp)
+static inline bool qm_fast_enabled();
+static inline uint32_t qm_tv_margined(
+    int32_t kind, double a, double b, double free_weight, int64_t s,
+    double A);
+void ctpu_surrogate_eval_batch(
+    int32_t kind, const double* a, const double* b, double free_weight,
+    const double* x, int64_t n, double* A);
+
 // Per-symbol (cum, prob) for a two-parameter quantized family.
 // Returns 0 on success, -1 if a symbol is out of support.
 int32_t ctpu_quantized_ecp(
@@ -203,6 +212,47 @@ int32_t ctpu_quantized_ecp(
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
     const uint32_t total = (uint32_t)(1ull << precision);
     int32_t err = 0;
+    if (qm_fast_enabled() && kind != DIST_BINOMIAL) {
+        // Batched surrogate with exact patching: two margined trunc values
+        // per symbol (s -+ 1/2), glibc only for the ~2*margin ambiguous
+        // fraction.  Identical output to the scalar path below.
+        const int64_t BLK = 1024;
+#pragma omp parallel for schedule(static)
+        for (int64_t i0 = 0; i0 < n; i0 += BLK) {
+            const int64_t m = (i0 + BLK < n) ? BLK : (n - i0);
+            double xl[BLK], xr[BLK], Al[BLK], Ar[BLK];
+            for (int64_t k = 0; k < m; k++) {
+                double sd = (double)symbols[i0 + k];
+                xl[k] = sd - 0.5;
+                xr[k] = sd + 0.5;
+            }
+            ctpu_surrogate_eval_batch(kind, pa + i0, pb + i0, free_weight,
+                                      xl, m, Al);
+            ctpu_surrogate_eval_batch(kind, pa + i0, pb + i0, free_weight,
+                                      xr, m, Ar);
+            for (int64_t k = 0; k < m; k++) {
+                const int64_t i = i0 + k;
+                int32_t s = symbols[i];
+                if (s < min_sym || s > max_sym) {
+#pragma omp atomic write
+                    err = -1;
+                    continue;
+                }
+                uint32_t slack = (uint32_t)(s - min_sym);
+                uint32_t left = (s == min_sym)
+                    ? 0u
+                    : qm_tv_margined(kind, pa[i], pb[i], free_weight,
+                                     s, Al[k]) + slack;
+                uint32_t right = (s == max_sym)
+                    ? total
+                    : qm_tv_margined(kind, pa[i], pb[i], free_weight,
+                                     s + 1, Ar[k]) + slack + 1;
+                cums[i] = left;
+                probs[i] = right - left;
+            }
+        }
+        return err;
+    }
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
         int32_t s = symbols[i];

@@ -648,6 +648,9 @@ rng = np.random.RandomState(int(os.environ["CTPU_AB_SEED"]))
 n = 1 << 12
 means = np.ascontiguousarray(rng.randn(n) * 50.0)
 scales = np.ascontiguousarray(np.exp(rng.normal(0.5, 1.5, size=n)))
+syms = np.clip(np.round(means + scales * rng.randn(n)), -100, 100
+               ).astype(np.int32)
+syms = np.ascontiguousarray(syms)
 chks = []
 for kind in (0, 1, 2):
     nc = np.empty(n, np.uint32)
@@ -657,8 +660,15 @@ for kind in (0, 1, 2):
     tabs = np.empty((n, 1 + 3 * G), np.uint32)
     bad = lib.ctpu_exact_tables_packed(
         kind, -100, 100, 24, means, scales, n, cmax, tabs.reshape(-1))
+    cums = np.empty(n, np.uint32)
+    probs = np.empty(n, np.uint32)
+    err = lib.ctpu_quantized_ecp(
+        kind, -100, 100, 24, syms, means, scales, n, cums, probs)
+    assert err == 0
     chks.append((int(nc.sum()), int(bad),
-                 int(tabs.sum(dtype=np.uint64)) if not bad else 0))
+                 int(tabs.sum(dtype=np.uint64)) if not bad else 0,
+                 int(cums.sum(dtype=np.uint64)),
+                 int(probs.sum(dtype=np.uint64))))
 print(chks)
 """
     outs = {}
