@@ -10,8 +10,12 @@
 #include <cstdint>
 #include <cstdio>
 
-// Reuse the exported C implementations directly.
+// Reuse the exported C implementations directly.  surrogate.cpp provides
+// the fast-path evaluators codec.cpp references; in this standalone build
+// they get strict FP flags, which only makes the surrogate slower, never
+// wrong (its outputs are margin-checked).
 #include "codec.cpp"
+#include "surrogate.cpp"
 
 int main() {
     // A 5-symbol categorical model over {0,1,2} at precision 24
