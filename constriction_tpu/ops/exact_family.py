@@ -1065,6 +1065,39 @@ def _segment_dp(stepw: np.ndarray, max_segments: int):
     return segs[::-1]
 
 
+# Per-family tail constants for the core-interval OVERESTIMATE below,
+# asymmetric because the two core edges have different mechanisms:
+# - LEFT edge: first s with trunc(free*CDF) >= 1, i.e. CDF >= 1/free;
+#   for free <= 2^24 that is standardized t >= Phi^-1(2^-24) = -5.37
+#   (gaussian) resp. t >= ln(2*2^-24) = -16.64 (laplace);
+# - RIGHT edge: saturation needs trunc >= free, i.e. the f64 CDF must
+#   round to EXACTLY 1.0 -- erf(u) == 1.0 first at u ~ 5.92, i.e.
+#   t = u*sqrt(2) ~ 8.38 (gaussian); 1 - 0.5 e^-t == 1.0 needs
+#   e^-t <= 2^-53, t >= 36.74 (laplace).  Cauchy's atan reaches fl(pi/2)
+#   only at |v| ~ 1/ulp, i.e. effectively the whole support.
+# Generous fixed literals so the estimate needs NO transcendentals.
+_EST_C = {
+    "gaussian": (5.5, 8.6),
+    "laplace": (16.8, 37.2),
+    "cauchy": (np.inf, np.inf),
+}
+
+
+def _ncore_estimate(means, scales, family, min_sym, max_sym):
+    """Deterministic per-symbol upper bound on the core size, computed with
+    IEEE +,-,*,ceil/floor/clip ONLY (every platform agrees bit-for-bit --
+    unlike libm calls, whose last-ulp differences could flip a sort key
+    and silently desynchronize encoder and decoder).  Overestimates by a
+    few entries; used for the grouping ORDER and for safe table widths
+    (an upper bound can only cost width, never correctness)."""
+    m = np.asarray(means, np.float64)
+    s = np.asarray(scales, np.float64)
+    CL, CR = _EST_C[family]
+    lo = np.clip(np.ceil(m - CL * s) - 1.0, min_sym + 1, max_sym)
+    hi = np.clip(np.floor(m + CR * s) + 1.0, lo, max_sym)
+    return (hi - lo).astype(np.int64) + 1
+
+
 def group_plan(
     means, scales, family: str, min_sym: int, max_sym: int, precision: int,
     L: int, num_symbols: int, max_segments: int = 6,
@@ -1072,19 +1105,27 @@ def group_plan(
     """Deterministic core-size grouping shared by encoder and decoder.
 
     Returns ``(perm, segments)``: ``perm`` (i64[n]) is the stable symbol
-    order (sorted by per-symbol core size); ``segments`` is
+    order (sorted by the per-symbol core-size bound); ``segments`` is
     ``[(t0, nsteps, cmax)]`` over the permuted message's grid steps, with
     each cmax a multiple of 4 (the wide-table packing quantum).  Both sides
-    compute this from (means, scales) alone -- the native and numpy
-    ``exact_ncore`` twins are bit-identical, so the orders agree."""
+    compute this from (means, scales) alone via :func:`_ncore_estimate`,
+    whose pure-IEEE arithmetic is bit-identical on every platform -- and
+    whose upper-bound property makes the segment widths safe without ever
+    probing exact core sizes (the old exact probe cost ~half the total
+    table-prep time)."""
     n = num_symbols
     T = -(-n // L) if n else 0
-    ncore = exact_ncore(
+    ncore = _ncore_estimate(
         np.asarray(means, np.float64).reshape(-1)[:n],
         np.asarray(scales, np.float64).reshape(-1)[:n],
-        family, min_sym, max_sym, precision,
-    ).astype(np.int64)
-    perm = np.argsort(ncore, kind="stable")
+        family, min_sym, max_sym,
+    )
+    # u16 key => numpy's stable sort runs its O(n) radix path (keys above
+    # the wide-table cap all fail the width check below, so clipping them
+    # into one bucket cannot change any surviving plan)
+    perm = np.argsort(
+        np.minimum(ncore, 0xFFFF).astype(np.uint16), kind="stable"
+    )
     padded = np.ones(T * L, np.int64)  # pad-model cores are tiny
     padded[:n] = ncore[perm]
     stepmax = padded.reshape(T, L).max(axis=1)
