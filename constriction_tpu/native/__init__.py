@@ -130,6 +130,11 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ctpu_transpose_u32.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int64,
     ]
+    lib.ctpu_exact_tv_at.restype = None
+    lib.ctpu_exact_tv_at.argtypes = [
+        c.c_int32, c.c_int32, c.c_int32, c.c_int32,
+        f64p, f64p, i64p, i32p, c.c_int64, u32p,
+    ]
     lib.ctpu_surrogate_window.restype = None
     lib.ctpu_surrogate_window.argtypes = [
         c.c_int32, c.c_double, c.c_double, c.c_double,

@@ -824,6 +824,24 @@ int64_t ctpu_exact_tables_packed_t(
     return bad;
 }
 
+// Exact trunc values at explicit (symbol, s) pairs -- the patch oracle for
+// the on-device table builder (ops/exact_tables_jax.py): the device flags
+// the margin-ambiguous window entries, the host resolves exactly them.
+void ctpu_exact_tv_at(
+    int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
+    const double* pa, const double* pb,
+    const int64_t* sym_idx, const int32_t* svals, int64_t k, uint32_t* out)
+{
+    (void)min_sym;
+    const double free_weight =
+        (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < k; i++) {
+        int64_t j = sym_idx[i];
+        out[i] = qm_tv(kind, pa[j], pb[j], free_weight, (int64_t)svals[i]);
+    }
+}
+
 // Blocked u32 transpose: src[t, r, c] -> dst[t, c, r] (the device table
 // layout moves the plane axis in front of the lane axes; numpy's strided
 // transpose + ascontiguousarray walks one element at a time).

@@ -487,6 +487,137 @@ def packed_tables_device(
     return tabs4, cmax_r
 
 
+_DEVICE_BUILDER_OK: dict = {}
+
+
+def _device_builder_canary() -> bool:
+    """One-time per-process/backend validation of the on-device table
+    builder: build tables for a random parameter batch on the device and
+    compare bit-for-bit against the host builder.  Numerical behavior of
+    accelerator backends is outside this library's control (XLA's f64
+    emulation, future compiler changes), so the device path turns itself
+    off wherever the check fails rather than trusting an error analysis
+    alone."""
+    backend = jax.default_backend()
+    ok = _DEVICE_BUILDER_OK.get(backend)
+    if ok is not None:
+        return ok
+    rng = np.random.RandomState(0xC0FFEE)
+    n = 4 * 128
+    means = rng.randn(n) * 40.0
+    scales = np.exp(rng.normal(0.3, 1.0, n))
+    ok = True
+    for fam in ("gaussian", "laplace", "cauchy"):
+        nc = exact_ncore(means, scales, fam, -100, 100, 24)
+        cmax = min(max(int(nc.max()), 1), 255)
+        host, ch = packed_tables_device(
+            means, scales, fam, -100, 100, 24, cmax, 2, 2)
+        dev = _packed_tables_on_device_impl(
+            means, scales, fam, -100, 100, 24, cmax, 2, 2)
+        if dev is None or ch != dev[1] or not np.array_equal(
+                host, np.asarray(dev[0])):
+            ok = False
+            break
+    _DEVICE_BUILDER_OK[backend] = ok
+    return ok
+
+
+def packed_tables_on_device(
+    means, scales, family: str, min_sym: int, max_sym: int, precision: int,
+    cmax: int, nsteps: int, R: int,
+):
+    """Wide decode tables in the device layout, BUILT ON THE ACCELERATOR
+    (ops/exact_tables_jax.py): f64 CDF evaluation with a trunc ambiguity
+    margin, exact glibc host patches for the rare margin-close entries,
+    structure derivation + quad packing on device.  Bit-identical to
+    :func:`packed_tables_device` (pinned by tests AND a one-time runtime
+    canary per backend); the returned ``tabs4`` is a DEVICE array that
+    feeds the decode kernels with no host round-trip of the (much larger)
+    table planes.  Returns None when unavailable (no native patch oracle,
+    canary failure, or pathological ambiguity) -- callers fall back to the
+    host builder."""
+    from .. import native
+
+    if native.LIB is None or family not in ("gaussian", "laplace",
+                                            "cauchy"):
+        return None
+    if max(abs(int(min_sym)), abs(int(max_sym))) > (1 << 40):
+        return None
+    if not _device_builder_canary():
+        return None
+    return _packed_tables_on_device_impl(
+        means, scales, family, min_sym, max_sym, precision, cmax, nsteps, R
+    )
+
+
+def _packed_tables_on_device_impl(
+    means, scales, family, min_sym, max_sym, precision, cmax, nsteps, R,
+):
+    from .. import native
+    from . import exact_tables_jax as etj
+
+    mean = np.ascontiguousarray(np.asarray(means, np.float64).reshape(-1))
+    scale = np.ascontiguousarray(np.asarray(scales, np.float64).reshape(-1))
+    n = nsteps * R * 128
+    assert len(mean) == n and 16 < precision <= 24 and cmax <= 255
+    G = -(-cmax // 4)
+
+    # window starts from the deterministic core lower bound (coarse is
+    # fine: inconclusive windows fall back to host rows)
+    CL = _EST_C[family][0]
+    if np.isinf(CL):
+        ws = np.full(n, min_sym + 1, np.int64)
+    else:
+        ws = np.clip(np.ceil(mean - CL * scale) - 3.0, min_sym + 1, max_sym
+                     ).astype(np.int64)
+    W = min(cmax + 16, max_sym - min_sym + 1 + 16)
+
+    ws32 = ws.astype(np.int32)
+    tv, ambig = etj.eval_window(
+        mean, scale, ws32, family=family, min_sym=int(min_sym),
+        max_sym=int(max_sym), precision=int(precision), W=int(W),
+    )
+    K = max(4096, (n * W) // 16)
+    idx, count = etj.ambig_indices(ambig, K=K)
+    idx_h = np.asarray(idx)
+    if int(count) > K:
+        return None  # pathological ambiguity level: host path
+    live = idx_h < n * W
+    sym_i = (idx_h[live] // W).astype(np.int64)
+    svals = (ws[sym_i] + (idx_h[live] % W)).astype(np.int32)
+    patch_vals = np.zeros(len(idx_h), np.int32)
+    if len(sym_i):
+        out = np.empty(len(sym_i), np.uint32)
+        native.LIB.ctpu_exact_tv_at(
+            native.DIST_KIND[family], min_sym, max_sym, precision,
+            mean, scale, np.ascontiguousarray(sym_i),
+            np.ascontiguousarray(svals), len(sym_i), out,
+        )
+        patch_vals[live] = out.astype(np.int32)
+    tabs4, incon, overflow = etj.derive_pack(
+        tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
+        min_sym=int(min_sym), max_sym=int(max_sym),
+        precision=int(precision), cmax=int(cmax), nsteps=int(nsteps),
+        R=int(R),
+    )
+    bad = np.asarray(incon | overflow)
+    bad_idx = np.nonzero(bad)[0]
+    if len(bad_idx):
+        # host rows for the (rare) inconclusive windows
+        rows, cmax_r = _packed_table_rows(
+            np.ascontiguousarray(mean[bad_idx]),
+            np.ascontiguousarray(scale[bad_idx]),
+            family, min_sym, max_sym, precision, cmax,
+        )
+        assert cmax_r == 4 * G
+        t_i = (bad_idx // (R * 128)).astype(np.int32)
+        rem = bad_idx % (R * 128)
+        r_i = (rem // 128).astype(np.int32)
+        l_i = (rem % 128).astype(np.int32)
+        tabs4 = tabs4.at[t_i, :, r_i, l_i].set(jnp.asarray(rows))
+    return tabs4, 4 * G
+
+
 def _packed_table_rows(
     mean, scale, family: str, min_sym: int, max_sym: int, precision: int,
     cmax: int,
@@ -1163,11 +1294,17 @@ def decode_family_exact_grouped(
     init_states, stream, means, scales, family: str, min_sym: int,
     max_sym: int, cfg: LaneConfig, num_symbols: int,
     interpret: bool | None = None, max_segments: int = 6,
+    device_tables: bool | None = None,
 ) -> np.ndarray:
     """Decode a :func:`encode_family_exact_grouped` stream: reconstructs
     the core-size order from (means, scales), decodes each segment with a
     tight-cmax kernel (lane states + stream offset chain between segment
-    launches), and scatters symbols back to their original positions."""
+    launches), and scatters symbols back to their original positions.
+
+    ``device_tables`` selects the accelerator-side table builder
+    (:func:`packed_tables_on_device`; bit-identical output, no host
+    round-trip of the packed planes).  Default ``None`` auto-enables it on
+    a real TPU backend when the native patch oracle is available."""
     assert family in EXACT_FAMILIES
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1199,12 +1336,29 @@ def decode_family_exact_grouped(
     stream2d = _pad_stream2d(stream, R)
     base = jnp.zeros((1,), jnp.int32)
     outs = []
+    from .. import native
+
+    if device_tables is None:
+        device_tables = (
+            not interpret
+            and native.LIB is not None
+            and max(abs(int(min_sym)), abs(int(max_sym))) <= (1 << 22)
+        )
     for t0, nsteps, cmax in segments:
         sl = slice(t0 * L, (t0 + nsteps) * L)
-        tabs4, cmax_r = packed_tables_device(
-            pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision, cmax,
-            nsteps, R,
-        )
+        built = None
+        if device_tables and native.LIB is not None:
+            built = packed_tables_on_device(
+                pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision,
+                cmax, nsteps, R,
+            )
+        if built is not None:
+            tabs4, cmax_r = built
+        else:
+            tabs4, cmax_r = packed_tables_device(
+                pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision,
+                cmax, nsteps, R,
+            )
         last = t0 + nsteps == T
         tail_s = (n - (T - 1) * L) if last else L
         fn = _build_exact_decoder64_seg(

@@ -725,3 +725,56 @@ def test_fused_transposed_fill_matches_two_pass():
     bad = native.LIB.ctpu_exact_tables_packed_t(
         0, -100, 100, 24, means, scales, 1, 256, 8, t4.reshape(-1))
     assert bad == 1
+
+
+# ---------------------------------------------------------------------------
+# On-device table builder (ops/exact_tables_jax.py): f64 window evaluation
+# with margin patching must reproduce the host builder BIT-FOR-BIT.
+# ---------------------------------------------------------------------------
+
+
+def test_device_table_builder_bit_identical():
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("native library unavailable (patch oracle needed)")
+    assert ef._device_builder_canary(), "device-builder canary failed"
+    rng = np.random.RandomState(77)
+    for fam in ("gaussian", "laplace", "cauchy"):
+        for trial in range(3):
+            R, nsteps = 2, 3
+            n = nsteps * R * 128
+            means = rng.randn(n) * rng.uniform(1, 60)
+            # wide spread incl. sharp + flat + support-edge means
+            scales = np.exp(rng.normal(rng.uniform(-0.5, 1.0), 0.9, size=n))
+            means[:8] = [-108.3, 108.3, -99.9999, 99.9999, 0.0, -50.0,
+                         1e-6, 3e4]
+            nc = ef.exact_ncore(means, scales, fam, -100, 100, 24)
+            cmax = min(max(int(nc.max()), 1), 255)
+            host, ch = ef.packed_tables_device(
+                means, scales, fam, -100, 100, 24, cmax, nsteps, R)
+            built = ef.packed_tables_on_device(
+                means, scales, fam, -100, 100, 24, cmax, nsteps, R)
+            assert built is not None
+            dev, cd = built
+            assert ch == cd
+            np.testing.assert_array_equal(host, np.asarray(dev))
+
+
+def test_grouped_decode_with_device_tables():
+    from constriction_tpu import native
+
+    if native.LIB is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.RandomState(3)
+    n = 6 * 256
+    means = rng.randn(n) * 20
+    scales = np.exp(rng.normal(0.4, 0.6, n))
+    syms = np.clip(np.round(means + scales * rng.randn(n)), MIN, MAX
+                   ).astype(np.int64)
+    st, w = ef.encode_family_exact_grouped(
+        syms, means, scales, "gaussian", MIN, MAX, CFG64)
+    out = ef.decode_family_exact_grouped(
+        np.asarray(st), np.asarray(w), means, scales, "gaussian", MIN, MAX,
+        CFG64, n, device_tables=True)
+    np.testing.assert_array_equal(np.asarray(out), syms)

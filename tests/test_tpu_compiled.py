@@ -353,3 +353,41 @@ def test_exact_family_grouped_multichunk(tpu):
         st, np.asarray(w), means, scales, "gaussian", -100, 100, cfg, n
     )
     np.testing.assert_array_equal(out, syms)
+
+
+@pytest.mark.tpu
+def test_device_table_builder_on_chip(tpu):
+    """The on-device exact-table builder (XLA-emulated f64 on TPU) must
+    reproduce the host builder bit-for-bit on the real chip, and the
+    grouped decode must round-trip through it."""
+    from constriction_tpu import native
+    from constriction_tpu.ops import exact_family as ef
+    from constriction_tpu.ops.interleaved import LaneConfig
+
+    if native.LIB is None:
+        pytest.skip("native library unavailable")
+    assert ef._device_builder_canary(), "device-builder canary failed on TPU"
+    rng = np.random.RandomState(99)
+    R, nsteps = 2, 2
+    n = nsteps * R * 128
+    means = rng.randn(n) * 30
+    scales = np.exp(rng.normal(0.4, 0.8, n))
+    for fam in ("gaussian", "laplace", "cauchy"):
+        nc = ef.exact_ncore(means, scales, fam, -100, 100, 24)
+        cmax = min(max(int(nc.max()), 1), 255)
+        host, ch = ef.packed_tables_device(
+            means, scales, fam, -100, 100, 24, cmax, nsteps, R)
+        built = ef.packed_tables_on_device(
+            means, scales, fam, -100, 100, 24, cmax, nsteps, R)
+        assert built is not None
+        np.testing.assert_array_equal(host, np.asarray(built[0]))
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64,
+                     precision=24)
+    syms = np.clip(np.round(means + scales * rng.randn(n)), -100, 100
+                   ).astype(np.int64)
+    st, w = ef.encode_family_exact_grouped(
+        syms, means, scales, "gaussian", -100, 100, cfg)
+    out = ef.decode_family_exact_grouped(
+        np.asarray(st), np.asarray(w), means, scales, "gaussian",
+        -100, 100, cfg, n, device_tables=True)
+    np.testing.assert_array_equal(np.asarray(out), syms)
