@@ -212,7 +212,7 @@ int32_t ctpu_quantized_ecp(
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
     const uint32_t total = (uint32_t)(1ull << precision);
     int32_t err = 0;
-    if (qm_fast_enabled() && kind != DIST_BINOMIAL) {
+    if (qm_fast_enabled() && kind != DIST_BINOMIAL && precision <= 24) {
         // Batched surrogate with exact patching: two margined trunc values
         // per symbol (s -+ 1/2), glibc only for the ~2*margin ambiguous
         // fraction.  Identical output to the scalar path below.
@@ -426,7 +426,8 @@ void ctpu_exact_ncore(
     const double free_weight =
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
     const uint32_t freeu = (uint32_t)free_weight;
-    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL
+        && precision <= 24;  // the surrogate error bound covers free <= 2^24
     if (!fast) {
 #pragma omp parallel for schedule(static)
         for (int64_t i = 0; i < n; i++) {
@@ -676,7 +677,8 @@ static inline int64_t qm_fill_pure_row(
     int64_t first_pos = qm_first_reaching(
         kind, a, b, free_weight, 1u, min_sym, max_sym,
         dist_ppf(kind, 1.0 / free_weight, a, b) + 0.5,
-        qm_fast_enabled() && kind != DIST_BINOMIAL);
+        qm_fast_enabled() && kind != DIST_BINOMIAL
+            && free_weight <= 16777216.0);
     int64_t core_lo = first_pos > max_sym ? max_sym : first_pos;
     *core_lo_out = core_lo;
     bm1[0] = qm_tv(kind, a, b, free_weight, core_lo)
@@ -689,6 +691,36 @@ static inline int64_t qm_fill_pure_row(
         bm1[ncore++] = tv + (uint32_t)(s - min_sym) - 1u;
     }
     return ncore;
+}
+
+// One packed wide-table row (aux word + 3*G quad planes) for a single
+// (mean, scale): fill (fast with pure fallback) + pad + pack, shared by
+// the row-major and fused-transposed builders so the layout can never
+// diverge between them.  Returns 0, or -2 on cmax overflow.
+static inline int64_t qm_build_packed_row(
+    int32_t kind, double a, double b, double free_weight, uint32_t freeu,
+    int32_t min_sym, int32_t max_sym, int32_t cmax, int64_t G,
+    uint32_t padm1, bool fast, uint32_t* row)
+{
+    uint32_t bm1[256];
+    int64_t core_lo;
+    int64_t ncore = fast
+        ? qm_fill_fast_row(kind, a, b, free_weight, freeu, min_sym,
+                           max_sym, cmax, bm1, &core_lo)
+        : -1;
+    if (ncore == -1)
+        ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu, min_sym,
+                                 max_sym, cmax, bm1, &core_lo);
+    if (ncore == -2) return -2;
+    for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
+    row[0] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 24);
+    for (int64_t g = 0; g < G; g++) {
+        const uint32_t* q = bm1 + 4 * g;
+        row[1 + 3 * g]     = q[0] | (q[1] << 24);
+        row[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
+        row[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
+    }
+    return 0;
 }
 
 // Fused wide-table build: boundary fill + the device kernels' packed (b-1)
@@ -712,7 +744,8 @@ int64_t ctpu_exact_tables_packed(
     const int64_t G = (cmax + 3) / 4;
     const int64_t CP1 = 1 + 3 * G;
     if (precision <= 16 || cmax > 255) return -1;  // wide tables only
-    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL
+        && precision <= 24;  // the surrogate error bound covers free <= 2^24
     int64_t bad = 0;
 #pragma omp parallel for schedule(static)
     for (int64_t i = 0; i < n; i++) {
@@ -720,29 +753,11 @@ int64_t ctpu_exact_tables_packed(
 #pragma omp atomic read
         bad_seen = bad;
         if (bad_seen) continue;
-        const double a = pa[i], b = pb[i];
-        uint32_t bm1[256];
-        int64_t core_lo;
-        int64_t ncore = fast
-            ? qm_fill_fast_row(kind, a, b, free_weight, freeu, min_sym,
-                               max_sym, cmax, bm1, &core_lo)
-            : -1;
-        if (ncore == -1)
-            ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu, min_sym,
-                                     max_sym, cmax, bm1, &core_lo);
-        if (ncore == -2) {
+        if (qm_build_packed_row(kind, pa[i], pb[i], free_weight, freeu,
+                                min_sym, max_sym, cmax, G, padm1, fast,
+                                tabs + i * CP1) == -2) {
 #pragma omp critical
             if (!bad || bad > 1 + i) bad = 1 + i;  // lowest index wins
-            continue;
-        }
-        for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
-        uint32_t* out = tabs + i * CP1;
-        out[0] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 24);
-        for (int64_t g = 0; g < G; g++) {
-            const uint32_t* q = bm1 + 4 * g;
-            out[1 + 3 * g]     = q[0] | (q[1] << 24);
-            out[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
-            out[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
         }
     }
     return bad;
@@ -767,7 +782,8 @@ int64_t ctpu_exact_tables_packed_t(
     const int64_t G = (cmax + 3) / 4;
     const int64_t CP1 = 1 + 3 * G;
     if (precision <= 16 || cmax > 255) return -1;
-    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL;
+    const bool fast = qm_fast_enabled() && kind != DIST_BINOMIAL
+        && precision <= 24;  // the surrogate error bound covers free <= 2^24
     const int64_t B = 64;
     int64_t bad = 0;
 #pragma omp parallel for schedule(static) collapse(1)
@@ -783,34 +799,17 @@ int64_t ctpu_exact_tables_packed_t(
         for (int64_t r0 = 0; r0 < rows; r0 += B) {
             const int64_t r1 = r0 + B < rows ? r0 + B : rows;
             for (int64_t r = r0; r < r1; r++) {
-                const double a = sa[r], b = sb[r];
-                uint32_t bm1[256];
-                int64_t core_lo;
-                int64_t ncore = fast
-                    ? qm_fill_fast_row(kind, a, b, free_weight, freeu,
-                                       min_sym, max_sym, cmax, bm1, &core_lo)
-                    : -1;
-                if (ncore == -1)
-                    ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu,
-                                             min_sym, max_sym, cmax, bm1,
-                                             &core_lo);
-                if (ncore == -2) {
+                uint32_t* row = blk + (r - r0) * CP1;
+                if (qm_build_packed_row(kind, sa[r], sb[r], free_weight,
+                                        freeu, min_sym, max_sym, cmax, G,
+                                        padm1, fast, row) == -2) {
 #pragma omp critical
                     {
                         int64_t i = t * rows + r;
                         if (!bad || bad > 1 + i) bad = 1 + i;
                     }
-                    ncore = 1;  // keep the block well-defined; result unused
-                }
-                for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
-                uint32_t* row = blk + (r - r0) * CP1;
-                row[0] = (uint32_t)(core_lo - min_sym)
-                       | ((uint32_t)ncore << 24);
-                for (int64_t g = 0; g < G; g++) {
-                    const uint32_t* q = bm1 + 4 * g;
-                    row[1 + 3 * g]     = q[0] | (q[1] << 24);
-                    row[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
-                    row[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
+                    // keep the block well-defined; result unused
+                    for (int64_t c = 0; c < CP1; c++) row[c] = 0;
                 }
             }
             // scatter the block transposed: plane-contiguous runs of B

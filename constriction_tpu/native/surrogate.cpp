@@ -81,6 +81,97 @@ static const double C_ATAN[17] = {
         (out) = q_ * sc_;                                                  \
     } while (0)
 
+// Family CDF bodies from the STANDARDIZED argument t (one definition,
+// expanded inline in both the same-(a,b) window loop and the per-lane
+// batch loop so the two entry points can never diverge; plain macros keep
+// the `omp simd` loops branch-free and vectorizable).
+#define SURR_CDF_GAUSS(t, cdf_out)                                         \
+    do {                                                                   \
+        double at_ = __builtin_fabs(t);                                    \
+        double t1_ = at_ <= 1.0 ? at_ : 1.0;                               \
+        double s_ = t1_ * t1_;                                             \
+        double p_ = C_ERF[12];                                             \
+        p_ = __builtin_fma(p_, s_, C_ERF[11]);                             \
+        p_ = __builtin_fma(p_, s_, C_ERF[10]);                             \
+        p_ = __builtin_fma(p_, s_, C_ERF[9]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[8]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[7]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[6]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[5]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[4]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[3]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[2]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[1]);                              \
+        p_ = __builtin_fma(p_, s_, C_ERF[0]);                              \
+        double e1_ = t1_ * p_;                                             \
+        double tc_ = at_ < 1.0 ? 1.0 : (at_ > 6.75 ? 6.75 : at_);          \
+        double u_ = 1.0 / tc_;                                             \
+        double gg_ = C_ERFC_G[14];                                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[13]);                        \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[12]);                        \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[11]);                        \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[10]);                        \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[9]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[8]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[7]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[6]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[5]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[4]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[3]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[2]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[1]);                         \
+        gg_ = __builtin_fma(gg_, u_, C_ERFC_G[0]);                         \
+        double xx_ = -tc_ * tc_;                                           \
+        double ex_;                                                        \
+        SURR_EXP_BODY(xx_, ex_);                                           \
+        double erfc2_ = gg_ * ex_ * u_;                                    \
+        double e_ = at_ <= 1.0 ? e1_ : 1.0 - erfc2_;                       \
+        e_ = at_ > 6.75 ? 1.0 : e_;                                        \
+        e_ = (t) < 0.0 ? -e_ : e_;                                         \
+        (cdf_out) = 0.5 * (1.0 + e_);                                      \
+    } while (0)
+
+#define SURR_CDF_LAPLACE(t, cdf_out)                                       \
+    do {                                                                   \
+        double x_ = -__builtin_fabs(t);                                    \
+        /* clamp far above f64 underflow: e^-40 ~ 4e-18 puts A ~ 1e-10, */ \
+        /* orders below the ambiguity margin, and keeps the exponent    */ \
+        /* bit-assembly inside the normal range                         */ \
+        x_ = x_ < -40.0 ? -40.0 : x_;                                      \
+        double e_;                                                         \
+        SURR_EXP_BODY(x_, e_);                                             \
+        (cdf_out) = (t) < 0.0 ? 0.5 * e_ : 1.0 - 0.5 * e_;                 \
+    } while (0)
+
+#define SURR_CDF_CAUCHY(t, cdf_out)                                        \
+    do {                                                                   \
+        double av_ = __builtin_fabs(t);                                    \
+        double vin_ = av_ <= 1.0 ? av_ : 1.0 / av_;                        \
+        double w_ = vin_ * vin_;                                           \
+        double p_ = C_ATAN[16];                                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[15]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[14]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[13]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[12]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[11]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[10]);                            \
+        p_ = __builtin_fma(p_, w_, C_ATAN[9]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[8]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[7]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[6]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[5]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[4]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[3]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[2]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[1]);                             \
+        p_ = __builtin_fma(p_, w_, C_ATAN[0]);                             \
+        double r_ = vin_ * p_;                                             \
+        double ab_ = av_ <= 1.0 ? r_ : 1.5707963267948966 - r_;            \
+        double at2_ = (t) < 0.0 ? -ab_ : ab_;                              \
+        (cdf_out) = 0.5 + at2_ * 0.31830988618379067154;                   \
+    } while (0)
+
+
 // A[j] ~ free * CDF at s = s0 + j for j in [0, m); kinds match codec.cpp's
 // DistKind (0 gaussian, 1 laplace, 2 cauchy).
 void ctpu_surrogate_window(
@@ -94,63 +185,18 @@ void ctpu_surrogate_window(
 #pragma omp simd
         for (int j = 0; j < mm; j++) {
             double t = __builtin_fma((double)j, inv, off);
-            double at = __builtin_fabs(t);
-            double t1 = at <= 1.0 ? at : 1.0;
-            double s = t1 * t1;
-            double p = C_ERF[12];
-            p = __builtin_fma(p, s, C_ERF[11]);
-            p = __builtin_fma(p, s, C_ERF[10]);
-            p = __builtin_fma(p, s, C_ERF[9]);
-            p = __builtin_fma(p, s, C_ERF[8]);
-            p = __builtin_fma(p, s, C_ERF[7]);
-            p = __builtin_fma(p, s, C_ERF[6]);
-            p = __builtin_fma(p, s, C_ERF[5]);
-            p = __builtin_fma(p, s, C_ERF[4]);
-            p = __builtin_fma(p, s, C_ERF[3]);
-            p = __builtin_fma(p, s, C_ERF[2]);
-            p = __builtin_fma(p, s, C_ERF[1]);
-            p = __builtin_fma(p, s, C_ERF[0]);
-            double e1 = t1 * p;
-            double tc = at < 1.0 ? 1.0 : (at > 6.75 ? 6.75 : at);
-            double u = 1.0 / tc;
-            double gg = C_ERFC_G[14];
-            gg = __builtin_fma(gg, u, C_ERFC_G[13]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[12]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[11]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[10]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[9]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[8]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[7]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[6]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[5]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[4]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[3]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[2]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[1]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[0]);
-            double xx = -tc * tc;
-            double ex;
-            SURR_EXP_BODY(xx, ex);
-            double erfc2 = gg * ex * u;
-            double e = at <= 1.0 ? e1 : 1.0 - erfc2;
-            e = at > 6.75 ? 1.0 : e;
-            e = t < 0.0 ? -e : e;
-            A[j] = free_weight * (0.5 * (1.0 + e));
+            double cdf;
+            SURR_CDF_GAUSS(t, cdf);
+            A[j] = free_weight * cdf;
         }
     } else if (kind == 1) {  // laplace
         const double inv = 1.0 / b;
         const double off = ((double)s0 - 0.5 - a) * inv;
 #pragma omp simd
         for (int j = 0; j < mm; j++) {
-            double d = __builtin_fma((double)j, inv, off);
-            double x = -__builtin_fabs(d);
-            // clamp far above f64 underflow: e^-40 ~ 4e-18 puts A ~ 1e-10,
-            // orders below the ambiguity margin, and keeps the exponent
-            // bit-assembly in SURR_EXP_BODY inside the normal range
-            x = x < -40.0 ? -40.0 : x;
-            double e;
-            SURR_EXP_BODY(x, e);
-            double cdf = d < 0.0 ? 0.5 * e : 1.0 - 0.5 * e;
+            double t = __builtin_fma((double)j, inv, off);
+            double cdf;
+            SURR_CDF_LAPLACE(t, cdf);
             A[j] = free_weight * cdf;
         }
     } else {  // cauchy
@@ -158,31 +204,10 @@ void ctpu_surrogate_window(
         const double off = ((double)s0 - 0.5 - a) * inv;
 #pragma omp simd
         for (int j = 0; j < mm; j++) {
-            double v = __builtin_fma((double)j, inv, off);
-            double av = __builtin_fabs(v);
-            double vin = av <= 1.0 ? av : 1.0 / av;
-            double w = vin * vin;
-            double p = C_ATAN[16];
-            p = __builtin_fma(p, w, C_ATAN[15]);
-            p = __builtin_fma(p, w, C_ATAN[14]);
-            p = __builtin_fma(p, w, C_ATAN[13]);
-            p = __builtin_fma(p, w, C_ATAN[12]);
-            p = __builtin_fma(p, w, C_ATAN[11]);
-            p = __builtin_fma(p, w, C_ATAN[10]);
-            p = __builtin_fma(p, w, C_ATAN[9]);
-            p = __builtin_fma(p, w, C_ATAN[8]);
-            p = __builtin_fma(p, w, C_ATAN[7]);
-            p = __builtin_fma(p, w, C_ATAN[6]);
-            p = __builtin_fma(p, w, C_ATAN[5]);
-            p = __builtin_fma(p, w, C_ATAN[4]);
-            p = __builtin_fma(p, w, C_ATAN[3]);
-            p = __builtin_fma(p, w, C_ATAN[2]);
-            p = __builtin_fma(p, w, C_ATAN[1]);
-            p = __builtin_fma(p, w, C_ATAN[0]);
-            double r = vin * p;
-            double ab = av <= 1.0 ? r : 1.5707963267948966 - r;
-            double at = v < 0.0 ? -ab : ab;
-            A[j] = free_weight * (0.5 + at * 0.31830988618379067154);
+            double t = __builtin_fma((double)j, inv, off);
+            double cdf;
+            SURR_CDF_CAUCHY(t, cdf);
+            A[j] = free_weight * cdf;
         }
     }
 }
@@ -200,88 +225,25 @@ void ctpu_surrogate_eval_batch(
 #pragma omp simd
         for (int i = 0; i < nn; i++) {
             double t = (x[i] - a[i]) / (b[i] * SQRT_2S);
-            double at = __builtin_fabs(t);
-            double t1 = at <= 1.0 ? at : 1.0;
-            double s = t1 * t1;
-            double p = C_ERF[12];
-            p = __builtin_fma(p, s, C_ERF[11]);
-            p = __builtin_fma(p, s, C_ERF[10]);
-            p = __builtin_fma(p, s, C_ERF[9]);
-            p = __builtin_fma(p, s, C_ERF[8]);
-            p = __builtin_fma(p, s, C_ERF[7]);
-            p = __builtin_fma(p, s, C_ERF[6]);
-            p = __builtin_fma(p, s, C_ERF[5]);
-            p = __builtin_fma(p, s, C_ERF[4]);
-            p = __builtin_fma(p, s, C_ERF[3]);
-            p = __builtin_fma(p, s, C_ERF[2]);
-            p = __builtin_fma(p, s, C_ERF[1]);
-            p = __builtin_fma(p, s, C_ERF[0]);
-            double e1 = t1 * p;
-            double tc = at < 1.0 ? 1.0 : (at > 6.75 ? 6.75 : at);
-            double u = 1.0 / tc;
-            double gg = C_ERFC_G[14];
-            gg = __builtin_fma(gg, u, C_ERFC_G[13]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[12]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[11]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[10]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[9]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[8]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[7]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[6]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[5]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[4]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[3]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[2]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[1]);
-            gg = __builtin_fma(gg, u, C_ERFC_G[0]);
-            double xx = -tc * tc;
-            double ex;
-            SURR_EXP_BODY(xx, ex);
-            double erfc2 = gg * ex * u;
-            double e = at <= 1.0 ? e1 : 1.0 - erfc2;
-            e = at > 6.75 ? 1.0 : e;
-            e = t < 0.0 ? -e : e;
-            A[i] = free_weight * (0.5 * (1.0 + e));
+            double cdf;
+            SURR_CDF_GAUSS(t, cdf);
+            A[i] = free_weight * cdf;
         }
     } else if (kind == 1) {  // laplace
 #pragma omp simd
         for (int i = 0; i < nn; i++) {
-            double d = (x[i] - a[i]) / b[i];
-            double xa = -__builtin_fabs(d);
-            xa = xa < -40.0 ? -40.0 : xa;  // see the window clamp note
-            double e;
-            SURR_EXP_BODY(xa, e);
-            double cdf = d < 0.0 ? 0.5 * e : 1.0 - 0.5 * e;
+            double t = (x[i] - a[i]) / b[i];
+            double cdf;
+            SURR_CDF_LAPLACE(t, cdf);
             A[i] = free_weight * cdf;
         }
     } else {  // cauchy
 #pragma omp simd
         for (int i = 0; i < nn; i++) {
-            double v = (x[i] - a[i]) / b[i];
-            double av = __builtin_fabs(v);
-            double vin = av <= 1.0 ? av : 1.0 / av;
-            double w = vin * vin;
-            double p = C_ATAN[16];
-            p = __builtin_fma(p, w, C_ATAN[15]);
-            p = __builtin_fma(p, w, C_ATAN[14]);
-            p = __builtin_fma(p, w, C_ATAN[13]);
-            p = __builtin_fma(p, w, C_ATAN[12]);
-            p = __builtin_fma(p, w, C_ATAN[11]);
-            p = __builtin_fma(p, w, C_ATAN[10]);
-            p = __builtin_fma(p, w, C_ATAN[9]);
-            p = __builtin_fma(p, w, C_ATAN[8]);
-            p = __builtin_fma(p, w, C_ATAN[7]);
-            p = __builtin_fma(p, w, C_ATAN[6]);
-            p = __builtin_fma(p, w, C_ATAN[5]);
-            p = __builtin_fma(p, w, C_ATAN[4]);
-            p = __builtin_fma(p, w, C_ATAN[3]);
-            p = __builtin_fma(p, w, C_ATAN[2]);
-            p = __builtin_fma(p, w, C_ATAN[1]);
-            p = __builtin_fma(p, w, C_ATAN[0]);
-            double r = vin * p;
-            double ab = av <= 1.0 ? r : 1.5707963267948966 - r;
-            double at = v < 0.0 ? -ab : ab;
-            A[i] = free_weight * (0.5 + at * 0.31830988618379067154);
+            double t = (x[i] - a[i]) / b[i];
+            double cdf;
+            SURR_CDF_CAUCHY(t, cdf);
+            A[i] = free_weight * cdf;
         }
     }
 }

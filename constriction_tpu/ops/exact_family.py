@@ -1257,7 +1257,13 @@ def group_plan(
     perm = np.argsort(
         np.minimum(ncore, 0xFFFF).astype(np.uint16), kind="stable"
     )
-    padded = np.ones(T * L, np.int64)  # pad-model cores are tiny
+    # inactive tail lanes get the _pad_params unit model at the origin --
+    # whose core is NOT size 1 (a unit gaussian needs ~14 boundaries, a
+    # unit laplace ~55): size the final segment for the pad model too, or
+    # the decode-side table build overflows on short / low-core batches
+    pad_core = int(_ncore_estimate(
+        np.zeros(1), np.ones(1), family, min_sym, max_sym)[0])
+    padded = np.full(T * L, pad_core, np.int64)
     padded[:n] = ncore[perm]
     stepmax = padded.reshape(T, L).max(axis=1)
     stepw = np.minimum((stepmax + 3) & ~3, np.int64(255 & ~3) + 4)

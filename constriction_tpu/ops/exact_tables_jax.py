@@ -157,8 +157,11 @@ def _cdf_std(family: str, t: float) -> float:
 
 @functools.lru_cache(maxsize=None)
 def sat_threshold(family: str) -> float:
-    """Smallest f64 t with CDF_std(t) == 1.0 (+inf when none below 1e18,
-    e.g. cauchy, whose atan reaches pi/2 only at ~1/ulp arguments)."""
+    """Smallest f64 t with CDF_std(t) == 1.0, +inf when none below 1e18.
+    All three families currently return finite thresholds -- including
+    cauchy, whose atan reaches fl(pi/2) around t ~ 2.5e15, far outside any
+    real support but still finite (the band/certain_sat logic handles it
+    like the others)."""
     hi = 1e18
     if _cdf_std(family, hi) < 1.0:
         return math.inf

@@ -218,7 +218,10 @@ def encode(
     if cfg is None:
         from ..tpu import _pick_cfg
 
-        cfg = _pick_cfg(max(n // num_blocks, 1), None)
+        # infer the precision from the model's CDF like the tpu facade
+        # does (a P=24 model must route to the S=64 sizes, not fail the
+        # fixed-point check below against a pinned P=12 default)
+        cfg = _pick_cfg(max(n // num_blocks, 1), None, cdf)
     K = len(cdf) - 1
     if int(np.asarray(cdf)[-1]) != 1 << cfg.precision:
         raise ValueError(

@@ -66,6 +66,22 @@ def _pick_cfg(n: int, cfg: LaneConfig | None,
     return LaneConfig(num_lanes=L, word_bits=32, state_bits=64, precision=P)
 
 
+def _pick_cfg_family(n: int, cfg: LaneConfig | None,
+                     grouped: bool) -> LaneConfig:
+    """Family-coder default: grouped coding only exists for the wide-table
+    S=64 path, so ``grouped=True`` with no explicit cfg picks the
+    DEFAULT-preset sizes (P=24/W=32/S=64) instead of the narrow P=12
+    config -- otherwise the encoder would happily produce a stream the
+    grouped decoder rejects."""
+    if cfg is not None:
+        return cfg
+    base = _pick_cfg(n, None)
+    if grouped:
+        return LaneConfig(num_lanes=base.num_lanes, word_bits=32,
+                          state_bits=64, precision=24)
+    return base
+
+
 def _check_cdf(cdf, cfg: LaneConfig) -> None:
     """The device preset is precision-12 by default while the host preset is
     precision-24; a mismatched CDF would silently produce a corrupt
@@ -175,7 +191,7 @@ def encode_family_exact(symbols, means, scales, family: str, min_sym: int,
     from .ops import exact_family as _ef
 
     symbols = np.asarray(symbols)
-    cfg = _pick_cfg(len(symbols), cfg)
+    cfg = _pick_cfg_family(len(symbols), cfg, grouped)
     if grouped:
         return _ef.encode_family_exact_grouped(
             symbols, means, scales, family, min_sym, max_sym, cfg
@@ -199,7 +215,7 @@ def decode_family_exact(init_states, stream, means, scales, family: str,
     order, decoded with tight per-segment cmax kernels)."""
     from .ops import exact_family as _ef
 
-    cfg = _pick_cfg(num_symbols, cfg)
+    cfg = _pick_cfg_family(num_symbols, cfg, grouped)
     if grouped:
         return _ef.decode_family_exact_grouped(
             np.asarray(init_states), np.asarray(stream), means, scales,

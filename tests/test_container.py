@@ -371,3 +371,22 @@ def test_block_checkpoints_s64_and_range_guard():
     )
     with pytest.raises(ValueError, match="block granularity"):
         parallel.build_block_checkpoints(cont_r, model.cdf, interval)
+
+
+def test_parallel_encode_infers_precision_from_cdf():
+    """Regression (round-4 review): parallel.encode with cfg=None must
+    infer the precision from the model's CDF like the tpu facade does."""
+    import numpy as np
+
+    from constriction_tpu import parallel
+    from constriction_tpu.models.categorical import (
+        ContiguousCategoricalEntropyModel,
+    )
+
+    rng = np.random.RandomState(8)
+    p = rng.dirichlet(np.ones(50) * 2)
+    mdl = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 24)
+    s = rng.choice(50, size=1 << 14, p=p)
+    blocks = parallel.encode(s, mdl.cdf, num_blocks=4)
+    out = parallel.decode(blocks, mdl.cdf)
+    np.testing.assert_array_equal(np.asarray(out), s)

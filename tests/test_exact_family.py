@@ -778,3 +778,44 @@ def test_grouped_decode_with_device_tables():
         np.asarray(st), np.asarray(w), means, scales, "gaussian", MIN, MAX,
         CFG64, n, device_tables=True)
     np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_grouped_short_low_core_batch_with_pad_lanes():
+    """Regression (round-4 review): the inactive tail lanes carry the
+    _pad_params unit model, whose core is much wider than a sharp batch's
+    -- the final segment must be sized for it or decode-side table build
+    overflows after a successful encode."""
+    rng = np.random.RandomState(0)
+    for fam in ("gaussian", "laplace", "cauchy"):
+        n, L = 300, 256
+        means = rng.randn(n) * 5
+        scales = np.full(n, 0.02)  # ncore ~ 1-2 per real symbol
+        syms = np.clip(np.round(means + scales * rng.randn(n)), MIN, MAX
+                       ).astype(np.int64)
+        cfg = LaneConfig(num_lanes=L, word_bits=32, state_bits=64,
+                         precision=24)
+        st, w = ef.encode_family_exact_grouped(
+            syms, means, scales, fam, MIN, MAX, cfg)
+        out = ef.decode_family_exact_grouped(
+            np.asarray(st), np.asarray(w), means, scales, fam, MIN, MAX,
+            cfg, n)
+        np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_facade_grouped_default_cfg_round_trip():
+    """Regression (round-4 review): grouped coding only exists for the
+    S=64 path; the facade's default cfg must pick it, not the narrow P=12
+    config whose stream the grouped decoder rejects."""
+    import constriction_tpu.tpu as ctpu
+
+    rng = np.random.RandomState(4)
+    n = 4096
+    means = rng.randn(n) * 10
+    scales = np.exp(rng.normal(0.3, 0.5, n))
+    syms = np.clip(np.round(means + scales * rng.randn(n)), MIN, MAX
+                   ).astype(np.int64)
+    st, w = ctpu.encode_family_exact(
+        syms, means, scales, "gaussian", MIN, MAX, grouped=True)
+    out = ctpu.decode_family_exact(
+        st, w, means, scales, "gaussian", MIN, MAX, n, grouped=True)
+    np.testing.assert_array_equal(np.asarray(out), syms)
