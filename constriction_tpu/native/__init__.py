@@ -124,7 +124,7 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.ctpu_exact_tables_packed_t.restype = c.c_int64
     lib.ctpu_exact_tables_packed_t.argtypes = [
         c.c_int32, c.c_int32, c.c_int32, c.c_int32,
-        f64p, f64p, c.c_int64, c.c_int64, c.c_int32, u32p,
+        f64p, f64p, c.c_int64, c.c_int64, c.c_int32, u32p, i32p,
     ]
     lib.ctpu_transpose_u32.restype = None
     lib.ctpu_transpose_u32.argtypes = [

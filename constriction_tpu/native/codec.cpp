@@ -712,6 +712,7 @@ static inline int64_t qm_build_packed_row(
         ncore = qm_fill_pure_row(kind, a, b, free_weight, freeu, min_sym,
                                  max_sym, cmax, bm1, &core_lo);
     if (ncore == -2) return -2;
+    const int64_t ncore_ret = ncore;
     for (int64_t j = ncore; j < 4 * G; j++) bm1[j] = padm1;
     row[0] = (uint32_t)(core_lo - min_sym) | ((uint32_t)ncore << 24);
     for (int64_t g = 0; g < G; g++) {
@@ -720,7 +721,7 @@ static inline int64_t qm_build_packed_row(
         row[1 + 3 * g + 1] = (q[1] >> 8) | (q[2] << 16);
         row[1 + 3 * g + 2] = (q[2] >> 16) | (q[3] << 8);
     }
-    return 0;
+    return ncore_ret;
 }
 
 // Fused wide-table build: boundary fill + the device kernels' packed (b-1)
@@ -773,7 +774,7 @@ int64_t ctpu_exact_tables_packed(
 int64_t ctpu_exact_tables_packed_t(
     int32_t kind, int32_t min_sym, int32_t max_sym, int32_t precision,
     const double* pa, const double* pb, int64_t nsteps, int64_t rows,
-    int32_t cmax, uint32_t* dst)
+    int32_t cmax, uint32_t* dst, int32_t* ncore_max_out)
 {
     const double free_weight =
         (double)(((1ull << precision) - 1) - (uint64_t)((int64_t)max_sym - min_sym));
@@ -786,6 +787,7 @@ int64_t ctpu_exact_tables_packed_t(
         && precision <= 24;  // the surrogate error bound covers free <= 2^24
     const int64_t B = 64;
     int64_t bad = 0;
+    int32_t ncore_max = 0;
 #pragma omp parallel for schedule(static) collapse(1)
     for (int64_t t = 0; t < nsteps; t++) {
         int64_t bad_seen;
@@ -800,9 +802,10 @@ int64_t ctpu_exact_tables_packed_t(
             const int64_t r1 = r0 + B < rows ? r0 + B : rows;
             for (int64_t r = r0; r < r1; r++) {
                 uint32_t* row = blk + (r - r0) * CP1;
-                if (qm_build_packed_row(kind, sa[r], sb[r], free_weight,
-                                        freeu, min_sym, max_sym, cmax, G,
-                                        padm1, fast, row) == -2) {
+                int64_t nc = qm_build_packed_row(
+                    kind, sa[r], sb[r], free_weight, freeu, min_sym,
+                    max_sym, cmax, G, padm1, fast, row);
+                if (nc == -2) {
 #pragma omp critical
                     {
                         int64_t i = t * rows + r;
@@ -810,6 +813,9 @@ int64_t ctpu_exact_tables_packed_t(
                     }
                     // keep the block well-defined; result unused
                     for (int64_t c = 0; c < CP1; c++) row[c] = 0;
+                } else if ((int32_t)nc > ncore_max) {
+#pragma omp critical
+                    if ((int32_t)nc > ncore_max) ncore_max = (int32_t)nc;
                 }
             }
             // scatter the block transposed: plane-contiguous runs of B
@@ -820,6 +826,7 @@ int64_t ctpu_exact_tables_packed_t(
             }
         }
     }
+    if (ncore_max_out) *ncore_max_out = ncore_max;
     return bad;
 }
 

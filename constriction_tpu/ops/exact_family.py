@@ -447,31 +447,56 @@ def packed_tables_device(
     dd = _dedup_probe(mean, scale)
     if (dd is None and native.LIB is not None and family in EXACT_FAMILIES
             and cmax <= 255):
-        G = -(-cmax // 4)
-        CP1 = 1 + 3 * G
-        tabs4 = np.empty((nsteps, CP1, R * 128), dtype=np.uint32)
-        bad = native.LIB.ctpu_exact_tables_packed_t(
-            native.DIST_KIND[family], min_sym, max_sym, precision,
-            mean, scale, nsteps, R * 128, cmax, tabs4.reshape(-1),
-        )
-        if bad:
-            raise ValueError(
-                f"core of symbol {int(bad) - 1} needs more than cmax={cmax} "
-                "boundaries; increase cmax (flat distributions make the "
-                "whole support non-linear)"
+
+        def _fused(cm):
+            G = -(-cm // 4)
+            CP1 = 1 + 3 * G
+            t4 = np.empty((nsteps, CP1, R * 128), dtype=np.uint32)
+            ncm = np.zeros(1, np.int32)
+            bad = native.LIB.ctpu_exact_tables_packed_t(
+                native.DIST_KIND[family], min_sym, max_sym, precision,
+                mean, scale, nsteps, R * 128, cm, t4.reshape(-1), ncm,
             )
-        return tabs4.reshape(nsteps, CP1, R, 128), 4 * G
+            if bad:
+                raise ValueError(
+                    f"core of symbol {int(bad) - 1} needs more than "
+                    f"cmax={cm} boundaries; increase cmax (flat "
+                    "distributions make the whole support non-linear)"
+                )
+            return t4.reshape(nsteps, CP1, R, 128), 4 * G, int(ncm[0])
+
+        tabs4, cmax_r, ncore_max = _fused(cmax)
+        # the caller's cmax is an upper BOUND (group_plan's deterministic
+        # estimate); the kernel scan and table DMA cost O(width), so when
+        # the batch's true max core is at least one quad narrower, refill
+        # at the tight width -- the fill is cheap, the kernels are not
+        tight = max(4, -(-max(ncore_max, 1) // 4) * 4)
+        if tight < cmax_r:
+            tabs4, cmax_r, _ = _fused(tight)
+        return tabs4, cmax_r
     if dd is not None:
         uz, inv = dd
         tabs_u, cmax_r = _packed_table_rows(
             np.ascontiguousarray(uz.real), np.ascontiguousarray(uz.imag),
             family, min_sym, max_sym, precision, cmax,
         )
+        tight = max(4, -(-max(int((tabs_u[:, 0] >> 24).max()), 1) // 4) * 4)
+        if tight < cmax_r:
+            tabs_u, cmax_r = _packed_table_rows(
+                np.ascontiguousarray(uz.real),
+                np.ascontiguousarray(uz.imag),
+                family, min_sym, max_sym, precision, tight,
+            )
         tabs = tabs_u[inv]
     else:
         tabs, cmax_r = _packed_table_rows(
             mean, scale, family, min_sym, max_sym, precision, cmax
         )
+        tight = max(4, -(-max(int((tabs[:, 0] >> 24).max()), 1) // 4) * 4)
+        if tight < cmax_r:
+            tabs, cmax_r = _packed_table_rows(
+                mean, scale, family, min_sym, max_sym, precision, tight
+            )
     CP1 = tabs.shape[1]
 
     if native.LIB is not None:
@@ -594,12 +619,23 @@ def _packed_tables_on_device_impl(
             np.ascontiguousarray(svals), len(sym_i), out,
         )
         patch_vals[live] = out.astype(np.int32)
-    tabs4, incon, overflow = etj.derive_pack(
+    tabs4, incon, overflow, ncore_max = etj.derive_pack(
         tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
         min_sym=int(min_sym), max_sym=int(max_sym),
         precision=int(precision), cmax=int(cmax), nsteps=int(nsteps),
         R=int(R),
     )
+    # tighten: the caller's cmax is group_plan's upper BOUND; kernel scan
+    # and table DMA cost O(width), and the tv grid is still device-resident
+    tight = max(4, -(-max(int(ncore_max), 1) // 4) * 4)
+    if tight < 4 * G:
+        G = tight // 4
+        tabs4, incon, overflow, _ = etj.derive_pack(
+            tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
+            min_sym=int(min_sym), max_sym=int(max_sym),
+            precision=int(precision), cmax=int(tight),
+            nsteps=int(nsteps), R=int(R),
+        )
     bad = np.asarray(incon | overflow)
     bad_idx = np.nonzero(bad)[0]
     if len(bad_idx):
@@ -1231,7 +1267,7 @@ def _ncore_estimate(means, scales, family, min_sym, max_sym):
 
 def group_plan(
     means, scales, family: str, min_sym: int, max_sym: int, precision: int,
-    L: int, num_symbols: int, max_segments: int = 6,
+    L: int, num_symbols: int, max_segments: int = 10,
 ):
     """Deterministic core-size grouping shared by encoder and decoder.
 
@@ -1277,7 +1313,7 @@ def group_plan(
 
 def encode_family_exact_grouped(
     symbols, means, scales, family: str, min_sym: int, max_sym: int,
-    cfg: LaneConfig, interpret: bool | None = None, max_segments: int = 6,
+    cfg: LaneConfig, interpret: bool | None = None, max_segments: int = 10,
 ):
     """Core-size-grouped reference-exact encode: same wire format as
     :func:`encode_family_exact` applied to the core-sorted symbol order;
@@ -1299,7 +1335,7 @@ def encode_family_exact_grouped(
 def decode_family_exact_grouped(
     init_states, stream, means, scales, family: str, min_sym: int,
     max_sym: int, cfg: LaneConfig, num_symbols: int,
-    interpret: bool | None = None, max_segments: int = 6,
+    interpret: bool | None = None, max_segments: int = 10,
     device_tables: bool | None = None,
 ) -> np.ndarray:
     """Decode a :func:`encode_family_exact_grouped` stream: reconstructs

@@ -343,4 +343,5 @@ def derive_pack(tv, ws, patch_idx, patch_vals, *, min_sym, max_sym,
     CP1 = 1 + 3 * G
     tabs4 = tabs.reshape(nsteps, R * 128, CP1).transpose(0, 2, 1) \
         .reshape(nsteps, CP1, R, 128)
-    return tabs4, incon, overflow
+    ncore_max = jnp.max(jnp.where(incon | overflow, 0, ncore))
+    return tabs4, incon, overflow, ncore_max

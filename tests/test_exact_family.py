@@ -505,7 +505,7 @@ def test_group_plan_deterministic_and_covering():
             assert int(nc[t0 * L : hi].max()) <= w
     # widths ascend (sorted order) and the plan respects the segment cap
     widths = [w for _, _, w in segs]
-    assert widths == sorted(widths) and len(segs) <= 6
+    assert widths == sorted(widths) and len(segs) <= 10
 
 
 def test_segment_dp_optimal_small():
@@ -705,10 +705,12 @@ def test_fused_transposed_fill_matches_two_pass():
             G = -(-cmax // 4)
             CP1 = 1 + 3 * G
             t4a = np.empty((nsteps, CP1, R * 128), np.uint32)
+            ncm = np.zeros(1, np.int32)
             bad = native.LIB.ctpu_exact_tables_packed_t(
                 kind, -100, 100, 24, means, scales, nsteps, R * 128, cmax,
-                t4a.reshape(-1))
+                t4a.reshape(-1), ncm)
             assert bad == 0
+            assert 1 <= int(ncm[0]) <= cmax
             tabs = np.empty((n, CP1), np.uint32)
             bad = native.LIB.ctpu_exact_tables_packed(
                 kind, -100, 100, 24, means, scales, n, cmax,
@@ -722,8 +724,9 @@ def test_fused_transposed_fill_matches_two_pass():
     means = np.zeros(256)
     scales = np.full(256, 50.0)
     t4 = np.empty((1, 1 + 3 * 2, 256), np.uint32)
+    ncm = np.zeros(1, np.int32)
     bad = native.LIB.ctpu_exact_tables_packed_t(
-        0, -100, 100, 24, means, scales, 1, 256, 8, t4.reshape(-1))
+        0, -100, 100, 24, means, scales, 1, 256, 8, t4.reshape(-1), ncm)
     assert bad == 1
 
 
