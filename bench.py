@@ -78,6 +78,20 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # persistent kernel cache: the exact-family row alone compiles ~10
+    # Mosaic segment kernels; repeat runs on the same machine should pay
+    # that once, not per process (decode timings are unaffected -- the
+    # suite times steady-state chains, never first calls)
+    import os as _os
+
+    _cache = _os.path.expanduser("~/.cache/ctpu_xla")
+    try:
+        _os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from constriction_tpu.models.categorical import (
         ContiguousCategoricalEntropyModel,
     )
