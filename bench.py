@@ -105,7 +105,12 @@ def main() -> None:
         num_lanes, total = 1 << 16, 1 << 25  # 33.5M symbols, 65536 lanes
     else:
         num_lanes, total = 1 << 10, 1 << 16
-    n_long = 17 if backend == "tpu" else 3
+    # the chain must amortize the dev tunnel's ~30 ms +-20 ms dispatch
+    # jitter: at n_long=17 the long chain carries only ~24 ms of device
+    # work and a jitter spike can collapse the difference (one observed
+    # run inflated the result 14x); 65 puts ~95 ms of work behind the
+    # same RTT so the differenced slope is jitter-robust
+    n_long = 65 if backend == "tpu" else 3
     interpret = backend != "tpu"
 
     rng = np.random.RandomState(1234)

@@ -33,11 +33,14 @@ def _entropy_model(kind: str, alphabet: int, rng):
     return p / p.sum()
 
 
-def _chain_time(step_fn, args, n_long=9):
+def _chain_time(step_fn, args, n_long=33):
     """Trustworthy timing: chain n executions inside ONE jit with a data
     dependency the compiler cannot elide, difference two chain lengths,
     medians over rounds, host readback as the sync point.  step_fn(*args)
-    must return (new_first_arg, u32_contrib)."""
+    must return (new_first_arg, u32_contrib).  The chain length must
+    amortize the dev tunnel's ~30 ms +-20 ms dispatch jitter or a spike
+    can collapse the differenced slope (observed as absurd 10x+ readings);
+    33 steps put ~25-50 ms of device work behind each dispatch."""
     import statistics
 
     import jax
@@ -60,7 +63,7 @@ def _chain_time(step_fn, args, n_long=9):
     _ = _np.asarray(f1(*args))
     _ = _np.asarray(fn(*args))
     t1s, tns = [], []
-    for _ in range(5):
+    for _ in range(9):
         t0 = time.perf_counter()
         _ = _np.asarray(f1(*args))
         t1s.append(time.perf_counter() - t0)
