@@ -625,27 +625,45 @@ def _packed_tables_on_device_impl(
         precision=int(precision), cmax=int(cmax), nsteps=int(nsteps),
         R=int(R),
     )
+    # Host-fallback rows for the (rare) inconclusive/overflowing windows
+    # are built FIRST, at the caller's cmax, so (a) their true ncore can be
+    # folded into the tighten bound below and (b) their width always agrees
+    # with tabs4 (building them after tightening produced a width-mismatch
+    # crash).  A row that genuinely needs more than cmax boundaries sends
+    # the whole batch to the host builder instead of raising mid-decode.
+    bad = np.asarray(incon | overflow)
+    bad_idx = np.nonzero(bad)[0]
+    rows = None
+    rows_nc = 0
+    if len(bad_idx):
+        try:
+            rows, cmax_r = _packed_table_rows(
+                np.ascontiguousarray(mean[bad_idx]),
+                np.ascontiguousarray(scale[bad_idx]),
+                family, min_sym, max_sym, precision, cmax,
+            )
+        except ValueError:
+            return None  # a row overflows cmax: degrade to the host path
+        assert cmax_r == 4 * G
+        aux_shift = 24 if int(precision) > 16 else 16
+        rows_nc = int((rows[:, 0] >> np.uint32(aux_shift)).max())
     # tighten: the caller's cmax is group_plan's upper BOUND; kernel scan
     # and table DMA cost O(width), and the tv grid is still device-resident
-    tight = max(4, -(-max(int(ncore_max), 1) // 4) * 4)
+    tight = max(4, -(-max(int(ncore_max), rows_nc, 1) // 4) * 4)
     if tight < 4 * G:
         G = tight // 4
-        tabs4, incon, overflow, _ = etj.derive_pack(
+        tabs4, _incon2, _overflow2, _ = etj.derive_pack(
             tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
             min_sym=int(min_sym), max_sym=int(max_sym),
             precision=int(precision), cmax=int(tight),
             nsteps=int(nsteps), R=int(R),
         )
-    bad = np.asarray(incon | overflow)
-    bad_idx = np.nonzero(bad)[0]
-    if len(bad_idx):
-        # host rows for the (rare) inconclusive windows
-        rows, cmax_r = _packed_table_rows(
-            np.ascontiguousarray(mean[bad_idx]),
-            np.ascontiguousarray(scale[bad_idx]),
-            family, min_sym, max_sym, precision, cmax,
-        )
-        assert cmax_r == 4 * G
+        if rows is not None:
+            # packing is plane 0 aux + 3 u32 per 4-boundary group, low
+            # groups first, so narrowing is a column truncation; tight
+            # already covers every fallback row's ncore (rows_nc above)
+            rows = rows[:, : 1 + 3 * G]
+    if rows is not None:
         t_i = (bad_idx // (R * 128)).astype(np.int32)
         rem = bad_idx % (R * 128)
         r_i = (rem // 128).astype(np.int32)
@@ -1318,7 +1336,12 @@ def encode_family_exact_grouped(
     """Core-size-grouped reference-exact encode: same wire format as
     :func:`encode_family_exact` applied to the core-sorted symbol order;
     decode with :func:`decode_family_exact_grouped` (same max_segments)."""
-    assert family in EXACT_FAMILIES
+    if family not in _EST_C:
+        raise ValueError(
+            f"grouped coding supports families {sorted(_EST_C)} (the "
+            f"group_plan core-size estimator does not cover {family!r}); "
+            "use the ungrouped encode_family_exact instead"
+        )
     symbols = np.asarray(symbols).reshape(-1)
     means = np.asarray(means, np.float64).reshape(-1)
     scales = np.asarray(scales, np.float64).reshape(-1)
@@ -1347,7 +1370,12 @@ def decode_family_exact_grouped(
     (:func:`packed_tables_on_device`; bit-identical output, no host
     round-trip of the packed planes).  Default ``None`` auto-enables it on
     a real TPU backend when the native patch oracle is available."""
-    assert family in EXACT_FAMILIES
+    if family not in _EST_C:
+        raise ValueError(
+            f"grouped coding supports families {sorted(_EST_C)} (the "
+            f"group_plan core-size estimator does not cover {family!r}); "
+            "use the ungrouped decode_family_exact instead"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes

@@ -738,6 +738,18 @@ def decode_block_from_checkpoint(
     if not 0 <= block < len(streams):
         raise ValueError(f"block {block} out of range")
     nb = min(block_len, max(n - block * block_len, 0))
+    # offsets/states are zero-padded to the max per-block count; a stale
+    # index into the shorter final block would silently decode from offset
+    # 0 with zero states.  Recompute the block's REAL count (same formula
+    # as il2.build_checkpoints) and reject out-of-range indices.
+    T_b = -(-nb // cfg.num_lanes) if nb else 0
+    real_c = max(-(-T_b // interval) - 1, 0)
+    if not 0 <= ckpt_index < real_c:
+        raise ValueError(
+            f"ckpt_index {ckpt_index} out of range for block {block}: it "
+            f"has {real_c} within-block checkpoints "
+            f"({nb} symbols, interval {interval})"
+        )
     rel_start, suffix = il2.decode_from_checkpoint(
         ckpt_index, offsets[block], states[block], streams[block], nb,
         cdf, cfg, interval, device=device,
