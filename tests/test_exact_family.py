@@ -354,7 +354,7 @@ def test_binomial_golden_tables_vs_host_quantizer():
     from constriction_tpu.models.quantized import Binomial
 
     rng = np.random.RandomState(17)
-    n = min(SOAK_N, 2000)
+    n = SOAK_N  # full CTPU_EXACT_SOAK_N, same as the continuous families
     ns, ps = _binomial_params(rng, n)
     aux, core = ef.exact_boundary_tables(ns, ps, "binomial", 0, N_TRIALS, P)
     quant = LeakyQuantizer(0, N_TRIALS, P)
