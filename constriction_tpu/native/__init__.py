@@ -203,6 +203,12 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
         c.c_int32, c.c_int32, c.c_int32,
         u32p, u32p, c.c_int64,
     ]
+    lib.ctpu_ilans2_encode_seeded.restype = c.c_int64
+    lib.ctpu_ilans2_encode_seeded.argtypes = [
+        u32p, u32p, c.c_int64, c.c_int32, c.c_int32,
+        c.c_int32, c.c_int32, c.c_int32,
+        u32p, u32p, u32p, c.c_int64,
+    ]
     lib.ctpu_ilans2_decode_cdf64.restype = None
     lib.ctpu_ilans2_decode_cdf64.argtypes = [
         u32p, u32p, c.c_int64, c.c_int64, c.c_int32, c.c_int32,

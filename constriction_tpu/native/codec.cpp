@@ -1308,12 +1308,18 @@ void ctpu_ilans_decode_lookup(
 // ---------------------------------------------------------------------------
 
 // Returns the stream length; the stream occupies buf[cap - len .. cap).
-// `states` receives the initial decoder states.
-int64_t ctpu_ilans2_encode(
+// `states` receives the initial decoder states.  `seeds` (may be null for
+// the standard 2^(S-W) floor) carries per-lane encoder start states in the
+// same layout as `states` (L u32 words, or 2L (lo, hi) pairs for S > 32);
+// each seed must lie in [2^(S-W), 2^S).  The decoder's lane states return
+// to exactly these seeds after consuming the full stream, so seeds in
+// [2^(S-W), 2^(S-W+1)) carry (S-W) recoverable payload bits per lane
+// (the v2 container framing, ops/framing.py).
+int64_t ctpu_ilans2_encode_seeded(
     const uint32_t* cums, const uint32_t* probs,
     int64_t num_symbols, int32_t L, int32_t num_steps,
     int32_t word_bits, int32_t state_bits, int32_t precision,
-    uint32_t* states, uint32_t* buf, int64_t cap)
+    const uint32_t* seeds, uint32_t* states, uint32_t* buf, int64_t cap)
 {
     const uint64_t word_mask = (1ull << word_bits) - 1;
     const int32_t shift = state_bits - precision;
@@ -1321,7 +1327,14 @@ int64_t ctpu_ilans2_encode(
 
     uint64_t* st = new uint64_t[L];
     uint32_t* chunk = new uint32_t[L];
-    for (int32_t l = 0; l < L; l++) st[l] = seed;
+    if (seeds == nullptr) {
+        for (int32_t l = 0; l < L; l++) st[l] = seed;
+    } else if (state_bits > 32) {
+        for (int32_t l = 0; l < L; l++)
+            st[l] = (uint64_t)seeds[2 * l] | ((uint64_t)seeds[2 * l + 1] << 32);
+    } else {
+        for (int32_t l = 0; l < L; l++) st[l] = seeds[l];
+    }
 
     // Round-up magic reciprocals (Granlund-Montgomery): for d <= 2^16 and
     // dividends < 2^32, m = ceil(2^48 / d) satisfies 2^48 <= m*d < 2^48 + d
@@ -1390,12 +1403,23 @@ int64_t ctpu_ilans2_encode(
     return len;
 }
 
+int64_t ctpu_ilans2_encode(
+    const uint32_t* cums, const uint32_t* probs,
+    int64_t num_symbols, int32_t L, int32_t num_steps,
+    int32_t word_bits, int32_t state_bits, int32_t precision,
+    uint32_t* states, uint32_t* buf, int64_t cap)
+{
+    return ctpu_ilans2_encode_seeded(
+        cums, probs, num_symbols, L, num_steps, word_bits, state_bits,
+        precision, nullptr, states, buf, cap);
+}
+
 // Shared-stream interleaved rANS decode for S > 32 (u64 lane states as
 // (lo, hi) u32 pairs) with a CDF binary search instead of the 2^P lookup
 // table (default-preset P = 24 would need a 64 MB table).  Same schedule
 // as ctpu_ilans2_decode_lookup.
 void ctpu_ilans2_decode_cdf64(
-    const uint32_t* init_states_pairs, const uint32_t* stream,
+    uint32_t* init_states_pairs, const uint32_t* stream,
     int64_t stream_len, int64_t num_symbols, int32_t L, int32_t num_steps,
     const uint32_t* cdf, int32_t num_boundaries,
     int32_t word_bits, int32_t state_bits, int32_t precision,
@@ -1435,6 +1459,13 @@ void ctpu_ilans2_decode_cdf64(
             out[b0 + l] = (int32_t)sym;
         }
     }
+    // final lane states back into the caller's array: after a full decode
+    // these equal the encoder's seeds, whose low S-W bits are recoverable
+    // payload under the v2 container framing (ops/framing.py)
+    for (int32_t l = 0; l < L; l++) {
+        init_states_pairs[2 * l] = (uint32_t)(st[l] & 0xFFFFFFFFull);
+        init_states_pairs[2 * l + 1] = (uint32_t)(st[l] >> 32);
+    }
     delete[] st;
 }
 
@@ -1448,7 +1479,7 @@ void ctpu_ilans2_decode_cdf64(
 // a 2^P-entry table -- 64 MB at the default precision 24; the l1 table at
 // l1_bits = 16 is 256 KB and cache-resident.)
 void ctpu_ilans2_decode_cdf64_l1(
-    const uint32_t* init_states_pairs, const uint32_t* stream,
+    uint32_t* init_states_pairs, const uint32_t* stream,
     int64_t stream_len, int64_t num_symbols, int32_t L, int32_t num_steps,
     const uint32_t* cdf, int32_t num_boundaries,
     const uint32_t* l1, int32_t l1_bits,
@@ -1491,11 +1522,18 @@ void ctpu_ilans2_decode_cdf64_l1(
             out[b0 + l] = (int32_t)sym;
         }
     }
+    // final lane states back into the caller's array: after a full decode
+    // these equal the encoder's seeds, whose low S-W bits are recoverable
+    // payload under the v2 container framing (ops/framing.py)
+    for (int32_t l = 0; l < L; l++) {
+        init_states_pairs[2 * l] = (uint32_t)(st[l] & 0xFFFFFFFFull);
+        init_states_pairs[2 * l + 1] = (uint32_t)(st[l] >> 32);
+    }
     delete[] st;
 }
 
 void ctpu_ilans2_decode_lookup(
-    const uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
+    uint32_t* init_states, const uint32_t* stream, int64_t stream_len,
     int64_t num_symbols, int32_t L, int32_t num_steps,
     const uint32_t* lookup, const uint32_t* cdf,
     int32_t word_bits, int32_t state_bits, int32_t precision,
@@ -1527,6 +1565,9 @@ void ctpu_ilans2_decode_lookup(
             out[b0 + l] = (int32_t)sym;
         }
     }
+    // final lane states back into the caller's array (v2 framing payload
+    // recovery; see ctpu_ilans2_decode_cdf64)
+    for (int32_t l = 0; l < L; l++) init_states[l] = (uint32_t)st[l];
     delete[] st;
 }
 

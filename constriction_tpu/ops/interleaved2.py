@@ -81,13 +81,21 @@ def _l1_table_cached(cdf_bytes: bytes, precision: int,
 
 
 def encode_shared(
-    cums: np.ndarray, probs: np.ndarray, cfg: LaneConfig
+    cums: np.ndarray, probs: np.ndarray, cfg: LaneConfig,
+    seeds: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host (numpy) ILANS2 encoder.
 
     `cums`/`probs`: per-symbol fixed-point tables (length N).  Returns
     ``(initial_states u32[L], stream u32[num_words])`` with stream entries
     being W-bit words in decode-consumption order.
+
+    ``seeds`` (optional, [L], state dtype) are per-lane encoder START
+    states, each in ``[2**(S-W), 2**S)``; default is the floor
+    ``2**(S-W)``.  A full decode's final lane states equal the seeds
+    exactly, so seeds in ``[2**(S-W), 2**(S-W+1))`` carry S-W bits/lane of
+    payload the decoder recovers for free (the v2 container framing,
+    ops/framing.py).
     """
     n = len(cums)
     if len(probs) != n:
@@ -98,6 +106,14 @@ def encode_shared(
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     T = -(-n // L) if n else 0
     seed = np.uint64(1 << (S - W))
+    if seeds is not None:
+        seeds = np.asarray(seeds, dtype=np.uint64).reshape(-1)
+        if len(seeds) != L:
+            raise ValueError(f"seeds must have num_lanes={L} entries")
+        if np.any(seeds >> np.uint64(S - W) == 0) or (
+            S < 64 and np.any(seeds >> np.uint64(S))
+        ):
+            raise ValueError("seeds must lie in [2^(S-W), 2^S)")
 
     from .. import native
 
@@ -108,11 +124,26 @@ def encode_shared(
         cap = T * L + 8
         buf = np.empty(cap, dtype=np.uint32)
         states_out = np.empty(2 * L if wide else L, dtype=np.uint32)
-        slen = native.LIB.ctpu_ilans2_encode(
-            np.ascontiguousarray(cums, dtype=np.uint32),
-            np.ascontiguousarray(probs, dtype=np.uint32),
-            n, L, T, W, S, P, states_out, buf, cap,
-        )
+        if seeds is None:
+            slen = native.LIB.ctpu_ilans2_encode(
+                np.ascontiguousarray(cums, dtype=np.uint32),
+                np.ascontiguousarray(probs, dtype=np.uint32),
+                n, L, T, W, S, P, states_out, buf, cap,
+            )
+        else:
+            if wide:
+                seeds_w = np.empty(2 * L, dtype=np.uint32)
+                seeds_w[0::2] = (seeds & np.uint64(0xFFFFFFFF)).astype(
+                    np.uint32
+                )
+                seeds_w[1::2] = (seeds >> np.uint64(32)).astype(np.uint32)
+            else:
+                seeds_w = seeds.astype(np.uint32)
+            slen = native.LIB.ctpu_ilans2_encode_seeded(
+                np.ascontiguousarray(cums, dtype=np.uint32),
+                np.ascontiguousarray(probs, dtype=np.uint32),
+                n, L, T, W, S, P, seeds_w, states_out, buf, cap,
+            )
         if wide:
             states_out = states_out[0::2].astype(np.uint64) | (
                 states_out[1::2].astype(np.uint64) << np.uint64(32)
@@ -124,7 +155,10 @@ def encode_shared(
     cums64[:n] = cums
     probs64[:n] = probs
 
-    states = np.full(L, seed, dtype=np.uint64)
+    states = (
+        seeds.copy() if seeds is not None
+        else np.full(L, seed, dtype=np.uint64)
+    )
     chunks = []  # per-step emitted words; encoder walks t = T-1 .. 0
     lanes = np.arange(L)
     wmask = np.uint64(cfg.word_mask)
@@ -156,12 +190,17 @@ def decode_shared_cdf(
     num_symbols: int,
     cdf: np.ndarray,
     cfg: LaneConfig,
+    return_final_states: bool = False,
 ) -> np.ndarray:
     """Host ILANS2 decoder with a CDF-table model (C++ lookup decoder when
     available, numpy twin otherwise -- identical results).
 
     This is the exact oracle for the JAX kernel (same schedule, table
     lookup / searchsorted instead of compare-sum).
+
+    ``return_final_states=True`` returns ``(symbols, final_states)``; after
+    a full decode the final states equal the encoder's seeds, whose low
+    S-W bits are recoverable payload under the v2 framing (ops/framing.py).
     """
     L = cfg.num_lanes
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
@@ -181,13 +220,17 @@ def decode_shared_cdf(
     if native.LIB is not None and num_symbols >= 256 and S <= 32 and P <= 20:
         cdf32 = np.ascontiguousarray(np.asarray(cdf), dtype=np.uint32)
         lookup = _lookup_table_cached(cdf32.tobytes(), P)
-        st32 = np.ascontiguousarray(init_states, dtype=np.uint32)
+        # explicit copy: the native decoder writes final states back into
+        # this array, and ascontiguousarray would alias the caller's input
+        st32 = np.array(init_states, dtype=np.uint32, copy=True)
         stream32 = np.ascontiguousarray(stream, dtype=np.uint32)
         out = np.empty(num_symbols, dtype=np.int32)
         native.LIB.ctpu_ilans2_decode_lookup(
             st32, stream32, len(stream32), num_symbols, L, T,
             lookup, cdf32, W, S, P, out,
         )
+        if return_final_states:
+            return out, st32
         return out
 
     if native.LIB is not None and num_symbols >= 256 and 32 < S <= 64:
@@ -212,6 +255,11 @@ def decode_shared_cdf(
                 pairs, stream32, len(stream32), num_symbols, L, T,
                 cdf32, len(cdf32), W, S, P, out,
             )
+        if return_final_states:
+            fin = pairs[0::2].astype(np.uint64) | (
+                pairs[1::2].astype(np.uint64) << np.uint64(32)
+            )
+            return out, fin
         return out
 
     states = init_states.astype(np.uint64)
@@ -241,6 +289,10 @@ def decode_shared_cdf(
             base += k
         out[idx] = sym
 
+    if return_final_states:
+        from .interleaved import _state_dtype
+
+        return out[:num_symbols], states.astype(_state_dtype(cfg))
     return out[:num_symbols]
 
 
