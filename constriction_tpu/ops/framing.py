@@ -229,9 +229,10 @@ def _bits_to_stream(bits: np.ndarray, W: int, nwords: int) -> np.ndarray:
 
 
 def _pick_lb(L_A: int) -> int:
-    """Region-B lane count: small enough that B's own floor cost is noise,
-    128-aligned so B stays device-decodable."""
-    return max(128, min(1024, L_A // 64 // 128 * 128 or 128))
+    """Region-B lane count: small enough that B's own floor cost is noise
+    relative to A's seed capacity (B is a short tail, decoded on the host;
+    no 128-lane alignment needed)."""
+    return max(8, min(1024, L_A // 64))
 
 
 def _pack_stream_words(stream: np.ndarray, W: int) -> np.ndarray:
@@ -398,10 +399,18 @@ def _encode_region_a(symbols, cums, probs, cdf, cfg, seeds, device):
     return il2.encode_shared(cums, probs, cfg, seeds=seeds)
 
 
-def decode_iid_v2(
-    data: np.ndarray, cdf: np.ndarray, device: bool = False
-) -> np.ndarray:
-    """Decode a v2 container (twin of :func:`encode_iid_v2`)."""
+class _ParsedV2:
+    """Parsed v2 container: header fields plus the unpacked region-A
+    coder state and the shipped part of region B's packed states."""
+
+    __slots__ = (
+        "cfg", "n", "n_A", "k_B", "L_B", "slen_B", "psb_in_seed",
+        "psb_rem", "states_A", "stream_A",
+    )
+
+
+def parse_v2(data: np.ndarray) -> _ParsedV2:
+    """Parse a v2 container into its regions (no decoding)."""
     data = np.asarray(data, dtype=np.uint32)
     if int(data[0]) != MAGIC2 or int(data[1]) != 2:
         raise ValueError("not a v2 ILANS2 container")
@@ -409,53 +418,109 @@ def decode_iid_v2(
     W = flags & 0xFF
     P = (flags >> 8) & 0xFF
     S = (flags >> 16) & 0xFF
-    n = int(data[3]) | (int(data[4]) << 32)
+    p = _ParsedV2()
+    p.n = int(data[3]) | (int(data[4]) << 32)
     L = int(data[5])
     slen_A = int(data[6])
-    k_B = int(data[7])
-    L_B = int(data[8])
-    slen_B = int(data[9])
+    p.k_B = int(data[7])
+    p.L_B = int(data[8])
+    p.slen_B = int(data[9])
     psa_bits = int(data[10])
     psb_bits = int(data[11])
-    cfg = LaneConfig(num_lanes=L, word_bits=W, state_bits=S, precision=P)
+    p.cfg = LaneConfig(num_lanes=L, word_bits=W, state_bits=S, precision=P)
+    p.n_A = p.n - p.k_B
 
     off = 12
     psa_words = -(-psa_bits // 32)
     psa = _bits_from_u32(data[off: off + psa_words])[:psa_bits]
     off += psa_words
     C_bits = L * (S - W)
-    sb_bits = slen_B * W
-    psb_in_seed = min(psb_bits, C_bits - sb_bits) if k_B else 0
-    rem_bits = psb_bits - psb_in_seed
+    sb_bits = p.slen_B * W
+    p.psb_in_seed = min(psb_bits, C_bits - sb_bits) if p.k_B else 0
+    rem_bits = psb_bits - p.psb_in_seed
     rem_words = -(-rem_bits // 32)
-    psb_rem = _bits_from_u32(data[off: off + rem_words])[:rem_bits]
+    p.psb_rem = _bits_from_u32(data[off: off + rem_words])[:rem_bits]
     off += rem_words
-    stream_A = _unpack_stream_words(data[off:], W, slen_A)
+    p.stream_A = _unpack_stream_words(data[off:], W, slen_A)
 
-    states_A = unpack_states(psa, cfg)
-    n_A = n - k_B
     from .interleaved import _state_dtype
 
-    states_A = states_A.astype(_state_dtype(cfg))
-    if n_A > 0:
-        out_A, fin = _decode_region_a(
-            states_A, stream_A, n_A, cdf, cfg, device
-        )
-    else:
-        out_A, fin = np.zeros(0, np.int32), states_A
+    p.states_A = unpack_states(psa, p.cfg).astype(_state_dtype(p.cfg))
+    return p
 
-    if k_B == 0:
-        return out_A
 
-    payload = _payload_from_seeds(fin, cfg)
-    stream_B = _bits_to_stream(payload, W, slen_B)
+def _decode_region_b(p: _ParsedV2, fin_states, cdf) -> np.ndarray:
+    """Recover region B from region A's final lane states and decode it."""
+    W, S, P = p.cfg.word_bits, p.cfg.state_bits, p.cfg.precision
+    payload = _payload_from_seeds(fin_states, p.cfg)
+    stream_B = _bits_to_stream(payload, W, p.slen_B)
+    sb_bits = p.slen_B * W
     psb = np.concatenate([
-        payload[sb_bits: sb_bits + psb_in_seed], psb_rem
+        payload[sb_bits: sb_bits + p.psb_in_seed], p.psb_rem
     ])
-    cfg_B = LaneConfig(num_lanes=L_B, word_bits=W, state_bits=S, precision=P)
+    cfg_B = LaneConfig(
+        num_lanes=p.L_B, word_bits=W, state_bits=S, precision=P
+    )
+    from .interleaved import _state_dtype
+
     states_B = unpack_states(psb, cfg_B).astype(_state_dtype(cfg_B))
-    out_B = il2.decode_shared_cdf(states_B, stream_B, k_B, cdf, cfg_B)
-    return np.concatenate([out_A, out_B])
+    return il2.decode_shared_cdf(states_B, stream_B, p.k_B, cdf, cfg_B)
+
+
+def decode_iid_v2(
+    data: np.ndarray, cdf: np.ndarray, device: bool = False
+) -> np.ndarray:
+    """Decode a v2 container (twin of :func:`encode_iid_v2`)."""
+    p = parse_v2(data)
+    if p.n_A > 0:
+        out_A, fin = _decode_region_a(
+            p.states_A, p.stream_A, p.n_A, cdf, p.cfg, device
+        )
+        out_A = np.asarray(out_A)
+    else:
+        out_A, fin = np.zeros(0, np.int32), p.states_A
+
+    if p.k_B == 0:
+        return out_A
+    return np.concatenate([out_A, _decode_region_b(p, fin, cdf)])
+
+
+def build_checkpoints_v2(data, cdf, interval: int):
+    """Periodic decoder snapshots over a v2 container's region A (region B
+    is a short tail decoded from recovered seeds; seeks land in A)."""
+    p = parse_v2(data)
+    return il2.build_checkpoints(
+        p.states_A, p.stream_A, p.n_A, cdf, p.cfg, interval
+    )
+
+
+def decode_from_checkpoint_v2(
+    data, cdf, interval: int, ckpt_index: int, offsets, states,
+    device: bool = False,
+):
+    """Decode a v2 container's suffix from checkpoint ``ckpt_index``
+    (symbol ``(ckpt_index+1) * interval * L``); the recovered-seed tail
+    (region B) is decoded and appended, so the suffix always runs to the
+    true end of the message.  Bit-exact with the corresponding slice of
+    :func:`decode_iid_v2`."""
+    p = parse_v2(data)
+    L = p.cfg.num_lanes
+    start = (ckpt_index + 1) * interval * L
+    remaining = p.n_A - start
+    if remaining <= 0:
+        raise ValueError(
+            f"checkpoint {ckpt_index} starts at symbol {start}, beyond "
+            f"region A ({p.n_A} symbols); decode the tail with decode_iid_v2"
+        )
+    sub_stream = p.stream_A[int(offsets[ckpt_index]):]
+    out_A, fin = _decode_region_a(
+        np.asarray(states[ckpt_index]), sub_stream, remaining, cdf, p.cfg,
+        device,
+    )
+    out_A = np.asarray(out_A)
+    if p.k_B == 0:
+        return start, out_A
+    return start, np.concatenate([out_A, _decode_region_b(p, fin, cdf)])
 
 
 def _decode_region_a(states, stream, n, cdf, cfg, device):
@@ -483,3 +548,16 @@ def container_version(data: np.ndarray) -> int:
     if len(data) < 2 or int(data[0]) != MAGIC2:
         raise ValueError("not an ILANS2 container")
     return int(data[1])
+
+
+def peek_cfg(data: np.ndarray) -> LaneConfig:
+    """LaneConfig from a container header (either version), no payload
+    parsing."""
+    data = np.asarray(data, dtype=np.uint32)
+    if len(data) < 6 or int(data[0]) != MAGIC2:
+        raise ValueError("not an ILANS2 container")
+    flags = int(data[2])
+    return LaneConfig(
+        num_lanes=int(data[5]), word_bits=flags & 0xFF,
+        state_bits=(flags >> 16) & 0xFF, precision=(flags >> 8) & 0xFF,
+    )

@@ -1247,6 +1247,7 @@ def _encode_kernel_body(
     tail: int,
     R: int,
     cap_rows: int,
+    seeded: bool = False,
 ):
     """ILANS2 encoder (mirror of the decoder; oracle:
     ops/interleaved2.encode_shared).  Walks encode steps T-1..0 (the grid
@@ -1259,22 +1260,30 @@ def _encode_kernel_body(
     ``table_src(input_refs)`` supplies the per-lane ``(cum, prob)`` for the
     step -- from a symbol tile + host CDF (_build_encoder), or from
     precomputed exact-family planes (ops/exact_family.py); the coding
-    algebra is written ONCE."""
+    algebra is written ONCE.
+
+    ``seeded=True`` appends one [R, 128] u32 input after the table inputs:
+    per-lane encoder START states in [2^(S-W), 2^S) instead of the floor
+    (the v2 framing's payload carrier, ops/framing.py)."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     L = R * LANES
     seed = np.uint32(1 << (S - W))
     wmask = np.uint32(cfg.word_mask)
+    n_all = n_inputs + (1 if seeded else 0)
 
     def kernel(*refs):
         ins = refs[:n_inputs]
         (stream_out, states_out, end_out,
-         states_s, img, arow_s, sem) = refs[n_inputs:]
+         states_s, img, arow_s, sem) = refs[n_all:]
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
-            states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
+            if seeded:
+                states_s[:] = refs[n_inputs][:]
+            else:
+                states_s[:] = jnp.full((R, LANES), seed, jnp.uint32)
             arow_s[0] = cap_rows * LANES  # end pointer e (words)
             arow_s[1] = cap_rows  # previous window bottom row a_prev
 
@@ -1315,7 +1324,7 @@ def _encode_kernel_body(
 
 @functools.lru_cache(maxsize=32)
 def _build_encoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
-                   cap_rows: int, interpret: bool):
+                   cap_rows: int, interpret: bool, seeded: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -1326,17 +1335,24 @@ def _build_encoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
 
     kernel = _encode_kernel_body(
         pltpu, pl, table_src=_cdf_src, n_inputs=1, cfg=cfg, T=T, tail=tail,
-        R=R, cap_rows=cap_rows
+        R=R, cap_rows=cap_rows, seeded=seeded,
     )
+
+    in_specs = [
+        # encode walks steps T-1..0: reverse the block index
+        pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if seeded:
+        in_specs.append(
+            pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+        )
 
     fn = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[
-            # encode walks steps T-1..0: reverse the block index
-            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stream buffer in HBM
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -1363,11 +1379,16 @@ def encode_iid_pallas(
     cdf: np.ndarray,
     cfg: LaneConfig,
     interpret: bool | None = None,
+    seeds: np.ndarray | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Encode i.i.d. categorical symbols into the ILANS2 format on TPU.
 
     Bit-exact with ops/interleaved2.encode_shared (the host encoder):
     returns ``(init_states u32[L], stream u32[num_words])``.
+
+    ``seeds`` (u32[L], each in [2^(S-W), 2^S)) sets per-lane encoder start
+    states -- the v2 framing's recoverable payload carrier
+    (ops/framing.py); default is the 2^(S-W) floor.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1378,6 +1399,9 @@ def encode_iid_pallas(
     n = int(symbols.shape[0])
     T = -(-n // L) if n else 0
     if T == 0:
+        if seeds is not None:
+            return (jnp.asarray(np.asarray(seeds, np.uint32)),
+                    jnp.zeros((0,), jnp.uint32))
         return (jnp.full(L, np.uint32(1 << (cfg.state_bits - cfg.word_bits)),
                          jnp.uint32), jnp.zeros((0,), jnp.uint32))
     tail = n - (T - 1) * L
@@ -1389,9 +1413,15 @@ def encode_iid_pallas(
     ).reshape(T, R, LANES)
     fn = _build_encoder(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
-        interpret,
+        interpret, seeded=seeds is not None,
     )
-    stream_buf, states, end = fn(syms3d)
+    if seeds is not None:
+        s2d = jnp.asarray(
+            np.asarray(seeds, np.uint32).reshape(R, LANES)
+        )
+        stream_buf, states, end = fn(syms3d, s2d)
+    else:
+        stream_buf, states, end = fn(syms3d)
     e = int(end[0])
     return states.reshape(-1), stream_buf.reshape(-1)[e : cap_rows * LANES]
 
@@ -1613,6 +1643,7 @@ def decode_shared_pallas(
     cfg: LaneConfig,
     num_symbols: int,
     interpret: bool | None = None,
+    return_final_states: bool = False,
 ) -> jax.Array:
     """Decode an ILANS2 container with the Pallas TPU kernel.
 
@@ -1620,6 +1651,10 @@ def decode_shared_pallas(
     u32 word array (one W-bit word per element); padding and reshaping to
     the [rows, 128] window layout happen here.  ``interpret=None`` selects
     the Pallas interpreter automatically off-TPU (tests on the CPU mesh).
+
+    ``return_final_states=True`` returns ``(symbols, final_states u32[L])``
+    (after a full decode these equal the encoder's seeds; the v2 framing's
+    payload recovery, ops/framing.py).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -1628,7 +1663,10 @@ def decode_shared_pallas(
     assert cfg.state_bits == 32 and cfg.word_bits == 16
     T = -(-num_symbols // L) if num_symbols else 0
     if T == 0:
-        return jnp.zeros((0,), jnp.int32)
+        empty = jnp.zeros((0,), jnp.int32)
+        if return_final_states:
+            return empty, np.asarray(init_states, np.uint32).reshape(-1)
+        return empty
     tail = num_symbols - (T - 1) * L
     R = L // LANES
 
@@ -1638,7 +1676,12 @@ def decode_shared_pallas(
         tuple(int(x) for x in np.asarray(cdf)),
         cfg, T, tail, L, interpret,
     )
-    syms, _states = fn(
+    syms, states = fn(
         jnp.asarray(init_states, dtype=jnp.uint32).reshape(R, LANES), stream2d
     )
+    if return_final_states:
+        return (
+            syms.reshape(-1)[:num_symbols],
+            np.asarray(states, np.uint32).reshape(-1),
+        )
     return syms.reshape(-1)[:num_symbols]

@@ -222,9 +222,14 @@ def decode_shared64_pallas(
     cfg: LaneConfig,
     num_symbols: int,
     interpret: bool | None = None,
+    return_final_states: bool = False,
 ) -> jax.Array:
     """Decode a default-preset ILANS2-64 container on TPU; bit-exact with
-    ops/interleaved2.decode_shared_cdf.  ``init_states`` is u64[L]."""
+    ops/interleaved2.decode_shared_cdf.  ``init_states`` is u64[L].
+
+    ``return_final_states=True`` returns ``(symbols, final_states u64[L])``
+    (after a full decode these equal the encoder's seeds; the v2 framing's
+    payload recovery, ops/framing.py)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
@@ -232,7 +237,10 @@ def decode_shared64_pallas(
     assert cfg.state_bits == 64 and cfg.word_bits == 32 and cfg.precision <= 24
     T = -(-num_symbols // L) if num_symbols else 0
     if T == 0:
-        return jnp.zeros((0,), jnp.int32)
+        empty = jnp.zeros((0,), jnp.int32)
+        if return_final_states:
+            return empty, np.asarray(init_states, np.uint64).reshape(-1)
+        return empty
     tail = num_symbols - (T - 1) * L
     R = L // LANES
 
@@ -244,32 +252,47 @@ def decode_shared64_pallas(
     fn = _build_decoder64(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, interpret,
     )
-    syms, _hi, _lo = fn(jnp.asarray(hi), jnp.asarray(lo), stream2d)
+    syms, fhi, flo = fn(jnp.asarray(hi), jnp.asarray(lo), stream2d)
+    if return_final_states:
+        fin = (
+            np.asarray(fhi, np.uint64).reshape(-1) << np.uint64(32)
+        ) | np.asarray(flo, np.uint64).reshape(-1)
+        return syms.reshape(-1)[:num_symbols], fin
     return syms.reshape(-1)[:num_symbols]
 
 
 def _encode_kernel_body64(pltpu, pl, *, table_src, n_inputs: int,
                           cfg: LaneConfig, T: int, tail: int, R: int,
-                          cap_rows: int):
+                          cap_rows: int, seeded: bool = False):
     """S=64 ILANS2 encode kernel body.  ``table_src(input_refs)`` supplies
     the per-lane u32 ``(cum, prob)`` for this step -- from a symbol tile +
     host CDF here, or from precomputed exact-family planes
-    (ops/exact_family.py); the coding algebra is written ONCE."""
+    (ops/exact_family.py); the coding algebra is written ONCE.
+
+    ``seeded=True`` appends two [R, 128] u32 inputs (seed hi, seed lo)
+    after the table inputs: per-lane encoder START states in
+    [2^(S-W), 2^S) instead of the 2^32 floor (the v2 framing's payload
+    carrier, ops/framing.py)."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     assert S == 64 and W == 32 and P <= 24
     L = R * LANES
+    n_all = n_inputs + (2 if seeded else 0)
 
     def kernel(*refs):
         ins = refs[:n_inputs]
         (stream_out, hi_out, lo_out, end_out,
-         hi_s, lo_s, img, arow_s, sem) = refs[n_inputs:]
+         hi_s, lo_s, img, arow_s, sem) = refs[n_all:]
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
-            hi_s[:] = jnp.ones((R, LANES), jnp.uint32)   # seed 2^32
-            lo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+            if seeded:
+                hi_s[:] = refs[n_inputs][:]
+                lo_s[:] = refs[n_inputs + 1][:]
+            else:
+                hi_s[:] = jnp.ones((R, LANES), jnp.uint32)   # seed 2^32
+                lo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
             arow_s[0] = cap_rows * LANES
             arow_s[1] = cap_rows
 
@@ -320,7 +343,7 @@ def _encode_kernel_body64(pltpu, pl, *, table_src, n_inputs: int,
 
 @functools.lru_cache(maxsize=32)
 def _build_encoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
-                     cap_rows: int, interpret: bool):
+                     cap_rows: int, interpret: bool, seeded: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -332,16 +355,25 @@ def _build_encoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
 
     kernel = _encode_kernel_body64(
         pltpu, pl, table_src=_cdf_src, n_inputs=1, cfg=cfg, T=T, tail=tail,
-        R=R, cap_rows=cap_rows
+        R=R, cap_rows=cap_rows, seeded=seeded,
     )
+
+    in_specs = [
+        pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if seeded:
+        in_specs += [
+            pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
 
     fn = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, R, LANES), lambda t: (T - 1 - t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # stream buffer in HBM
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -371,10 +403,15 @@ def encode_iid64_pallas(
     cdf: np.ndarray,
     cfg: LaneConfig,
     interpret: bool | None = None,
+    seeds: np.ndarray | None = None,
 ) -> Tuple[np.ndarray, jax.Array]:
     """Encode i.i.d. categorical symbols into the default-preset ILANS2-64
     format on TPU.  Bit-exact with ops/interleaved2.encode_shared:
-    returns ``(init_states u64[L], stream u32[num_words])``."""
+    returns ``(init_states u64[L], stream u32[num_words])``.
+
+    ``seeds`` (u64[L], each in [2^32, 2^64)) sets per-lane encoder start
+    states -- the v2 framing's recoverable payload carrier (ops/framing.py);
+    default is the 2^32 floor."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     L = cfg.num_lanes
@@ -384,6 +421,10 @@ def encode_iid64_pallas(
     n = int(symbols.shape[0])
     T = -(-n // L) if n else 0
     if T == 0:
+        if seeds is not None:
+            return np.asarray(seeds, np.uint64).copy(), jnp.zeros(
+                (0,), jnp.uint32
+            )
         seed = np.full(L, 1 << 32, dtype=np.uint64)
         return seed, jnp.zeros((0,), jnp.uint32)
     tail = n - (T - 1) * L
@@ -395,9 +436,19 @@ def encode_iid64_pallas(
     ).reshape(T, R, LANES)
     fn = _build_encoder64(
         tuple(int(x) for x in np.asarray(cdf)), cfg, T, tail, L, cap_rows,
-        interpret,
+        interpret, seeded=seeds is not None,
     )
-    stream_buf, hi, lo, end = fn(syms3d)
+    if seeds is not None:
+        sd = np.asarray(seeds, dtype=np.uint64).reshape(-1)
+        shi = jnp.asarray(
+            (sd >> np.uint64(32)).astype(np.uint32).reshape(R, LANES)
+        )
+        slo = jnp.asarray(
+            (sd & np.uint64(0xFFFFFFFF)).astype(np.uint32).reshape(R, LANES)
+        )
+        stream_buf, hi, lo, end = fn(syms3d, shi, slo)
+    else:
+        stream_buf, hi, lo, end = fn(syms3d)
     e = int(end[0])
     states = (
         np.asarray(hi, dtype=np.uint64).reshape(-1) << np.uint64(32)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from .ops import framing as _framing
 from .ops import interleaved2 as _il2
 from .ops import pallas_coder as _pc
 from .ops import pallas_family as _pf
@@ -34,7 +35,7 @@ DEFAULT64_CFG = LaneConfig(num_lanes=32768, word_bits=32, state_bits=64, precisi
 
 
 def _pick_cfg(n: int, cfg: LaneConfig | None,
-              cdf=None) -> LaneConfig:
+              cdf=None, est_bits: float | None = None) -> LaneConfig:
     if cfg is not None:
         return cfg
     # lane count should not dwarf the message (the per-lane state header is
@@ -42,6 +43,16 @@ def _pick_cfg(n: int, cfg: LaneConfig | None,
     L = 128
     while L * 2 <= min(DEFAULT_CFG.num_lanes, max(n // 8, 128)):
         L *= 2
+    if est_bits is not None and est_bits > 0:
+        # entropy-aware cap (v2 framing): keep the seed capacity
+        # L * (S - W) under ~1/16 of the message's information so the
+        # recovered-seed tail region stays a small fraction and the
+        # residual per-lane framing cost (~4 bits) stays under 0.1%.
+        # Matters at low entropy, where n/8 lanes would dwarf the payload.
+        cap = 128
+        while cap * 2 <= min(L, max(int(est_bits) // 32 // 16, 128)):
+            cap *= 2
+        L = cap
     # The model's fixed-point CDF determines the precision; the facade only
     # picks matching (W, S) sizes: P <= 16 rides the u32-state kernels,
     # 16 < P <= 24 (including the reference's DEFAULT preset, P = 24,
@@ -97,7 +108,7 @@ def _check_cdf(cdf, cfg: LaneConfig) -> None:
 
 
 def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
-               alphabet=None) -> np.ndarray:
+               alphabet=None, compact: bool = True) -> np.ndarray:
     """Encode i.i.d. categorical symbols into a self-describing ILANS2
     container (u32 array) using the Pallas encoder.
 
@@ -105,6 +116,12 @@ def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
     symbol alphabets (reference: non_contiguous.rs): symbols are mapped to
     their alphabet indices on the host (vectorized searchsorted), the
     device codes indices against ``cdf`` (one entry per alphabet slot).
+
+    ``compact=True`` (default) emits the v2 framing (ops/framing.py):
+    variable-width packed lane states plus the recovered-seed payload,
+    bringing whole-message overhead to ~0.1-0.5% of the information
+    content (the reference-framing rate ballpark) instead of v1's raw
+    L*S-bit state header.  :func:`decode_iid` handles both versions.
     """
     symbols = np.asarray(symbols, dtype=np.int64)
     if alphabet is not None:
@@ -127,18 +144,28 @@ def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
             f"symbols must be in [0, {len(cdf) - 1}), got range "
             f"[{int(symbols.min())}, {int(symbols.max())}]"
         )
-    cfg = _pick_cfg(len(symbols), cfg, cdf)
+    est_bits = None
+    if cfg is None and len(symbols):
+        cdf64 = np.asarray(cdf, dtype=np.float64)
+        p = (cdf64[symbols + 1] - cdf64[symbols]) / cdf64[-1]
+        est_bits = float(-np.log2(p).sum())
+    cfg = _pick_cfg(len(symbols), cfg, cdf, est_bits=est_bits)
     _check_cdf(cdf, cfg)
+    if compact:
+        return _framing.encode_iid_v2(symbols, cdf, cfg, device=True)
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
 
 
 def decode_iid(container, cdf, alphabet=None) -> np.ndarray:
-    """Decode an ILANS2 container with the Pallas kernel; with
-    ``alphabet``, decoded indices map back to the non-contiguous symbols."""
+    """Decode an ILANS2 container (either framing version) with the Pallas
+    kernel; with ``alphabet``, decoded indices map back to the
+    non-contiguous symbols."""
     container = np.asarray(container)
-    _, _, _, cfg = _il2.unpack_container2(container)
-    _check_cdf(cdf, cfg)
-    out = _il2.decode_iid_categorical2(container, cdf, device=True)
+    _check_cdf(cdf, _framing.peek_cfg(container))
+    if _framing.container_version(container) == 2:
+        out = _framing.decode_iid_v2(container, cdf, device=True)
+    else:
+        out = _il2.decode_iid_categorical2(container, cdf, device=True)
     if alphabet is not None:
         out = np.asarray(alphabet)[out]
     return out
@@ -228,10 +255,14 @@ def decode_family_exact(init_states, stream, means, scales, family: str,
 
 
 def build_checkpoints(container, cdf, interval: int):
-    """Periodic decoder snapshots for an ILANS2 container (random access;
-    see :func:`decode_from_checkpoint`).  Returns ``(offsets, states)``."""
-    init_states, stream, n, cfg = _il2.unpack_container2(np.asarray(container))
-    _check_cdf(cdf, cfg)
+    """Periodic decoder snapshots for an ILANS2 container (either framing
+    version; random access, see :func:`decode_from_checkpoint`).  Returns
+    ``(offsets, states)``."""
+    container = np.asarray(container)
+    _check_cdf(cdf, _framing.peek_cfg(container))
+    if _framing.container_version(container) == 2:
+        return _framing.build_checkpoints_v2(container, cdf, interval)
+    init_states, stream, n, cfg = _il2.unpack_container2(container)
     return _il2.build_checkpoints(init_states, stream, n, cdf, cfg, interval)
 
 
@@ -241,8 +272,14 @@ def decode_from_checkpoint(container, cdf, interval: int, ckpt_index: int,
     ``ckpt_index`` (symbol ``(ckpt_index+1) * interval * num_lanes``)
     without touching the prefix; bit-exact with the full decode's tail.
     Returns ``(start_symbol, suffix)``."""
-    init_states, stream, n, cfg = _il2.unpack_container2(np.asarray(container))
-    _check_cdf(cdf, cfg)
+    container = np.asarray(container)
+    _check_cdf(cdf, _framing.peek_cfg(container))
+    if _framing.container_version(container) == 2:
+        return _framing.decode_from_checkpoint_v2(
+            container, cdf, interval, ckpt_index, offsets, states,
+            device=True,
+        )
+    init_states, stream, n, cfg = _il2.unpack_container2(container)
     return _il2.decode_from_checkpoint(
         ckpt_index, offsets, states, stream, n, cdf, cfg, interval,
         device=True,

@@ -123,15 +123,15 @@ def test_facade_precision_follows_model():
     syms = rng.choice(10, size=600, p=p)
     m24 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 24)
     data = ctpu.encode_iid(syms, m24.cdf)
-    from constriction_tpu.ops import interleaved2 as il2
+    from constriction_tpu.ops import framing
 
-    _, _, _, cfg = il2.unpack_container2(np.asarray(data))
+    cfg = framing.peek_cfg(np.asarray(data))
     assert (cfg.precision, cfg.state_bits, cfg.word_bits) == (24, 64, 32)
     np.testing.assert_array_equal(ctpu.decode_iid(data, m24.cdf), syms)
 
     m16 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 16)
     d16 = ctpu.encode_iid(syms, m16.cdf)
-    _, _, _, cfg16 = il2.unpack_container2(np.asarray(d16))
+    cfg16 = framing.peek_cfg(np.asarray(d16))
     assert (cfg16.precision, cfg16.state_bits) == (16, 32)
     np.testing.assert_array_equal(ctpu.decode_iid(d16, m16.cdf), syms)
 
