@@ -29,9 +29,9 @@ def _fmt_pct(x, bold=False):
 
 def render(rows) -> str:
     out = [
-        "| workload | entropy (bits/sym) | overhead | marginal overhead "
-        "| decode GB/s | encode GB/s |",
-        "|---|---|---|---|---|---|",
+        "| workload | entropy (bits/sym) | total overhead | marginal overhead "
+        "| vs reference size | decode GB/s | encode GB/s |",
+        "|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         w = r["workload"]
@@ -41,11 +41,16 @@ def render(rows) -> str:
         enc = "—" if r.get("encode_GBps") is None else f"{r['encode_GBps']}"
         ent = "—" if r.get("entropy_bits") is None else f"{r['entropy_bits']}"
         marg = r.get("marginal_overhead_pct")
+        vr = r.get("vs_ref")
+        vr_cell = "—" if vr is None else (
+            f"**{vr:.4g}x**" if vr <= 1.005 else f"{vr:.4g}x"
+        )
         cells = [
             name,
             ent,
             _fmt_pct(r.get("overhead_pct")),
             _fmt_pct(marg, bold=marg is not None and abs(marg) < 0.01),
+            vr_cell,
             f"**{dec}**" if bold else dec,
             f"**{enc}**" if bold else enc,
         ]

@@ -91,6 +91,12 @@ def _gauss_true_probs(symbols, means, scales, lo, hi):
 
 def main() -> None:
     import jax
+
+    # the site plugin pins jax_platforms="axon,cpu"; the JAX_PLATFORMS env
+    # var alone does NOT stick, so honor it via jax.config (same guard as
+    # bench.py -- otherwise a CPU run hangs trying to reach the tunnel)
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     # persistent kernel cache: the exact-family row alone compiles ~10
@@ -124,8 +130,8 @@ def main() -> None:
 
     rows = []
     print(f"backend={jax.default_backend()}  L={L}  n={total}\n")
-    print("| workload | entropy (bits/sym) | overhead vs bound | marginal overhead | decode GB/s | encode GB/s |")
-    print("|---|---|---|---|---|---|")
+    print("| workload | entropy (bits/sym) | total overhead | marginal overhead | vs reference size | decode GB/s | encode GB/s |")
+    print("|---|---|---|---|---|---|---|")
     # "overhead" counts the fixed per-lane state header (L*32 bits, of which
     # ~L*16 are recoverable payload) -- it amortizes with message length.
     # The information bound is the TRUE sampling model's content,
@@ -155,6 +161,77 @@ def main() -> None:
         c_h = np.sum(np.log2(np.asarray(st_h).astype(np.float64)))
         return ((words_f - words_h) * W + (c_f - c_h)) / dinfo - 1.0
 
+    # "total overhead" and "vs reference size" are WHOLE-MESSAGE columns:
+    # the v2 compact container (ops/framing.py: variable-width packed lane
+    # states + recovered-seed payload, the facade default) against the true
+    # information bound, and against the byte count of the reference's own
+    # framing -- produced by the host AnsCoderCore, which is golden-verified
+    # bit-exact with the reference's DefaultAnsCoder (stack.rs:891-895,
+    # tests/test_golden_reference.py), coding the identical (cum, prob)
+    # sequence.  vs_ref < 1.0 means the whole message is SMALLER than the
+    # reference's file.
+    from constriction_tpu.ops import framing as fr
+    from constriction_tpu.ops.ans import AnsCoderCore
+    from constriction_tpu.ops.range import RangeEncoderCore
+
+    def _total_cols(symbols_, cdf_, cfg_, info_bits_):
+        symbols_ = np.asarray(symbols_, np.int64)
+        cont = fr.encode_iid_v2(symbols_, cdf_, cfg_)
+        assert np.array_equal(fr.decode_iid_v2(cont, cdf_), symbols_), (
+            "v2 container round trip"
+        )
+        v2_bits = len(cont) * 32
+        cdf64_ = np.asarray(cdf_, np.uint64)
+        ref = AnsCoderCore(word_bits=32, state_bits=64)
+        ref.encode_reverse_tables(
+            cdf64_[symbols_].astype(np.uint32),
+            (cdf64_[symbols_ + 1] - cdf64_[symbols_]).astype(np.uint32),
+            cfg_.precision,
+        )
+        ref_bits = len(ref.get_compressed()) * 32
+        return v2_bits / info_bits_ - 1.0, v2_bits / ref_bits
+
+    def _ref_bits_range(symbols_, cdf_, P_):
+        symbols_ = np.asarray(symbols_, np.int64)
+        cdf64_ = np.asarray(cdf_, np.uint64)
+        ref = RangeEncoderCore(word_bits=32, state_bits=64)
+        ref.encode_tables(
+            cdf64_[symbols_].astype(np.uint32),
+            (cdf64_[symbols_ + 1] - cdf64_[symbols_]).astype(np.uint32),
+            P_,
+        )
+        return len(ref.get_compressed()) * 32
+
+    def _range_log2_fin(symbols_, cdf64_, cfg_):
+        """Sum over lanes of log2(final range): the range-coder side of the
+        conservation identity.  Each symbol multiplies the range by
+        ~prob/2^P (one floor rounding) and each renorm shifts it up W, so
+        info = W*emits + log2(range0) - log2(range_fin) + O(rounding) per
+        lane (queue.rs:637-702 algebra); differencing two message lengths
+        cancels range0 and gives the marginal to ~1e-4% like the rANS
+        rows."""
+        L_ = cfg_.num_lanes
+        S_, W_, P_ = cfg_.state_bits, cfg_.word_bits, cfg_.precision
+        n_ = len(symbols_)
+        T_ = -(-n_ // L_)
+        mask = np.uint64((1 << S_) - 1) if S_ < 64 else np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        lower = np.uint64(1 << (S_ - W_))
+        probs_ = np.ones(T_ * L_, np.uint64)
+        probs_[:n_] = (cdf64_[symbols_ + 1] - cdf64_[symbols_]).astype(
+            np.uint64
+        )
+        rngs = np.full(L_, mask, np.uint64)
+        lanes_ = np.arange(L_)
+        for t in range(T_):
+            active = (t * L_ + lanes_) < n_
+            nr = (rngs >> np.uint64(P_)) * probs_[t * L_: (t + 1) * L_]
+            rngs = np.where(active, nr, rngs)
+            m = active & (rngs < lower)
+            rngs = np.where(m, rngs << np.uint64(W_), rngs)
+        return float(np.sum(np.log2(rngs.astype(np.float64))))
+
     for kind in ("low", "mid", "high"):
         p = _entropy_model(kind, alphabet, rng)
         model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(p, 12)
@@ -168,8 +245,7 @@ def main() -> None:
         init_states, stream = il2.encode_shared(
             cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
         )
-        actual_bits = len(stream) * 16 + L * 32
-        overhead = actual_bits / info_bits - 1.0
+        overhead, vs_ref = _total_cols(symbols, cdf, cfg, info_bits)
         half = total // 2
         st_h, stream_h = il2.encode_shared(
             cdf64[symbols[:half]], cdf64[symbols[:half] + 1] - cdf64[symbols[:half]], cfg
@@ -217,13 +293,14 @@ def main() -> None:
             "entropy_bits": round(entropy, 3),
             "overhead_pct": round(overhead * 100, 3),
             "marginal_overhead_pct": round(marginal * 100, 4),
+            "vs_ref": round(vs_ref, 5),
             "decode_GBps": round(total / dt_dec / 1e9, 2),
             "encode_GBps": round(total / dt_enc / 1e9, 2),
         }
         rows.append(row)
         print(
             f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-            f"| {row['marginal_overhead_pct']}% "
+            f"| {row['marginal_overhead_pct']}% | {row['vs_ref']}x "
             f"| {row['decode_GBps']} | {row['encode_GBps']} |"
         )
 
@@ -244,7 +321,7 @@ def main() -> None:
         init_states, stream = il2.encode_shared(
             cdf64[symbols], cdf64[symbols + 1] - cdf64[symbols], cfg
         )
-        overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
+        overhead, vs_ref = _total_cols(symbols, cdf, cfg, info_bits)
         T = -(-total // L)
         tail = total - (T - 1) * L
         dec = pc._build_decoder(tuple(int(x) for x in cdf), cfg, T, tail, L, not on_tpu)
@@ -294,13 +371,15 @@ def main() -> None:
             "entropy_bits": round(info_bits / total, 3),
             "overhead_pct": round(overhead * 100, 3),
             "marginal_overhead_pct": None,
+            "vs_ref": round(vs_ref, 5),
             "decode_GBps": round(total / dt_dec / 1e9, 2),
             "encode_GBps": round(total / dt_enc / 1e9, 2),
         }
         rows.append(row)
         print(
             f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-            f"| — | {row['decode_GBps']} | {row['encode_GBps']} |"
+            f"| — | {row['vs_ref']}x "
+            f"| {row['decode_GBps']} | {row['encode_GBps']} |"
         )
 
     # DEFAULT preset on device: W=32 / S=64 / P=24 (ILANS2-64,
@@ -318,7 +397,7 @@ def main() -> None:
     st64, stream64 = il2.encode_shared(
         cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
     )
-    overhead = (len(stream64) * 32 + L * 64) / info_bits - 1.0
+    overhead, vs_ref = _total_cols(symbols, cdf24, cfg64, info_bits)
     half = total // 2
     st64_h, stream64_h = il2.encode_shared(
         cdf24_64[symbols[:half]],
@@ -374,13 +453,14 @@ def main() -> None:
         "entropy_bits": round(info_bits / total, 3),
         "overhead_pct": round(overhead * 100, 3),
         "marginal_overhead_pct": round(marginal * 100, 6),
+        "vs_ref": round(vs_ref, 5),
         "decode_GBps": round(total / dt_dec / 1e9, 2),
         "encode_GBps": round(total / dt_enc / 1e9, 2),
     }
     rows.append(row)
     print(
         f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| {row['marginal_overhead_pct']}% "
+        f"| {row['marginal_overhead_pct']}% | {row['vs_ref']}x "
         f"| {row['decode_GBps']} | {row['encode_GBps']} |"
     )
 
@@ -400,25 +480,46 @@ def main() -> None:
     p_true_lo = np.log2(p_lo[symbols_lo])
     info_lo = -np.sum(p_true_lo)
     cont_lo = ctpu.encode_iid(symbols_lo, cdf_lo)  # cfg=None: facade picks
-    st_lo, stream_lo, n_lo, cfg_lo = il2.unpack_container2(np.asarray(cont_lo))
+    parsed_lo = fr.parse_v2(np.asarray(cont_lo))
+    cfg_lo = parsed_lo.cfg
     assert cfg_lo.precision == 24 and cfg_lo.state_bits == 64, (
         "facade did not route the P=24 model to the S=64 kernels"
     )
     out = ctpu.decode_iid(cont_lo, cdf_lo)
     assert np.array_equal(out, symbols_lo), "facade low-entropy round trip"
-    cont_lo_h = ctpu.encode_iid(symbols_lo[:half], cdf_lo)
-    st_lo_h, stream_lo_h, _, _ = il2.unpack_container2(np.asarray(cont_lo_h))
-    info_lo_h = -np.sum(p_true_lo[:half])
+    # whole-message totals: the facade container (v2 framing) vs the
+    # bit-exact reference twin coding the same model
     overhead_lo = (len(cont_lo) * 32) / info_lo - 1.0
+    ref_lo = AnsCoderCore(word_bits=32, state_bits=64)
+    ref_lo.encode_reverse_tables(
+        cdf_lo64[symbols_lo].astype(np.uint32),
+        (cdf_lo64[symbols_lo + 1] - cdf_lo64[symbols_lo]).astype(np.uint32),
+        24,
+    )
+    vs_ref_lo = (len(cont_lo) * 32) / (len(ref_lo.get_compressed()) * 32)
+    # marginal: a pure coder property, measured on the raw shared-stream
+    # coder at the facade's chosen lane config (framing-independent)
+    st_lo_f, stream_lo_f = il2.encode_shared(
+        cdf_lo64[symbols_lo], cdf_lo64[symbols_lo + 1] - cdf_lo64[symbols_lo],
+        cfg_lo,
+    )
+    st_lo_h, stream_lo_h = il2.encode_shared(
+        cdf_lo64[symbols_lo[:half]],
+        cdf_lo64[symbols_lo[:half] + 1] - cdf_lo64[symbols_lo[:half]], cfg_lo,
+    )
+    info_lo_h = -np.sum(p_true_lo[:half])
     marginal_lo = _marginal(
-        len(stream_lo), st_lo, len(stream_lo_h), st_lo_h,
+        len(stream_lo_f), st_lo_f, len(stream_lo_h), st_lo_h,
         info_lo - info_lo_h, 32,
     )
 
+    # kernel timing over the container's region A (the device-decoded part)
+    st_lo, stream_lo = parsed_lo.states_A, parsed_lo.stream_A
+    n_fac = parsed_lo.n_A
     L_lo = cfg_lo.num_lanes
     R_lo = L_lo // 128
-    T_lo = -(-total // L_lo)
-    tail_lo = total - (T_lo - 1) * L_lo
+    T_lo = -(-n_fac // L_lo)
+    tail_lo = n_fac - (T_lo - 1) * L_lo
     dec_lo = pc64._build_decoder64(
         tuple(int(x) for x in cdf_lo), cfg_lo, T_lo, tail_lo, L_lo, not on_tpu
     )
@@ -436,14 +537,18 @@ def main() -> None:
 
     dt_dec_lo = _chain_time(_sdec_lo, (hi_lo, lo_lo, w_lo))
 
+    # encoder timing covers the FULL message at the facade's lane config
+    # (region sizing is framing, not coding)
+    T_enc = -(-total // L_lo)
+    tail_enc = total - (T_enc - 1) * L_lo
     enc_lo = pc64._build_encoder64(
-        tuple(int(x) for x in cdf_lo), cfg_lo, T_lo, tail_lo, L_lo,
-        T_lo * R_lo + 1, not on_tpu
+        tuple(int(x) for x in cdf_lo), cfg_lo, T_enc, tail_enc, L_lo,
+        T_enc * R_lo + 1, not on_tpu
     )
     syms3d_lo = jax.device_put(jnp.concatenate(
         [jnp.asarray(symbols_lo, jnp.int32),
-         jnp.zeros(T_lo * L_lo - total, jnp.int32)]
-    ).reshape(T_lo, R_lo, 128))
+         jnp.zeros(T_enc * L_lo - total, jnp.int32)]
+    ).reshape(T_enc, R_lo, 128))
 
     def _senc_lo(s3):
         buf, shi, slo, end = enc_lo(s3)
@@ -458,13 +563,14 @@ def main() -> None:
         "entropy_bits": round(info_lo / total, 3),
         "overhead_pct": round(overhead_lo * 100, 3),
         "marginal_overhead_pct": round(marginal_lo * 100, 6),
-        "decode_GBps": round(total / dt_dec_lo / 1e9, 2),
+        "vs_ref": round(vs_ref_lo, 5),
+        "decode_GBps": round(n_fac / dt_dec_lo / 1e9, 2),
         "encode_GBps": round(total / dt_enc_lo / 1e9, 2),
     }
     rows.append(row)
     print(
         f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| {row['marginal_overhead_pct']}% "
+        f"| {row['marginal_overhead_pct']}% | {row['vs_ref']}x "
         f"| {row['decode_GBps']} | {row['encode_GBps']} |"
     )
 
@@ -476,6 +582,22 @@ def main() -> None:
             cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg64
         )
         overhead_r = (len(rstream64) * 32 + L * 64) / info_bits - 1.0
+        vs_ref_r = (len(rstream64) * 32 + L * 64) / _ref_bits_range(
+            symbols, cdf24, 24
+        )
+        # conservation-identity marginal for the range rows (same
+        # methodology as the rANS rows; VERDICT r4 weak #5): difference
+        # words and log2(final range) between two message lengths
+        _, rstream64_h = il2.encode_shared_range(
+            cdf24_64[symbols[:half]],
+            cdf24_64[symbols[:half] + 1] - cdf24_64[symbols[:half]], cfg64,
+        )
+        c_r_f = _range_log2_fin(symbols, cdf24_64, cfg64)
+        c_r_h = _range_log2_fin(symbols[:half], cdf24_64, cfg64)
+        info_h24 = -np.sum(p_true24[:half])
+        marginal_r = (
+            (len(rstream64) - len(rstream64_h)) * 32 - (c_r_f - c_r_h)
+        ) / (info_bits - info_h24) - 1.0
         rdec64 = pc64._build_range_decoder64(
             tuple(int(x) for x in cdf24), cfg64, T, tail, L, not on_tpu
         )
@@ -541,14 +663,16 @@ def main() -> None:
             "workload": name,
             "entropy_bits": round(info_bits / total, 3),
             "overhead_pct": round(overhead_r * 100, 3),
-            "marginal_overhead_pct": None,
+            "marginal_overhead_pct": round(marginal_r * 100, 6),
+            "vs_ref": round(vs_ref_r, 5),
             "decode_GBps": round(total / dt_rdec / 1e9, 2),
             "encode_GBps": renc_gbps,
         }
         rows.append(row)
         print(
             f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-            f"| — | {row['decode_GBps']} | {row['encode_GBps']} |"
+            f"| {row['marginal_overhead_pct']}% | {row['vs_ref']}x "
+            f"| {row['decode_GBps']} | {row['encode_GBps']} |"
         )
 
     # range coder decode (encode is host C++)
@@ -564,10 +688,20 @@ def main() -> None:
         p_true_r = np.log2(p[symbols])
         info_bits = -np.sum(p_true_r)
         overhead = (len(stream) * 16 + L * 32) / info_bits - 1.0
+        vs_ref_r12 = (len(stream) * 16 + L * 32) / _ref_bits_range(
+            symbols, cdf, 12
+        )
         half = total // 2
         _, stream_h = il2.encode_iid_categorical_range(symbols[:half], cdf, cfg)
         info_h = -np.sum(p_true_r[:half])
-        marginal = ((len(stream) - len(stream_h)) * 16) / (info_bits - info_h) - 1.0
+        # conservation-identity marginal (replaces the naive stream-length
+        # differencing, which drifts by up to +-(S-W) bits/lane of
+        # in-state content between the two lengths)
+        c12_f = _range_log2_fin(symbols, cdf64, cfg)
+        c12_h = _range_log2_fin(symbols[:half], cdf64, cfg)
+        marginal = (
+            (len(stream) - len(stream_h)) * 16 - (c12_f - c12_h)
+        ) / (info_bits - info_h) - 1.0
         T = -(-total // L)
         dec = pc._build_range_decoder(
             tuple(int(x) for x in cdf), cfg, T, total - (T - 1) * L, L, not on_tpu
@@ -619,13 +753,15 @@ def main() -> None:
             "entropy_bits": round(info_bits / total, 3),
             "overhead_pct": round(overhead * 100, 3),
             "marginal_overhead_pct": round(marginal * 100, 4),
+            "vs_ref": round(vs_ref_r12, 5),
             "decode_GBps": round(total / dt / 1e9, 2),
             "encode_GBps": enc_gbps,
         }
         rows.append(row)
         print(
             f"| {row['workload']} | {row['entropy_bits']} | {row['overhead_pct']}% "
-            f"| {row['marginal_overhead_pct']}% | {row['decode_GBps']} | {enc_gbps} |"
+            f"| {row['marginal_overhead_pct']}% | {row['vs_ref']}x "
+            f"| {row['decode_GBps']} | {enc_gbps} |"
         )
 
     # per-symbol gaussian family
@@ -693,7 +829,7 @@ def main() -> None:
     rows.append(row)
     print(
         f"| {row['workload']} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| {row['marginal_overhead_pct']}% | {row['decode_GBps']} "
+        f"| {row['marginal_overhead_pct']}% | \u2014 | {row['decode_GBps']} "
         f"| {row['encode_GBps']} |"
     )
 
@@ -822,7 +958,7 @@ def main() -> None:
     rows.append(row)
     print(
         f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| — | {row['decode_GBps']} | {row['encode_GBps']} |"
+        f"| — | — | {row['decode_GBps']} | {row['encode_GBps']} |"
         f"  (table prep {row['table_prep_Msyms']} Msym/s, "
         f"ecp {row['ecp_prep_Msyms']} Msym/s)"
     )
@@ -882,7 +1018,7 @@ def main() -> None:
     }
     rows.append(row)
     print(
-        f"| {row['workload']} | — | — | — | {row['decode_GBps']} "
+        f"| {row['workload']} | — | — | — | — | {row['decode_GBps']} "
         f"| {row['encode_GBps']} |"
     )
 
@@ -932,7 +1068,7 @@ def main() -> None:
     }
     rows.append(row)
     print(
-        f"| {row['workload']} | — | — | — | {row['decode_GBps']} "
+        f"| {row['workload']} | — | — | — | — | {row['decode_GBps']} "
         f"| {row['encode_GBps']} |"
     )
 

@@ -725,3 +725,185 @@ def decode_from_checkpoint(
             ckpt_states[ckpt_index], sub_stream, remaining, cdf, cfg
         )
     return start, out
+
+
+def _range_oracle_loop(
+    pts, lows, rngs, stream, num_symbols, cdf64, cfg, capture_interval=0,
+):
+    """Vectorized range-decode loop from an ARBITRARY (lows, rngs, pts)
+    state (the general form of decode_shared_range_cdf's numpy oracle;
+    reference algebra queue.rs:968-1035).  With ``capture_interval`` > 0,
+    snapshots (stream offset, lows, rngs, pts) BEFORE every
+    ``capture_interval``-th step.  Returns ``(symbols, captures)``."""
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
+    T = -(-num_symbols // L) if num_symbols else 0
+    mask = np.uint64((1 << S) - 1) if S < 64 else np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    lower_bound = np.uint64(1 << (S - W))
+    base = 0
+    out = np.empty(T * L, dtype=np.int32)
+    lanes = np.arange(L)
+    caps = []
+    for t in range(T):
+        if capture_interval > 0 and t > 0 and t % capture_interval == 0:
+            caps.append((base, lows.copy(), rngs.copy(), pts.copy()))
+        idx = t * L + lanes
+        active = idx < num_symbols
+        scale = rngs >> np.uint64(P)
+        q = ((pts - lows) & mask) // scale
+        bad = active & (q >= cdf64[-1])
+        if bad.any():
+            raise ValueError(
+                "Tried to decode data that is inconsistent with the entropy "
+                f"model (quantile >= 2**precision at symbol {int(idx[bad][0])})."
+            )
+        q = np.where(active, q, np.uint64(0))
+        sym = np.searchsorted(cdf64, q, side="right") - 1
+        cum = cdf64[sym]
+        prob = cdf64[sym + 1] - cum
+        lows = np.where(active, (lows + scale * cum) & mask, lows)
+        rngs = np.where(active, scale * prob, rngs)
+        m = active & (rngs < lower_bound)
+        k = int(m.sum())
+        lows = np.where(m, (lows << np.uint64(W)) & mask, lows)
+        rngs = np.where(m, rngs << np.uint64(W), rngs)
+        if k:
+            words = np.zeros(k, dtype=np.uint64)
+            avail = stream[base: base + k]
+            words[: len(avail)] = avail
+            pts[m] = ((pts[m] << np.uint64(W)) & mask) | words
+            base += k
+        out[idx] = sym
+    return out[:num_symbols], caps
+
+
+def build_checkpoints_range(
+    points: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interval: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Range-coder twin of :func:`build_checkpoints`: decode once (numpy
+    oracle), capturing the FULL decoder state -- (stream offset, lows,
+    ranges, points) -- every ``interval`` grid steps.  Snapshot c resumes
+    decoding at symbol ``(c + 1) * interval * L`` via
+    :func:`decode_range_from_checkpoint`, bit-exact with a full decode.
+
+    Returns ``(offsets i64[C], lows [C, L], rngs [C, L], pts [C, L])``
+    with ``C = ceil(T / interval) - 1`` (t=0 is the container itself;
+    reference analog of the Pos/Seek jump tables, queue.rs:911-928)."""
+    assert interval > 0
+    from .interleaved import _state_dtype
+
+    L = cfg.num_lanes
+    S = cfg.state_bits
+    T = -(-num_symbols // L) if num_symbols else 0
+    C = max(-(-T // interval) - 1, 0)
+    dt = _state_dtype(cfg)
+    offsets = np.zeros(C, dtype=np.int64)
+    lows_out = np.zeros((C, L), dtype=dt)
+    rngs_out = np.zeros((C, L), dtype=dt)
+    pts_out = np.zeros((C, L), dtype=dt)
+    if C == 0:
+        return offsets, lows_out, rngs_out, pts_out
+    mask = np.uint64((1 << S) - 1) if S < 64 else np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    _, caps = _range_oracle_loop(
+        points.astype(np.uint64), np.zeros(L, np.uint64),
+        np.full(L, mask, np.uint64), stream, num_symbols, cdf64, cfg,
+        capture_interval=interval,
+    )
+    for c, (base, lo, rn, pt) in enumerate(caps):
+        offsets[c] = base
+        lows_out[c] = lo.astype(dt)
+        rngs_out[c] = rn.astype(dt)
+        pts_out[c] = pt.astype(dt)
+    return offsets, lows_out, rngs_out, pts_out
+
+
+def decode_range_from_checkpoint(
+    ckpt_index: int,
+    offsets: np.ndarray,
+    lows: np.ndarray,
+    rngs: np.ndarray,
+    pts: np.ndarray,
+    stream: np.ndarray,
+    num_symbols: int,
+    cdf: np.ndarray,
+    cfg: LaneConfig,
+    interval: int,
+    device: bool = False,
+) -> Tuple[int, np.ndarray]:
+    """Decode a range stream's suffix from checkpoint ``ckpt_index``
+    (:func:`build_checkpoints_range`); bit-exact with the corresponding
+    slice of a full decode.  ``device=True`` resumes on the seeded Pallas
+    range kernel (initial lower/range planes as extra kernel inputs)."""
+    L = cfg.num_lanes
+    start = (ckpt_index + 1) * interval * L
+    remaining = num_symbols - start
+    if remaining <= 0:
+        return start, np.zeros(0, dtype=np.int64)
+    sub_stream = stream[int(offsets[ckpt_index]):]
+    lo = np.asarray(lows[ckpt_index], np.uint64)
+    rn = np.asarray(rngs[ckpt_index], np.uint64)
+    pt = np.asarray(pts[ckpt_index], np.uint64)
+    if device and _pallas_eligible(cfg):
+        import jax
+        import jax.numpy as jnp
+
+        from . import pallas_coder as pc
+
+        interpret = jax.default_backend() != "tpu"
+        T_r = -(-remaining // L)
+        tail_r = remaining - (T_r - 1) * L
+        R = L // 128
+        s2d = pc._pad_stream2d(np.asarray(sub_stream), R)
+        if cfg.state_bits == 64:
+            from . import pallas_coder64 as pc64
+
+            fn = pc64._build_range_decoder64(
+                tuple(int(x) for x in np.asarray(cdf)), cfg, T_r, tail_r, L,
+                interpret, seeded=True,
+            )
+
+            def _pl(x):
+                return jnp.asarray(
+                    (x & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                ).reshape(R, 128)
+
+            def _ph(x):
+                return jnp.asarray(
+                    (x >> np.uint64(32)).astype(np.uint32)
+                ).reshape(R, 128)
+
+            syms, _phf, _plf, bad = fn(
+                _ph(pt), _pl(pt), _ph(lo), _pl(lo), _ph(rn), _pl(rn), s2d
+            )
+        else:
+            fn = pc._build_range_decoder(
+                tuple(int(x) for x in np.asarray(cdf)), cfg, T_r, tail_r, L,
+                interpret, seeded=True,
+            )
+            syms, _ptf, bad = fn(
+                jnp.asarray(pt.astype(np.uint32)).reshape(R, 128),
+                jnp.asarray(lo.astype(np.uint32)).reshape(R, 128),
+                jnp.asarray(rn.astype(np.uint32)).reshape(R, 128),
+                s2d,
+            )
+        if int(np.asarray(bad)[0]):
+            raise ValueError(
+                "Tried to decode data that is inconsistent with the "
+                "entropy model."
+            )
+        return start, np.asarray(syms).reshape(-1)[:remaining]
+    cdf64 = np.asarray(cdf, dtype=np.uint64)
+    out, _ = _range_oracle_loop(
+        pt.copy(), lo.copy(), rn.copy(), sub_stream, remaining, cdf64, cfg
+    )
+    return start, out

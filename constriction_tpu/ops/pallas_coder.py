@@ -1435,26 +1435,42 @@ def _range_decode_kernel_body(
     T: int,
     tail: int,
     R: int,
+    seeded: bool = False,
 ):
     """ILANS2-R: shared-stream interleaved RANGE decoding (oracle:
     ops/interleaved2.decode_shared_range_cdf; reference per-lane algebra
     /root/reference/src/stream/queue.rs:968-1035).  Differences from rANS:
     three u32 state arrays (lower, range, point), a per-lane division for
     the quantile (f32 divide + exact correction), and the refill shifts all
-    three."""
+    three.
+
+    ``seeded=True`` adds two [R, 128] u32 inputs (initial lows, ranges)
+    after the points: a full mid-stream decoder state, for resuming from a
+    within-block checkpoint (interleaved2.decode_range_from_checkpoint)."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     L = R * LANES
     lower_bound = np.uint32(1 << (S - W))
 
-    def kernel(points_in, stream_hbm, syms_out, points_out, bad_out,
-               lows_s, rngs_s, pts_s, win, base_s, sem):
+    def kernel(*refs):
+        if seeded:
+            (points_in, lows_in, rngs_in, stream_hbm, syms_out, points_out,
+             bad_out, lows_s, rngs_s, pts_s, win, base_s, sem) = refs
+        else:
+            (points_in, stream_hbm, syms_out, points_out, bad_out,
+             lows_s, rngs_s, pts_s, win, base_s, sem) = refs
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
-            lows_s[:] = jnp.zeros((R, LANES), jnp.uint32)
-            rngs_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            if seeded:
+                lows_s[:] = lows_in[:]
+                rngs_s[:] = rngs_in[:]
+            else:
+                lows_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+                rngs_s[:] = jnp.full(
+                    (R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32
+                )
             pts_s[:] = points_in[:]
             base_s[0] = 0
             base_s[1] = 0  # invalid-data flag
@@ -1509,23 +1525,32 @@ def _range_decode_kernel_body(
 
 @inversion_keyed_cache(maxsize=32)
 def _build_range_decoder(cdf_tuple, cfg: LaneConfig, T: int, tail: int, L: int,
-                         interpret: bool):
+                         interpret: bool, seeded: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     cdf = np.asarray(cdf_tuple, dtype=np.int64)
     R = L // LANES
     kernel = _range_decode_kernel_body(
-        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, seeded=seeded
     )
+
+    in_specs = [
+        pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    if seeded:
+        in_specs += [
+            pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     fn = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),

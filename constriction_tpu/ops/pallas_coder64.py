@@ -548,24 +548,46 @@ def _div64_by_scale(d_hi, d_lo, s_hi, s_lo):
 
 
 def _range_decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
-                                tail: int, R: int):
+                                tail: int, R: int, seeded: bool = False):
+    """``seeded=True`` adds four [R, 128] u32 inputs (lower hi/lo, range
+    hi/lo pairs) after the point pair: a full mid-stream decoder state, for
+    resuming from a within-block checkpoint
+    (interleaved2.decode_range_from_checkpoint)."""
     S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     assert S == 64 and W == 32 and P <= 24
     L = R * LANES
     qmask = np.uint32((1 << P) - 1)
 
-    def kernel(pts_hi_in, pts_lo_in, stream_hbm, syms_out, pts_hi_out,
-               pts_lo_out, bad_out,
-               lhi_s, llo_s, rhi_s, rlo_s, phi_s, plo_s, win, base_s, sem):
+    def kernel(*refs):
+        if seeded:
+            (pts_hi_in, pts_lo_in, lhi_in, llo_in, rhi_in, rlo_in,
+             stream_hbm, syms_out, pts_hi_out, pts_lo_out, bad_out,
+             lhi_s, llo_s, rhi_s, rlo_s, phi_s, plo_s, win, base_s,
+             sem) = refs
+        else:
+            (pts_hi_in, pts_lo_in, stream_hbm, syms_out, pts_hi_out,
+             pts_lo_out, bad_out,
+             lhi_s, llo_s, rhi_s, rlo_s, phi_s, plo_s, win, base_s,
+             sem) = refs
         t = pl.program_id(0)
         lane_flat = _row_iota(R) * LANES + _lane_iota(R)
 
         @pl.when(t == 0)
         def _init():
-            lhi_s[:] = jnp.zeros((R, LANES), jnp.uint32)
-            llo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
-            rhi_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
-            rlo_s[:] = jnp.full((R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32)
+            if seeded:
+                lhi_s[:] = lhi_in[:]
+                llo_s[:] = llo_in[:]
+                rhi_s[:] = rhi_in[:]
+                rlo_s[:] = rlo_in[:]
+            else:
+                lhi_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+                llo_s[:] = jnp.zeros((R, LANES), jnp.uint32)
+                rhi_s[:] = jnp.full(
+                    (R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32
+                )
+                rlo_s[:] = jnp.full(
+                    (R, LANES), np.uint32(0xFFFFFFFF), jnp.uint32
+                )
             phi_s[:] = pts_hi_in[:]
             plo_s[:] = pts_lo_in[:]
             base_s[0] = 0
@@ -635,24 +657,27 @@ def _range_decode_kernel_body64(pltpu, pl, *, cdf, cfg: LaneConfig, T: int,
 
 @inversion_keyed_cache(maxsize=32)
 def _build_range_decoder64(cdf_tuple, cfg: LaneConfig, T: int, tail: int,
-                           L: int, interpret: bool):
+                           L: int, interpret: bool, seeded: bool = False):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     cdf = np.asarray(cdf_tuple, dtype=np.int64)
     R = L // LANES
     kernel = _range_decode_kernel_body64(
-        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R
+        pltpu, pl, cdf=cdf, cfg=cfg, T=T, tail=tail, R=R, seeded=seeded
     )
+
+    plane = pl.BlockSpec((R, LANES), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM)
+    in_specs = [plane, plane]
+    if seeded:
+        in_specs += [plane, plane, plane, plane]
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
 
     fn = pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, LANES), lambda t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, R, LANES), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -691,19 +691,38 @@ def _decode_blocks_device_range64(states, streams, cdf, cfg, block_len, mesh):
 def build_block_checkpoints(container, cdf, interval: int):
     """Per-block decoder snapshots every ``interval`` grid steps.
 
-    Returns ``(offsets i64[B, C], states [B, C, L])`` with
+    Returns ``(offsets i64[B, C], states)`` with
     ``C = ceil(T_block / interval) - 1`` (the block header itself is the
-    t=0 snapshot).  rANS containers only (range-decoder seeks need the
-    encoder-side point recomputation; use block-granular access there).
+    t=0 snapshot).  For rANS containers ``states`` is one ``[B, C, L]``
+    array (the lane states); for RANGE containers it is a ``(lows, rngs,
+    pts)`` triple of ``[B, C, L]`` arrays -- the full mid-stream decoder
+    state (reference analog queue.rs:911-928).
     """
     states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
-    if coder_id != CODER_RANS:
-        raise ValueError(
-            "within-block checkpoints cover rANS containers; range "
-            "containers seek at block granularity (the block header is "
-            "the snapshot)"
-        )
     B = len(streams)
+    if coder_id == CODER_RANGE:
+        offs, los, rns, pts = [], [], [], []
+        for b in range(B):
+            nb = min(block_len, max(n - b * block_len, 0))
+            o, lo, rn, pt = il2.build_checkpoints_range(
+                np.asarray(states[b]), streams[b], nb, cdf, cfg, interval
+            )
+            offs.append(o)
+            los.append(lo)
+            rns.append(rn)
+            pts.append(pt)
+        C = max(len(o) for o in offs) if offs else 0
+        off_arr = np.zeros((B, C), dtype=np.int64)
+        shape = (B, C) + los[0].shape[1:]
+        lo_arr = np.zeros(shape, dtype=los[0].dtype)
+        rn_arr = np.zeros(shape, dtype=rns[0].dtype)
+        pt_arr = np.zeros(shape, dtype=pts[0].dtype)
+        for b in range(B):
+            off_arr[b, : len(offs[b])] = offs[b]
+            lo_arr[b, : len(offs[b])] = los[b]
+            rn_arr[b, : len(offs[b])] = rns[b]
+            pt_arr[b, : len(offs[b])] = pts[b]
+        return off_arr, (lo_arr, rn_arr, pt_arr)
     offs, sts = [], []
     for b in range(B):
         nb = min(block_len, max(n - b * block_len, 0))
@@ -729,12 +748,12 @@ def decode_block_from_checkpoint(
     ``ckpt_index`` (from :func:`build_block_checkpoints`); bit-equal to the
     corresponding slice of a full :func:`decode`.  Returns
     ``(global_start_symbol, suffix)`` -- the suffix is clipped to the
-    message length for the final block."""
+    message length for the final block.  ``states`` is the second element
+    of :func:`build_block_checkpoints`'s result: a ``[B, C, L]`` array for
+    rANS containers, a ``(lows, rngs, pts)`` triple for range containers."""
     blk_states, streams, n, block_len, cfg, coder_id = unpack_sharded(
         container
     )
-    if coder_id != CODER_RANS:
-        raise ValueError("within-block checkpoints cover rANS containers")
     if not 0 <= block < len(streams):
         raise ValueError(f"block {block} out of range")
     nb = min(block_len, max(n - block * block_len, 0))
@@ -750,6 +769,14 @@ def decode_block_from_checkpoint(
             f"has {real_c} within-block checkpoints "
             f"({nb} symbols, interval {interval})"
         )
+    if coder_id == CODER_RANGE:
+        lows, rngs, pts = states
+        rel_start, suffix = il2.decode_range_from_checkpoint(
+            ckpt_index, offsets[block], lows[block], rngs[block],
+            pts[block], streams[block], nb, cdf, cfg, interval,
+            device=device,
+        )
+        return block * block_len + rel_start, suffix
     rel_start, suffix = il2.decode_from_checkpoint(
         ckpt_index, offsets[block], states[block], streams[block], nb,
         cdf, cfg, interval, device=device,

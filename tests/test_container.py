@@ -341,9 +341,10 @@ def test_block_checkpoints_random_access():
             np.testing.assert_array_equal(suffix, symbols[start:end])
 
 
-def test_block_checkpoints_s64_and_range_guard():
-    """Checkpoints work at the DEFAULT preset (u64 block states); range
-    containers are rejected with a clear message."""
+def test_block_checkpoints_s64_and_range():
+    """Checkpoints work at the DEFAULT preset (u64 block states), for both
+    the rANS and the RANGE sharded containers (range snapshots carry the
+    full (lows, rngs, pts) decoder state; queue.rs:911-928 analog)."""
     n = 6000
     rng = np.random.RandomState(11)
     probs = rng.dirichlet(np.ones(37))
@@ -369,8 +370,20 @@ def test_block_checkpoints_s64_and_range_guard():
         symbols, model.cdf, cfg=cfg, num_blocks=2, device=False,
         coder="range",
     )
-    with pytest.raises(ValueError, match="block granularity"):
-        parallel.build_block_checkpoints(cont_r, model.cdf, interval)
+    offs_r, sts_r = parallel.build_block_checkpoints(
+        cont_r, model.cdf, interval
+    )
+    assert isinstance(sts_r, tuple) and len(sts_r) == 3
+    block_len_r = n // 2 + n % 2
+    for block in (0, 1):
+        for ck in (0, offs_r.shape[1] - 1):
+            for device in (False, True):
+                start, suffix = parallel.decode_block_from_checkpoint(
+                    cont_r, model.cdf, interval, block, ck, offs_r, sts_r,
+                    device=device,
+                )
+                end = min((block + 1) * block_len_r, n)
+                np.testing.assert_array_equal(suffix, symbols[start:end])
 
 
 def test_parallel_encode_infers_precision_from_cdf():
