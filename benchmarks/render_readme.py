@@ -56,9 +56,15 @@ def render(rows) -> str:
         ]
         extra = []
         if r.get("table_prep_Msyms") is not None:
-            extra.append(f"table prep {r['table_prep_Msyms']} Msym/s")
+            extra.append(f"host table prep {r['table_prep_Msyms']} Msym/s")
         if r.get("ecp_prep_Msyms") is not None:
             extra.append(f"ecp {r['ecp_prep_Msyms']} Msym/s")
+        if r.get("device_prep_Msyms") is not None:
+            extra.append(f"device prep {r['device_prep_Msyms']} Msym/s")
+        if r.get("e2e_fresh_Msyms") is not None:
+            extra.append(
+                f"fresh-model end-to-end {r['e2e_fresh_Msyms']} Msym/s"
+            )
         if extra:
             cells[0] += f" ({', '.join(extra)})"
         out.append("| " + " | ".join(cells) + " |")

@@ -578,98 +578,159 @@ def packed_tables_on_device(
 def _packed_tables_on_device_impl(
     means, scales, family, min_sym, max_sym, precision, cmax, nsteps, R,
 ):
+    # the canary itself validates through this entry: skip the canary
+    # gate here or it would recurse
+    res = packed_tables_on_device_batch(
+        [(means, scales, cmax, nsteps)], family, min_sym, max_sym,
+        precision, R, _canary=False,
+    )
+    return None if res is None else res[0]
+
+
+def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
+                                  precision, R, _canary=True):
+    """Pipelined on-device table build for a LIST of segments.
+
+    ``segs`` is ``[(means, scales, cmax, nsteps), ...]`` (one entry per
+    grouped-decode segment).  The build is phased so the tunneled dev
+    chip's latency and the host patch oracle overlap with device work:
+
+    1. dispatch every segment's f64 window evaluation + ambiguity count
+       (async -- the device queue runs them back to back);
+    2. per segment: read back the COUNT (4 bytes), fetch the ambiguous
+       indices at a power-of-two bucket sized to the count (the old path
+       hauled the worst-case n*W/16-entry index array AND an equally
+       sized patch array over the link -- ~120 MB/segment at suite
+       scale), and run the exact glibc patch oracle on the host while
+       later segments' evals still run on device;
+    3. dispatch every derive_pack;
+    4. finalize: tighten by SLICING the packed planes (packing is plane 0
+       aux + 3 u32 per ascending 4-boundary group, so narrowing is a
+       column truncation -- bit-identical to re-deriving at the tight
+       width, without the second derive pass), and patch host-fallback
+       rows for the rare inconclusive windows.
+
+    Returns a list of ``(tabs4, cmax_r)`` (device arrays), or ``None``
+    when the device path is unavailable (callers use the host builder).
+    """
     from .. import native
     from . import exact_tables_jax as etj
 
-    mean = np.ascontiguousarray(np.asarray(means, np.float64).reshape(-1))
-    scale = np.ascontiguousarray(np.asarray(scales, np.float64).reshape(-1))
-    n = nsteps * R * 128
-    assert len(mean) == n and 16 < precision <= 24 and cmax <= 255
-    G = -(-cmax // 4)
+    if (native.LIB is None or family not in ("gaussian", "laplace",
+                                             "cauchy")):
+        return None
+    if max(abs(int(min_sym)), abs(int(max_sym))) > (1 << 40):
+        return None
+    if _canary and not _device_builder_canary():
+        return None
 
-    # window starts from the deterministic core lower bound (coarse is
-    # fine: inconclusive windows fall back to host rows)
     CL = _EST_C[family][0]
-    if np.isinf(CL):
-        ws = np.full(n, min_sym + 1, np.int64)
-    else:
-        ws = np.clip(np.ceil(mean - CL * scale) - 3.0, min_sym + 1, max_sym
-                     ).astype(np.int64)
-    W = min(cmax + 16, max_sym - min_sym + 1 + 16)
+    ph = []
+    # phase 1: window evals + counts, all segments, async
+    for means, scales, cmax, nsteps in segs:
+        mean = np.ascontiguousarray(np.asarray(means, np.float64).reshape(-1))
+        scale = np.ascontiguousarray(
+            np.asarray(scales, np.float64).reshape(-1)
+        )
+        n = nsteps * R * 128
+        assert len(mean) == n and 16 < precision <= 24 and cmax <= 255
+        # window starts from the deterministic core lower bound (coarse is
+        # fine: inconclusive windows fall back to host rows)
+        if np.isinf(CL):
+            ws = np.full(n, min_sym + 1, np.int64)
+        else:
+            ws = np.clip(
+                np.ceil(mean - CL * scale) - 3.0, min_sym + 1, max_sym
+            ).astype(np.int64)
+        W = min(cmax + 16, max_sym - min_sym + 1 + 16)
+        ws32 = ws.astype(np.int32)
+        tv, ambig = etj.eval_window(
+            mean, scale, ws32, family=family, min_sym=int(min_sym),
+            max_sym=int(max_sym), precision=int(precision), W=int(W),
+        )
+        ph.append(dict(
+            mean=mean, scale=scale, ws=ws, ws32=ws32, n=n, W=W,
+            cmax=int(cmax), nsteps=int(nsteps), tv=tv, ambig=ambig,
+            cnt=etj.ambig_count(ambig),
+        ))
 
-    ws32 = ws.astype(np.int32)
-    tv, ambig = etj.eval_window(
-        mean, scale, ws32, family=family, min_sym=int(min_sym),
-        max_sym=int(max_sym), precision=int(precision), W=int(W),
-    )
-    K = max(4096, (n * W) // 16)
-    idx, count = etj.ambig_indices(ambig, K=K)
-    idx_h = np.asarray(idx)
-    if int(count) > K:
-        return None  # pathological ambiguity level: host path
-    live = idx_h < n * W
-    sym_i = (idx_h[live] // W).astype(np.int64)
-    svals = (ws[sym_i] + (idx_h[live] % W)).astype(np.int32)
-    patch_vals = np.zeros(len(idx_h), np.int32)
-    if len(sym_i):
-        out = np.empty(len(sym_i), np.uint32)
-        native.LIB.ctpu_exact_tv_at(
-            native.DIST_KIND[family], min_sym, max_sym, precision,
-            mean, scale, np.ascontiguousarray(sym_i),
-            np.ascontiguousarray(svals), len(sym_i), out,
-        )
-        patch_vals[live] = out.astype(np.int32)
-    tabs4, incon, overflow, ncore_max = etj.derive_pack(
-        tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
-        min_sym=int(min_sym), max_sym=int(max_sym),
-        precision=int(precision), cmax=int(cmax), nsteps=int(nsteps),
-        R=int(R),
-    )
-    # Host-fallback rows for the (rare) inconclusive/overflowing windows
-    # are built FIRST, at the caller's cmax, so (a) their true ncore can be
-    # folded into the tighten bound below and (b) their width always agrees
-    # with tabs4 (building them after tightening produced a width-mismatch
-    # crash).  A row that genuinely needs more than cmax boundaries sends
-    # the whole batch to the host builder instead of raising mid-decode.
-    bad = np.asarray(incon | overflow)
-    bad_idx = np.nonzero(bad)[0]
-    rows = None
-    rows_nc = 0
-    if len(bad_idx):
-        try:
-            rows, cmax_r = _packed_table_rows(
-                np.ascontiguousarray(mean[bad_idx]),
-                np.ascontiguousarray(scale[bad_idx]),
-                family, min_sym, max_sym, precision, cmax,
+    # phase 2: count readback, bucketed index fetch, host glibc patches
+    for p in ph:
+        count = int(p["cnt"])
+        if count > max(4096, (p["n"] * p["W"]) // 16):
+            return None  # pathological ambiguity level: host path
+        K2 = 1 << max(12, (max(count, 1) - 1).bit_length())
+        idx, _ = etj.ambig_indices(p["ambig"], K=K2)
+        idx_h = np.asarray(idx)
+        live = idx_h < p["n"] * p["W"]
+        sym_i = (idx_h[live] // p["W"]).astype(np.int64)
+        svals = (p["ws"][sym_i] + (idx_h[live] % p["W"])).astype(np.int32)
+        patch_vals = np.zeros(len(idx_h), np.int32)
+        if len(sym_i):
+            out = np.empty(len(sym_i), np.uint32)
+            native.LIB.ctpu_exact_tv_at(
+                native.DIST_KIND[family], min_sym, max_sym, precision,
+                p["mean"], p["scale"], np.ascontiguousarray(sym_i),
+                np.ascontiguousarray(svals), len(sym_i), out,
             )
-        except ValueError:
-            return None  # a row overflows cmax: degrade to the host path
-        assert cmax_r == 4 * G
-        aux_shift = 24 if int(precision) > 16 else 16
-        rows_nc = int((rows[:, 0] >> np.uint32(aux_shift)).max())
-    # tighten: the caller's cmax is group_plan's upper BOUND; kernel scan
-    # and table DMA cost O(width), and the tv grid is still device-resident
-    tight = max(4, -(-max(int(ncore_max), rows_nc, 1) // 4) * 4)
-    if tight < 4 * G:
-        G = tight // 4
-        tabs4, _incon2, _overflow2, _ = etj.derive_pack(
-            tv, jnp.asarray(ws32), idx, jnp.asarray(patch_vals),
+            patch_vals[live] = out.astype(np.int32)
+        p["idx"] = idx
+        p["patch_vals"] = patch_vals
+
+    # phase 3: derive + pack, all segments, async
+    for p in ph:
+        tabs4, incon, overflow, ncore_max = etj.derive_pack(
+            p["tv"], jnp.asarray(p["ws32"]), p["idx"],
+            jnp.asarray(p["patch_vals"]),
             min_sym=int(min_sym), max_sym=int(max_sym),
-            precision=int(precision), cmax=int(tight),
-            nsteps=int(nsteps), R=int(R),
+            precision=int(precision), cmax=p["cmax"],
+            nsteps=p["nsteps"], R=int(R),
         )
+        p.update(tabs4=tabs4, incon=incon, overflow=overflow,
+                 ncm=ncore_max)
+
+    # phase 4: host-fallback rows, slice-tighten, finalize
+    results = []
+    for p in ph:
+        G = -(-p["cmax"] // 4)
+        # Host-fallback rows for the (rare) inconclusive/overflowing
+        # windows are built at the caller's cmax BEFORE tightening, so
+        # their true ncore folds into the tighten bound and their width
+        # always agrees with tabs4.  A row that genuinely needs more than
+        # cmax boundaries sends the whole batch to the host builder.
+        bad = np.asarray(p["incon"] | p["overflow"])
+        bad_idx = np.nonzero(bad)[0]
+        rows = None
+        rows_nc = 0
+        if len(bad_idx):
+            try:
+                rows, cmax_r = _packed_table_rows(
+                    np.ascontiguousarray(p["mean"][bad_idx]),
+                    np.ascontiguousarray(p["scale"][bad_idx]),
+                    family, min_sym, max_sym, precision, p["cmax"],
+                )
+            except ValueError:
+                return None  # a row overflows cmax: host path
+            assert cmax_r == 4 * G
+            aux_shift = 24 if int(precision) > 16 else 16
+            rows_nc = int((rows[:, 0] >> np.uint32(aux_shift)).max())
+        # tighten: the caller's cmax is group_plan's upper BOUND; kernel
+        # scan and table DMA cost O(width)
+        tight = max(4, -(-max(int(p["ncm"]), rows_nc, 1) // 4) * 4)
+        tabs4 = p["tabs4"]
+        if tight < 4 * G:
+            G = tight // 4
+            tabs4 = tabs4[:, : 1 + 3 * G]
+            if rows is not None:
+                rows = rows[:, : 1 + 3 * G]
         if rows is not None:
-            # packing is plane 0 aux + 3 u32 per 4-boundary group, low
-            # groups first, so narrowing is a column truncation; tight
-            # already covers every fallback row's ncore (rows_nc above)
-            rows = rows[:, : 1 + 3 * G]
-    if rows is not None:
-        t_i = (bad_idx // (R * 128)).astype(np.int32)
-        rem = bad_idx % (R * 128)
-        r_i = (rem // 128).astype(np.int32)
-        l_i = (rem % 128).astype(np.int32)
-        tabs4 = tabs4.at[t_i, :, r_i, l_i].set(jnp.asarray(rows))
-    return tabs4, 4 * G
+            t_i = (bad_idx // (R * 128)).astype(np.int32)
+            rem = bad_idx % (R * 128)
+            r_i = (rem // 128).astype(np.int32)
+            l_i = (rem % 128).astype(np.int32)
+            tabs4 = tabs4.at[t_i, :, r_i, l_i].set(jnp.asarray(rows))
+        results.append((tabs4, 4 * G))
+    return results
 
 
 def _packed_table_rows(
@@ -1414,16 +1475,20 @@ def decode_family_exact_grouped(
             and native.LIB is not None
             and max(abs(int(min_sym)), abs(int(max_sym))) <= (1 << 22)
         )
-    for t0, nsteps, cmax in segments:
+    # all segments' tables build in one PIPELINED pass (device evals
+    # overlap the host patch oracle and the link round trips; see
+    # packed_tables_on_device_batch) before any decode kernel launches
+    built_all = None
+    if device_tables and native.LIB is not None:
+        built_all = packed_tables_on_device_batch(
+            [(pm[t0 * L: (t0 + ns) * L], ps[t0 * L: (t0 + ns) * L],
+              cmax, ns) for t0, ns, cmax in segments],
+            family, min_sym, max_sym, cfg.precision, R,
+        )
+    for i, (t0, nsteps, cmax) in enumerate(segments):
         sl = slice(t0 * L, (t0 + nsteps) * L)
-        built = None
-        if device_tables and native.LIB is not None:
-            built = packed_tables_on_device(
-                pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision,
-                cmax, nsteps, R,
-            )
-        if built is not None:
-            tabs4, cmax_r = built
+        if built_all is not None:
+            tabs4, cmax_r = built_all[i]
         else:
             tabs4, cmax_r = packed_tables_device(
                 pm[sl], ps[sl], family, min_sym, max_sym, cfg.precision,

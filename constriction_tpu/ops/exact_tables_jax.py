@@ -256,6 +256,15 @@ def eval_window(means, scales, ws, *, family, min_sym, max_sym, precision,
         )
 
 
+@jax.jit
+def ambig_count(ambig):
+    """Just the ambiguous-entry count (a 4-byte readback): lets the caller
+    size the index fetch to ~count instead of hauling the worst-case
+    n*W/16-entry index array over the host link (up to ~80 MB/segment on
+    the tunneled dev chip -- the dominant prep cost it replaced)."""
+    return jnp.sum(ambig.astype(jnp.int32))
+
+
 @functools.partial(jax.jit, static_argnames=("K",))
 def _ambig_indices(ambig, *, K):
     flat = ambig.reshape(-1)

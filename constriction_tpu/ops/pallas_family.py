@@ -38,6 +38,8 @@ logistic (exact form).
 from __future__ import annotations
 
 import functools
+import math
+import os
 from typing import Tuple
 
 import jax
@@ -287,6 +289,179 @@ def _invert_family(left, qi, min_sym: int, max_sym: int, precision: int):
     return mk
 
 
+def _inv_cdf_guess(xp, family: str, r):
+    """Approximate CONTINUOUS inverse of the family's standardized CDF in
+    f32 (guess only -- exactness comes from the verified window around
+    it).  ``r`` is the clipped CDF fraction in (0, 1); returns t (real
+    units, the same standardization _t_fixed uses)."""
+    if family == "cauchy":
+        y = (r - np.float32(0.5)) * np.float32(math.pi)
+        return xp.sin(y) / xp.cos(y)
+    M = xp.log(r / (np.float32(1.0) - r))
+    if family == "logistic":
+        return M
+    if family == "laplace":
+        # CDF: e^t/2 (t<0), 1 - e^-t/2: invert directly
+        neg = r < np.float32(0.5)
+        t_neg = xp.log(np.float32(2.0) * r)
+        t_pos = -xp.log(np.float32(2.0) * (np.float32(1.0) - r))
+        return xp.where(neg, t_neg, t_pos)
+    # gaussian: sigma(a t + b t^3) with a = _GA/4096, b = _GB/4096; two
+    # Newton steps from t0 = M/a
+    a = np.float32(_GA / 4096.0)
+    b = np.float32(_GB / 4096.0)
+    t = M / a
+    for _ in range(2):
+        f = a * t + b * t * t * t - M
+        fp = a + np.float32(3.0) * b * t * t
+        t = t - f / fp
+    return t
+
+
+def _cdf_pdf_f32(xp, family: str, t):
+    """Continuous f32 (CDF, dCDF/dt) of the standardized family, with the
+    same +-_T_CLAMP/4096 argument clamp the fixed-point path applies --
+    beyond it the CDF is constant and the derivative 0, which makes the
+    Newton model EXACTLY linear in the ramp region."""
+    tmax = np.float32(_T_CLAMP / 4096.0)
+    tc = xp.clip(t, -tmax, tmax)
+    clamped = xp.abs(t) >= tmax
+    if family == "cauchy":
+        C = np.float32(0.5) + xp.arctan(tc) * np.float32(1.0 / math.pi)
+        D = np.float32(1.0 / math.pi) / (np.float32(1.0) + tc * tc)
+    elif family == "laplace":
+        e = xp.exp(-xp.abs(tc))
+        C = xp.where(
+            tc < 0, np.float32(0.5) * e,
+            np.float32(1.0) - np.float32(0.5) * e,
+        )
+        D = np.float32(0.5) * e
+    else:
+        if family == "logistic":
+            z = tc
+            dz = np.float32(1.0)
+        else:  # gaussian: sigma(a t + b t^3)
+            a = np.float32(_GA / 4096.0)
+            b = np.float32(_GB / 4096.0)
+            z = a * tc + b * tc * tc * tc
+            dz = a + np.float32(3.0) * b * tc * tc
+        s = np.float32(1.0) / (np.float32(1.0) + xp.exp(-z))
+        C = s
+        D = s * (np.float32(1.0) - s) * dz
+    return C, xp.where(clamped, np.float32(0.0), D)
+
+
+def _guess_sym(xp, family: str, qi, mean, inv_scale, min_sym: int,
+               max_sym: int, free: int):
+    """f32 initial symbol guess for the guided inversion.
+
+    An inverse-CDF seed followed by two Newton steps on the CONTINUOUS
+    leaky model L(x) = (x - min) + free * CDF((x - 1/2 - mean)/scale):
+    the derivative 1 + free * pdf handles both regimes automatically --
+    CDF-dominated centrally, and the EXACTLY-linear leak ramp in the
+    tails (where the clamped CDF is flat and the slope is 1).  Returns
+    i32 in [min_sym + 1, max_sym]."""
+    free_f = np.float32(free)
+    scale = np.float32(1.0) / inv_scale
+    tmax = np.float32(_T_CLAMP / 4096.0)
+    eps = np.float32(1e-6)
+    qf = qi.astype(xp.float32)
+    r0 = xp.clip(qf / free_f, eps, np.float32(1.0) - eps)
+    t0 = xp.clip(_inv_cdf_guess(xp, family, r0), -tmax - 2, tmax + 2)
+    x = mean + np.float32(0.5) + t0 * scale
+    lo = np.float32(min_sym + 1)
+    hi = np.float32(max_sym)
+    x = xp.clip(x, lo - np.float32(free), hi + np.float32(free))
+    for _ in range(2):
+        t = (x - np.float32(0.5) - mean) * inv_scale
+        C, D = _cdf_pdf_f32(xp, family, t)
+        Lx = (x - np.float32(min_sym)) + free_f * C
+        deriv = np.float32(1.0) + free_f * D * inv_scale
+        x = x - (Lx - qf) / deriv
+    return xp.floor(
+        xp.clip(x, lo, hi) + np.float32(0.5)
+    ).astype(xp.int32)
+
+
+GUIDED_WINDOW = 8
+
+
+def _guided_enabled() -> bool:
+    """Guided quantile inversion EXPERIMENT (default off; set
+    CTPU_GUIDED_FAMILY=1 to enable).  Either path yields the identical
+    bitstream by construction -- the guess only proposes a bracket and a
+    lax.cond falls back to the full bisection whenever any lane's window
+    misses -- but offline measurement shows the f32 guess machinery costs
+    about as much as the exact evals it saves, and the guess miss rate
+    (~3% of lanes over the q distribution) would trigger the per-tile
+    fallback nearly every step at L=32768.  Kept as an opt-in for
+    on-chip tuning."""
+    return os.environ.get("CTPU_GUIDED_FAMILY", "0") == "1"
+
+
+def _invert_family_guided(left, qi, min_sym: int, max_sym: int,
+                          precision: int, family: str):
+    """Guided twin of :func:`_invert_family`: an f32 inverse-CDF guess
+    brackets the symbol in a GUIDED_WINDOW-wide window, two exact left()
+    evals verify containment, and a short exact bisection finishes --
+    3 + log2(window) exact CDF evals instead of log2(span) (8 at the
+    default +-100 support).  Any step whose tile contains a
+    non-contained lane falls back to the FULL bisection via lax.cond, so
+    the result is bitstream-identical to _invert_family by construction
+    (the guess only picks the bracket; every decision is an exact
+    left() compare)."""
+    WN = GUIDED_WINDOW
+    P = precision
+    full = _invert_family(left, qi, min_sym, max_sym, precision)
+    free = (1 << P) - 1 - (max_sym - min_sym)
+
+    def mk(mean, inv_scale):
+        xh = _guess_sym(jnp, family, qi, mean, inv_scale, min_sym,
+                        max_sym, free)
+        e0 = left(xh, mean, inv_scale)
+        below = e0 <= qi
+        l = jnp.where(below, xh, jnp.maximum(xh - WN, np.int32(min_sym)))
+        h = jnp.where(
+            below, jnp.minimum(xh + WN, np.int32(max_sym + 1)), xh
+        )
+        other = jnp.where(below, h, l)
+        oc = jnp.clip(other, np.int32(min_sym + 1), np.int32(max_sym))
+        eo = left(oc, mean, inv_scale)
+        # pinned endpoint values (left(min) = 0 / left(max+1) = 2^P are
+        # definitional, never evaluated -- same convention as the full
+        # bisection)
+        eo = jnp.where(other == np.int32(min_sym), np.int32(0), eo)
+        eo = jnp.where(
+            other == np.int32(max_sym + 1), np.int32(1 << P), eo
+        )
+        lval = jnp.where(below, e0, eo)
+        hval = jnp.where(below, eo, e0)
+        contained = (lval <= qi) & (qi < hval)
+
+        def narrow(_):
+            l_, h_ = l, h
+            cum, right = lval, hval
+            for _ in range(WN.bit_length() - 1):  # window <= WN = 2^k
+                mid = jnp.maximum((l_ + h_) >> 1, np.int32(min_sym + 1))
+                lm = left(mid, mean, inv_scale)
+                take = lm <= qi
+                l_ = jnp.where(take, mid, l_)
+                h_ = jnp.where(take, h_, mid)
+                cum = jnp.where(take, lm, cum)
+                right = jnp.where(take, right, lm)
+            return (
+                l_, cum.astype(jnp.uint32),
+                (right - cum).astype(jnp.uint32),
+            )
+
+        def fallback(_):
+            return full(mean, inv_scale)
+
+        return jax.lax.cond(jnp.all(contained), narrow, fallback, 0)
+
+    return mk
+
+
 def _family_decode_kernel_body(
     pltpu, pl, *, family: str, min_sym: int, max_sym: int,
     cfg: LaneConfig, T: int, tail: int, R: int,
@@ -339,9 +514,14 @@ def _family_decode_kernel_body(
 
         q = states & qmask
         qi = q.astype(jnp.int32)
-        sym, cum, prob = _invert_family(left, qi, min_sym, max_sym, P)(
-            mean, inv_scale
-        )
+        if _guided_enabled():
+            sym, cum, prob = _invert_family_guided(
+                left, qi, min_sym, max_sym, P, family
+            )(mean, inv_scale)
+        else:
+            sym, cum, prob = _invert_family(left, qi, min_sym, max_sym, P)(
+                mean, inv_scale
+            )
         new_states = (states >> P) * prob + (q - cum)
         if tail < L:
             active = jnp.logical_or(t < T - 1, lane_flat < tail)
