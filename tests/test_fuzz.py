@@ -216,12 +216,16 @@ def _device_round_trip_once(seed: int) -> bool:
     model, K = made
     cdf = np.asarray(model.cdf)
     probs_f = np.diff(cdf.astype(np.int64)).astype(np.float64)
-    n = int(rng.choice([1, 63, 129, 500]))
+    n = int(rng.choice([1, 63, 129, 500, 4000]))
     symbols = rng.choice(K, size=n, p=probs_f / probs_f.sum()).astype(np.int64)
     cfg = LaneConfig(num_lanes=128, word_bits=W, state_bits=S, precision=P)
 
-    # ILANS2 facade round trip through the Pallas kernels
-    container = tpu.encode_iid(symbols, cdf, cfg)
+    # ILANS2 facade round trip through the Pallas kernels, alternating the
+    # compact v2 framing (recovered-seed region split engages at the
+    # larger n draws) and the raw v1 container
+    container = tpu.encode_iid(
+        symbols, cdf, cfg, compact=bool(rng.randint(2))
+    )
     out = tpu.decode_iid(container, cdf)
     np.testing.assert_array_equal(out, symbols, err_msg=f"facade seed={seed}")
 
