@@ -58,6 +58,7 @@ def _load_cache() -> dict:
 def _save_cache(update: dict) -> None:
     cache = _load_cache()
     cache.update(update)
+    cache.pop("source", None)  # fresh capture supersedes any seeded record
     cache["saved_at"] = time.time()
     try:
         with open(CACHE_PATH + ".tmp", "w") as f:
@@ -78,21 +79,22 @@ def _emit_stale_and_exit(reason: str) -> None:
     plus the failure reason keeps the record honest."""
     cache = _load_cache()
     if "value" in cache:
-        _emit(
-            {
-                "metric": cache.get(
-                    "metric", "ILANS2-64 interleaved rANS decode GB/s/chip"
-                ),
-                "value": cache["value"],
-                "unit": "GB/s",
-                "vs_baseline": cache.get("vs_baseline", 0.0),
-                "small_preset_GBps": cache.get("small_preset_GBps"),
-                "small_preset_vs_baseline": cache.get("small_preset_vs_baseline"),
-                "stale": True,
-                "stale_reason": reason,
-                "stale_measured_at": cache.get("saved_at"),
-            }
-        )
+        payload = {
+            "metric": cache.get(
+                "metric", "ILANS2-64 interleaved rANS decode GB/s/chip"
+            ),
+            "value": cache["value"],
+            "unit": "GB/s",
+            "vs_baseline": cache.get("vs_baseline", 0.0),
+            "small_preset_GBps": cache.get("small_preset_GBps"),
+            "small_preset_vs_baseline": cache.get("small_preset_vs_baseline"),
+            "stale": True,
+            "stale_reason": reason,
+            "stale_measured_at": cache.get("saved_at"),
+        }
+        if cache.get("source"):
+            payload["stale_source"] = cache["source"]
+        _emit(payload)
         sys.exit(0)
     _emit(
         {

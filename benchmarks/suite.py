@@ -574,6 +574,55 @@ def main() -> None:
         f"| {row['decode_GBps']} | {row['encode_GBps']} |"
     )
 
+    # --- RATE-PARITY configuration: L=128, v2 framing ---
+    # The v2 container's residual cost is the ~4 bits/lane ENSEMBLE
+    # ENTROPY of the independent lane states (width field + mantissa minus
+    # the recovered seed payload) -- an information-theoretic floor for
+    # any per-lane-state parallel format, against the reference's <= 2
+    # flush words.  At L=128 that floor is ~80 bytes, putting the whole
+    # file within ~1e-4 of the reference's byte count on this row while
+    # still decoding on-device far above the reference's CPU rate.
+    cfg_rp = il2.LaneConfig(num_lanes=128, word_bits=32, state_bits=64,
+                            precision=24)
+    overhead_rp, vs_ref_rp = _total_cols(symbols, cdf24, cfg_rp, info_bits)
+    st_rp, stream_rp = il2.encode_shared(
+        cdf24_64[symbols], cdf24_64[symbols + 1] - cdf24_64[symbols], cfg_rp
+    )
+    T_rp = -(-total // 128)
+    tail_rp = total - (T_rp - 1) * 128
+    dec_rp = pc64._build_decoder64(
+        tuple(int(x) for x in cdf24), cfg_rp, T_rp, tail_rp, 128, not on_tpu
+    )
+    hi_rp = jax.device_put(jnp.asarray(
+        (st_rp >> np.uint64(32)).astype(np.uint32)).reshape(1, 128))
+    lo_rp = jax.device_put(jnp.asarray(
+        (st_rp & np.uint64(0xFFFFFFFF)).astype(np.uint32)).reshape(1, 128))
+    w_rp = jax.device_put(pc._pad_stream2d(np.asarray(stream_rp), 1))
+    out = np.asarray(dec_rp(hi_rp, lo_rp, w_rp)[0]).reshape(-1)[:total]
+    assert np.array_equal(out, symbols), "rate-parity decode mismatch"
+
+    def _sdec_rp(h, l, w):
+        syms, _h, _l = dec_rp(h, l, w)
+        dep = (syms[-1, -1, -1].astype(jnp.uint32) >> 31) & 1
+        return h ^ dep, syms[0, 0, 0].astype(jnp.uint32)
+
+    dt_rp = _chain_time(_sdec_rp, (hi_rp, lo_rp, w_rp), n_long=3)
+    name = "rANS rate-parity config (K=100, P=24, L=128, v2 framing)"
+    row = {
+        "workload": name,
+        "entropy_bits": round(info_bits / total, 3),
+        "overhead_pct": round(overhead_rp * 100, 4),
+        "marginal_overhead_pct": None,
+        "vs_ref": round(vs_ref_rp, 6),
+        "decode_GBps": round(total / dt_rp / 1e9, 2),
+        "encode_GBps": None,
+    }
+    rows.append(row)
+    print(
+        f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
+        f"| — | {row['vs_ref']}x | {row['decode_GBps']} | — |"
+    )
+
     # DEFAULT-preset range decode (ILANS2-R64; encode is host C++)
     from constriction_tpu import native as _native
 
