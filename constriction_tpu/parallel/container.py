@@ -175,6 +175,174 @@ def unpack_sharded(
     return states, streams, num_symbols, block_len, cfg, coder
 
 
+# ---------------------------------------------------------------------------
+# Sharded container v2: compact framing (opt-in, rANS only).
+#
+# V1 ships B*L raw lane states (15% of a 16.7M-symbol message at the
+# defaults).  V2 applies the single-container framing tricks
+# (ops/framing.py) at the sharded level:
+#   - per-block VARIABLE-WIDTH state packing (width field + mantissa sans
+#     the implicit leading 1);
+#   - a POOLED-TAIL seed recovery: the last k_tail symbols are encoded
+#     FIRST into a nested compact v2 container (framing.encode_iid_v2,
+#     its own inner seed recovery included), and that container's bits
+#     ride inside ALL blocks' seed states (B*L*(S-W) bits of capacity);
+#     rANS decoding returns every block's lane states to its seeds, so
+#     the tail is recovered for free at decode end.  Overflow beyond the
+#     capacity is shipped raw (real payload either way, never waste).
+#
+# Layout (u32 words):
+#   [0] MAGIC_S  [1] 2
+#   [2] W | P<<8 | S<<16 | CODER_RANS<<24
+#   [3] n lo  [4] n hi           (TOTAL symbols, blocks + tail)
+#   [5] L  [6] B  [7] block_len  (region-A block length)
+#   [8] k_tail   [9] tail_words  (nested tail container length, u32)
+#   [10 .. 10+B)      per-block stream lengths (W-bit words)
+#   [10+B .. 10+2B)   per-block packed-state bit lengths
+#   [..]              packed states, word-aligned per block
+#   [..]              tail spill: ceil(max(tail_bits - cap, 0)/32) words
+#   [..]              per-block stream payloads (word-aligned, as v1)
+# ---------------------------------------------------------------------------
+
+_HDR2 = 10
+
+
+def pack_sharded_v2(states, streams, num_symbols, block_len, cfg,
+                    k_tail, tail_cont):
+    from ..ops import framing as fr
+
+    B = len(streams)
+    S, W = cfg.state_bits, cfg.word_bits
+    header = np.array(
+        [
+            MAGIC_S, 2,
+            cfg.word_bits | (cfg.precision << 8) | (cfg.state_bits << 16)
+            | (CODER_RANS << 24),
+            num_symbols & 0xFFFFFFFF, (num_symbols >> 32) & 0xFFFFFFFF,
+            cfg.num_lanes, B, block_len,
+            k_tail, len(tail_cont),
+        ],
+        dtype=np.uint32,
+    )
+    lens = np.array([len(s) for s in streams], dtype=np.uint32)
+    psa_words, psa_bits = [], []
+    for b in range(B):
+        bits, nbits = fr.pack_states(np.asarray(states[b]), cfg)
+        psa_words.append(fr._u32_from_bits(bits))
+        psa_bits.append(nbits)
+    cap = B * cfg.num_lanes * (S - W)
+    tail_bits_n = len(tail_cont) * 32
+    spill_bits = max(tail_bits_n - cap, 0)
+    if spill_bits:
+        all_bits = fr._bits_from_u32(np.asarray(tail_cont, np.uint32))
+        spill = fr._u32_from_bits(all_bits[cap:])
+    else:
+        spill = np.zeros(0, np.uint32)
+    payloads = [_pack_words(s, W) for s in streams]
+    return np.concatenate(
+        [header, lens, np.asarray(psa_bits, np.uint32)]
+        + psa_words + [spill] + payloads
+    )
+
+
+def unpack_sharded_v2(data):
+    """-> (states [B, L], streams, num_symbols, block_len, cfg, k_tail,
+    tail_words, spill_bits_arr)."""
+    from ..ops import framing as fr
+
+    data = np.asarray(data, dtype=np.uint32)
+    if int(data[0]) != MAGIC_S or int(data[1]) != 2:
+        raise ValueError("not a v2 sharded container")
+    flags = int(data[2])
+    W = flags & 0xFF
+    P = (flags >> 8) & 0xFF
+    S = (flags >> 16) & 0xFF
+    num_symbols = int(data[3]) | (int(data[4]) << 32)
+    L, B, block_len = int(data[5]), int(data[6]), int(data[7])
+    k_tail, tail_words = int(data[8]), int(data[9])
+    cfg = LaneConfig(L, W, S, P)
+    lens = data[_HDR2: _HDR2 + B].astype(np.int64)
+    psa_bits = data[_HDR2 + B: _HDR2 + 2 * B].astype(np.int64)
+    off = _HDR2 + 2 * B
+    from ..ops.interleaved import _state_dtype
+
+    states = np.empty((B, L), _state_dtype(cfg))
+    for b in range(B):
+        nw = -(-int(psa_bits[b]) // 32)
+        bits = fr._bits_from_u32(data[off: off + nw])[: int(psa_bits[b])]
+        states[b] = fr.unpack_states(bits, cfg)
+        off += nw
+    cap = B * L * (S - W)
+    spill_bits = max(tail_words * 32 - cap, 0)
+    nw = -(-spill_bits // 32)
+    spill = fr._bits_from_u32(data[off: off + nw])[:spill_bits]
+    off += nw
+    per = 32 // W
+    streams = []
+    for b in range(B):
+        nwords = int(lens[b])
+        n_u32 = -(-nwords // per)
+        streams.append(_unpack_words(data[off: off + n_u32], W, nwords))
+        off += n_u32
+    return (states, streams, num_symbols, block_len, cfg, k_tail,
+            tail_words, spill)
+
+
+def _sharded_v2_tail_and_seeds(symbols, cdf, cfg, B, est_bits_per_sym):
+    """Choose the pooled tail, encode it as a nested compact container,
+    and spread its bits over the B*L seed states.  Returns
+    ``(k_tail, tail_cont, seeds [B, L] or None)``."""
+    from ..ops import framing as fr
+
+    n = len(symbols)
+    L = cfg.num_lanes
+    S, W = cfg.state_bits, cfg.word_bits
+    cap = B * L * (S - W)
+    est_total = est_bits_per_sym * n
+    if n < 4 * B * L or est_total < 2.0 * cap:
+        return 0, np.zeros(0, np.uint32), None
+    k = int(min(max(cap * 0.98 / max(est_bits_per_sym, 1e-9), 1), n // 2))
+    L_tail = 128
+    while L_tail * 2 <= min(2048, max(k // 8, 128)):
+        L_tail *= 2
+    cfg_tail = LaneConfig(num_lanes=L_tail, word_bits=W, state_bits=S,
+                          precision=cfg.precision)
+    tail_cont = fr.encode_iid_v2(symbols[n - k:], cdf, cfg_tail)
+    blob = fr._bits_from_u32(np.asarray(tail_cont, np.uint32))
+    payload = blob[:cap]
+    if len(payload) < cap:
+        payload = np.concatenate(
+            [payload, np.zeros(cap - len(payload), np.uint8)]
+        )
+    per_block = L * (S - W)
+    seeds = np.stack([
+        fr._seeds_from_payload(
+            payload[b * per_block: (b + 1) * per_block], cfg
+        )
+        for b in range(B)
+    ])
+    return k, tail_cont, seeds
+
+
+def _sharded_v2_recover_tail(fin_states, cdf, cfg, B, k_tail, tail_words,
+                             spill, device):
+    """Pooled payload from all blocks' final states -> nested tail
+    container -> decoded tail symbols."""
+    from ..ops import framing as fr
+
+    L, S, W = cfg.num_lanes, cfg.state_bits, cfg.word_bits
+    cap = B * L * (S - W)
+    chunks = [
+        fr._payload_from_seeds(np.asarray(fin_states[b]), cfg)
+        for b in range(B)
+    ]
+    payload = np.concatenate(chunks)
+    tail_bits_n = tail_words * 32
+    blob = np.concatenate([payload[: min(cap, tail_bits_n)], spill])
+    tail_cont = fr._u32_from_bits(blob[:tail_bits_n])[:tail_words]
+    return fr.decode_iid_v2(tail_cont, cdf, device=device)
+
+
 def _pick_device_count(B: int, mesh=None) -> int:
     import jax
 
@@ -193,6 +361,7 @@ def encode(
     mesh=None,
     device: Optional[bool] = None,
     coder: str = "rans",
+    compact: bool = False,
 ) -> np.ndarray:
     """Encode ``symbols`` into a sharded container in ONE call.
 
@@ -205,10 +374,22 @@ def encode(
     semantics; default) or ``"range"`` (queue semantics -- each block is an
     ILANS2-R unit whose stored states are the decoder point headers,
     queue.rs:847-868).  :func:`decode` reads the choice from the header.
+
+    ``compact=True`` (rANS only) emits the v2 sharded framing:
+    variable-width packed block states plus a pooled-tail seed recovery
+    (the nested tail container rides in ALL blocks' seed states), cutting
+    the per-block state header from B*L*S raw bits to ~4 bits/lane net --
+    the sharded analog of the single-container v2 (ops/framing.py).
+    :func:`decode` reads the version from the header.
     """
     if coder not in _CODER_IDS:
         raise ValueError(
             f"coder must be one of {sorted(_CODER_IDS)}, got {coder!r}"
+        )
+    if compact and coder != "rans":
+        raise ValueError(
+            "compact=True covers rANS containers (range coding has no "
+            "seed-recovery identity; its point headers must ship raw)"
         )
     coder_id = _CODER_IDS[coder]
     if num_blocks < 1:
@@ -242,8 +423,22 @@ def encode(
     # first nonzero-probability symbol (a zero-probability pad symbol would
     # silently corrupt the stream via prob=0 division)
     pad_sym = int(np.argmax(np.diff(cdf64.astype(np.int64)) > 0))
+
+    k_tail, tail_cont, seeds = 0, np.zeros(0, np.uint32), None
+    if compact:
+        p_all = (cdf64[symbols + 1] - cdf64[symbols]).astype(np.float64)
+        est_bps = float(
+            cfg.precision - np.log2(p_all).mean()
+        ) if n else 1.0
+        k_tail, tail_cont, seeds = _sharded_v2_tail_and_seeds(
+            symbols, cdf, cfg, B, est_bps
+        )
+        n_blocks_syms = n - k_tail
+        block_len = max(-(-n_blocks_syms // B), 1)
+    else:
+        n_blocks_syms = n
     padded = np.full(B * block_len, pad_sym, dtype=np.int64)
-    padded[:n] = symbols
+    padded[:n_blocks_syms] = symbols[:n_blocks_syms]
 
     if device is None:
         import jax
@@ -253,10 +448,13 @@ def encode(
         if coder_id == CODER_RANGE:
             enc_dev = (_encode_blocks_device_range64 if cfg.state_bits > 32
                        else _encode_blocks_device_range)
+            states, streams = enc_dev(padded, cdf, cfg, B, block_len, mesh)
         else:
             enc_dev = (_encode_blocks_device64 if cfg.state_bits > 32
                        else _encode_blocks_device)
-        states, streams = enc_dev(padded, cdf, cfg, B, block_len, mesh)
+            states, streams = enc_dev(
+                padded, cdf, cfg, B, block_len, mesh, seeds=seeds
+            )
     else:
         from ..ops.interleaved import _state_dtype
 
@@ -266,9 +464,18 @@ def encode(
                     else il2.encode_shared)
         for b in range(B):
             blk = padded[b * block_len : (b + 1) * block_len]
-            st, sw = enc_host(cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg)
+            kw = {}
+            if seeds is not None and coder_id == CODER_RANS:
+                kw["seeds"] = seeds[b]
+            st, sw = enc_host(
+                cdf64[blk], cdf64[blk + 1] - cdf64[blk], cfg, **kw
+            )
             states[b] = st
             streams.append(sw)
+    if compact:
+        return pack_sharded_v2(
+            states, streams, n, block_len, cfg, k_tail, tail_cont
+        )
     return pack_sharded(states, streams, n, block_len, cfg, coder_id)
 
 
@@ -279,7 +486,11 @@ def decode(
     device: Optional[bool] = None,
 ) -> np.ndarray:
     """Decode a sharded container in ONE call; mesh-shape independent.
-    The stream coder (rANS / range) is read from the container header."""
+    The stream coder (rANS / range) and the framing version are read from
+    the container header."""
+    data = np.asarray(container, dtype=np.uint32)
+    if len(data) >= 2 and int(data[0]) == MAGIC_S and int(data[1]) == 2:
+        return _decode_v2(data, cdf, mesh, device)
     states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
     if int(np.asarray(cdf)[-1]) != 1 << cfg.precision:
         raise ValueError(
@@ -316,6 +527,54 @@ def decode(
             ]
         )
     return out[:n]
+
+
+def _decode_v2(data, cdf, mesh=None, device=None):
+    """Decode a compact (v2) sharded container: region-A blocks with final
+    lane states returned, pooled-tail recovery from the seeds, concat."""
+    (states, streams, n, block_len, cfg, k_tail, tail_words,
+     spill) = unpack_sharded_v2(data)
+    if int(np.asarray(cdf)[-1]) != 1 << cfg.precision:
+        raise ValueError(
+            f"cdf[-1] must equal 2**precision = {1 << cfg.precision} (the "
+            f"container's header precision), got {int(np.asarray(cdf)[-1])}"
+        )
+    B = len(streams)
+    n_A = n - k_tail
+    if device is None:
+        import jax
+
+        device = jax.default_backend() == "tpu" or mesh is not None
+    if device and il2._pallas_eligible(cfg):
+        dec_dev = (_decode_blocks_device64 if cfg.state_bits > 32
+                   else _decode_blocks_device)
+        out, fin_planes = dec_dev(
+            states, streams, cdf, cfg, block_len, mesh, want_final=True
+        )
+        if cfg.state_bits > 32:
+            fin = (fin_planes[0].astype(np.uint64) << np.uint64(32)) | (
+                fin_planes[1].astype(np.uint64)
+            )
+        else:
+            fin = fin_planes[0]
+    else:
+        outs, fins = [], []
+        for b in range(B):
+            o, f = il2.decode_shared_cdf(
+                states[b], streams[b], block_len, cdf, cfg,
+                return_final_states=True,
+            )
+            outs.append(o)
+            fins.append(f)
+        out = np.concatenate(outs)
+        fin = np.stack(fins)
+    out = out[:n_A]
+    if k_tail == 0:
+        return out
+    tail = _sharded_v2_recover_tail(
+        fin, cdf, cfg, B, k_tail, tail_words, spill, device
+    )
+    return np.concatenate([out, tail])
 
 
 # ---------------------------------------------------------------------------
@@ -364,11 +623,14 @@ def _stack_streams(streams, R):
 
 
 def _encode_blocks_generic(padded, cfg, B, block_len, mesh, make_encode_one,
-                           n_state_planes, cap_rows_of):
+                           n_state_planes, cap_rows_of, seed_planes=None):
     """Shared SPMD encode driver: shard blocks over the mesh, run the
     per-block kernel, all_gather the results in block order (rides ICI in a
     slice / DCN across hosts).  ``make_encode_one(geometry)`` returns a
-    per-block function ``s -> (*state_planes, buf, end)``."""
+    per-block function ``s -> (*state_planes, buf, end)`` (with
+    ``seed_planes`` given -- a list of [B, L] u32 arrays carrying per-lane
+    encoder start states, the sharded v2 pooled-tail payload --
+    ``(s, *seed_tiles) -> ...``)."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -382,14 +644,16 @@ def _encode_blocks_generic(padded, cfg, B, block_len, mesh, make_encode_one,
     encode_one = make_encode_one(geom)
     pad = T * L - block_len
     bpd = B // D  # blocks per device
+    n_seed = len(seed_planes) if seed_planes is not None else 0
 
-    def per_device(syms_b):
+    def per_device(syms_b, *seeds_b):
         outs = []
         for i in range(bpd):
             s = syms_b[0, i]
             if pad:
                 s = jnp.concatenate([s, jnp.zeros(pad, jnp.int32)])
-            outs.append(encode_one(s.reshape(T, R, pc.LANES)))
+            extra = [sb[0, i].reshape(R, pc.LANES) for sb in seeds_b]
+            outs.append(encode_one(s.reshape(T, R, pc.LANES), *extra))
         stacked = [jnp.stack([o[k] for o in outs])
                    for k in range(n_state_planes + 2)]
         gathered = [jax.lax.all_gather(x, BLOCK_AXIS) for x in stacked]
@@ -402,12 +666,15 @@ def _encode_blocks_generic(padded, cfg, B, block_len, mesh, make_encode_one,
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(BLOCK_AXIS),),
+        in_specs=tuple(P(BLOCK_AXIS) for _ in range(1 + n_seed)),
         out_specs=tuple(P() for _ in range(n_state_planes + 2)),
         check_vma=False,
     )
     syms = jnp.asarray(padded.reshape(D, bpd, block_len), jnp.int32)
-    results = [np.asarray(x) for x in fn(syms)]
+    seed_args = [
+        jnp.asarray(sp.reshape(D, bpd, L)) for sp in (seed_planes or [])
+    ]
+    results = [np.asarray(x) for x in fn(syms, *seed_args)]
     planes, bufs, ends = (
         results[:n_state_planes], results[n_state_planes],
         results[n_state_planes + 1],
@@ -425,10 +692,14 @@ def _encode_blocks_generic(padded, cfg, B, block_len, mesh, make_encode_one,
 
 
 def _decode_blocks_generic(state_planes, streams, cfg, block_len, mesh,
-                           make_decode_one, has_bad):
+                           make_decode_one, has_bad, want_final=False):
     """Shared SPMD decode driver: ``make_decode_one(geometry)`` returns a
-    per-block function ``(*plane_slices, stream) -> (syms, bad-or-None)``;
-    ``state_planes`` is a list of [B, L] u32 arrays."""
+    per-block function ``(*plane_slices, stream) -> (syms, fin_planes,
+    bad-or-None)`` where ``fin_planes`` is a tuple of final lane-state
+    planes (empty when the kernel has none to give);
+    ``state_planes`` is a list of [B, L] u32 arrays.  With
+    ``want_final=True`` returns ``(symbols, [B, L] final planes list)`` --
+    the sharded v2 pooled-tail payload recovery."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
@@ -443,43 +714,58 @@ def _decode_blocks_generic(state_planes, streams, cfg, block_len, mesh,
     streams_arr, rows = _stack_streams(streams, R)
     bpd = B // D
     n_planes = len(state_planes)
+    n_fin = n_planes if want_final else 0
 
     def per_device(*args):
         plane_bs, stream_b = args[:n_planes], args[n_planes]
-        outs, bads = [], []
+        outs, bads, fins = [], [], []
         for i in range(bpd):
-            syms, bad = decode_one(
+            syms, fin, bad = decode_one(
                 *[pb[0, i].reshape(R, pc.LANES) for pb in plane_bs],
                 stream_b[0, i],
             )
             outs.append(syms.reshape(-1)[:block_len])
+            if want_final:
+                fins.append([f.reshape(-1) for f in fin])
             if has_bad:
                 bads.append(bad[:1])
+        res = [jnp.stack(outs)[None]]
+        for k in range(n_fin):
+            res.append(jnp.stack([f[k] for f in fins])[None])
         if has_bad:
-            return jnp.stack(outs)[None], jnp.stack(bads)[None]
-        return jnp.stack(outs)[None]
+            res.append(jnp.stack(bads)[None])
+        return tuple(res) if len(res) > 1 else res[0]
 
+    n_out = 1 + n_fin + (1 if has_bad else 0)
     fn = jax.shard_map(
         per_device,
         mesh=mesh,
         in_specs=tuple(P(BLOCK_AXIS) for _ in range(n_planes + 1)),
-        out_specs=(P(BLOCK_AXIS), P(BLOCK_AXIS)) if has_bad
-        else P(BLOCK_AXIS),
+        out_specs=(
+            tuple(P(BLOCK_AXIS) for _ in range(n_out)) if n_out > 1
+            else P(BLOCK_AXIS)
+        ),
         check_vma=False,
     )
     res = fn(
         *[jnp.asarray(pl.reshape(D, bpd, L)) for pl in state_planes],
         jnp.asarray(streams_arr.reshape(D, bpd, rows, pc.LANES)),
     )
+    if n_out == 1:
+        res = (res,)
+    out = res[0]
+    fin_planes = [
+        np.asarray(res[1 + k]).reshape(B, L) for k in range(n_fin)
+    ]
     if has_bad:
-        out, bad = res
+        bad = res[1 + n_fin]
         if int(np.asarray(bad).max()):
             raise ValueError(
                 "compressed data inconsistent with the entropy model "
                 "(quantile >= 2^precision)"
             )
-    else:
-        out = res
+    if want_final:
+        return np.asarray(out).reshape(-1), fin_planes
     return np.asarray(out).reshape(-1)
 
 
@@ -489,27 +775,35 @@ def _split_u64(states):
             (st & np.uint64(0xFFFFFFFF)).astype(np.uint32)]
 
 
-def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh):
+def _encode_blocks_device(padded, cdf, cfg, B, block_len, mesh,
+                          seeds=None):
     from ..ops import pallas_coder as pc
 
     cdf_t = tuple(int(x) for x in np.asarray(cdf))
+    seeded = seeds is not None
 
     def make(geom):
         _mesh, _D, interpret, L, _R, T, tail, cap_rows = geom
-        fn_k = pc._build_encoder(cdf_t, cfg, T, tail, L, cap_rows, interpret)
+        fn_k = pc._build_encoder(cdf_t, cfg, T, tail, L, cap_rows,
+                                 interpret, seeded=seeded)
 
-        def encode_one(s3):
-            buf, states, end = fn_k(s3)
+        def encode_one(s3, *seed_tiles):
+            buf, states, end = fn_k(s3, *seed_tiles)
             return states.reshape(-1), buf.reshape(-1), end
 
         return encode_one
 
+    seed_planes = None
+    if seeded:
+        seed_planes = [np.asarray(seeds, np.uint32)]
     return _encode_blocks_generic(
-        padded, cfg, B, block_len, mesh, make, 1, lambda g: g[7]
+        padded, cfg, B, block_len, mesh, make, 1, lambda g: g[7],
+        seed_planes=seed_planes,
     )
 
 
-def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
+def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh,
+                          want_final=False):
     from ..ops import pallas_coder as pc
 
     cdf_t = tuple(int(x) for x in np.asarray(cdf))
@@ -519,42 +813,53 @@ def _decode_blocks_device(states, streams, cdf, cfg, block_len, mesh):
         fn_k = pc._build_decoder(cdf_t, cfg, T, tail, L, interpret)
 
         def decode_one(st, stream):
-            syms, _ = fn_k(st, stream)
-            return syms, None
+            syms, fin = fn_k(st, stream)
+            return syms, (fin,), None
 
         return decode_one
 
     return _decode_blocks_generic(
         [np.asarray(states, np.uint32)], streams, cfg, block_len, mesh,
-        make, has_bad=False,
+        make, has_bad=False, want_final=want_final,
     )
 
 
-def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh):
+def _encode_blocks_device64(padded, cdf, cfg, B, block_len, mesh,
+                            seeds=None):
     """Default-preset (S=64) twin: ILANS2-64 encoder per block, lane states
     gathered as (hi, lo) planes and repacked to u64."""
     from ..ops import pallas_coder64 as pc64
 
     cdf_t = tuple(int(x) for x in np.asarray(cdf))
+    seeded = seeds is not None
 
     def make(geom):
         _mesh, _D, interpret, L, _R, T, tail, cap_rows = geom
         fn_k = pc64._build_encoder64(
-            cdf_t, cfg, T, tail, L, cap_rows, interpret
+            cdf_t, cfg, T, tail, L, cap_rows, interpret, seeded=seeded
         )
 
-        def encode_one(s3):
-            buf, hi, lo, end = fn_k(s3)
+        def encode_one(s3, *seed_tiles):
+            buf, hi, lo, end = fn_k(s3, *seed_tiles)
             return hi.reshape(-1), lo.reshape(-1), buf.reshape(-1), end
 
         return encode_one
 
+    seed_planes = None
+    if seeded:
+        sd = np.asarray(seeds, np.uint64)
+        seed_planes = [
+            (sd >> np.uint64(32)).astype(np.uint32),
+            (sd & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        ]
     return _encode_blocks_generic(
-        padded, cfg, B, block_len, mesh, make, 2, lambda g: g[7]
+        padded, cfg, B, block_len, mesh, make, 2, lambda g: g[7],
+        seed_planes=seed_planes,
     )
 
 
-def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
+def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh,
+                            want_final=False):
     from ..ops import pallas_coder64 as pc64
 
     cdf_t = tuple(int(x) for x in np.asarray(cdf))
@@ -564,14 +869,14 @@ def _decode_blocks_device64(states, streams, cdf, cfg, block_len, mesh):
         fn_k = pc64._build_decoder64(cdf_t, cfg, T, tail, L, interpret)
 
         def decode_one(hi, lo, stream):
-            syms, _hi, _lo = fn_k(hi, lo, stream)
-            return syms, None
+            syms, fhi, flo = fn_k(hi, lo, stream)
+            return syms, (fhi, flo), None
 
         return decode_one
 
     return _decode_blocks_generic(
         _split_u64(states), streams, cfg, block_len, mesh, make,
-        has_bad=False,
+        has_bad=False, want_final=want_final,
     )
 
 
@@ -648,7 +953,7 @@ def _decode_blocks_device_range(states, streams, cdf, cfg, block_len, mesh):
 
         def decode_one(pts, stream):
             syms, _pts, bad = fn_k(pts, stream)
-            return syms, bad
+            return syms, (), bad
 
         return decode_one
 
@@ -669,7 +974,7 @@ def _decode_blocks_device_range64(states, streams, cdf, cfg, block_len, mesh):
 
         def decode_one(hi, lo, stream):
             syms, _phi, _plo, bad = fn_k(hi, lo, stream)
-            return syms, bad
+            return syms, (), bad
 
         return decode_one
 
@@ -698,7 +1003,19 @@ def build_block_checkpoints(container, cdf, interval: int):
     pts)`` triple of ``[B, C, L]`` arrays -- the full mid-stream decoder
     state (reference analog queue.rs:911-928).
     """
-    states, streams, n, block_len, cfg, coder_id = unpack_sharded(container)
+    container = np.asarray(container, dtype=np.uint32)
+    if len(container) >= 2 and int(container[1]) == 2:
+        # v2: checkpoints cover the region-A blocks (the pooled tail needs
+        # EVERY block's final states, i.e. a full decode, so seeks cannot
+        # reach it; decode it with decode())
+        (states, streams, n_tot, block_len, cfg, k_tail, _tw,
+         _sp) = unpack_sharded_v2(container)
+        n = n_tot - k_tail
+        coder_id = CODER_RANS
+    else:
+        states, streams, n, block_len, cfg, coder_id = unpack_sharded(
+            container
+        )
     B = len(streams)
     if coder_id == CODER_RANGE:
         offs, los, rns, pts = [], [], [], []
@@ -751,9 +1068,16 @@ def decode_block_from_checkpoint(
     message length for the final block.  ``states`` is the second element
     of :func:`build_block_checkpoints`'s result: a ``[B, C, L]`` array for
     rANS containers, a ``(lows, rngs, pts)`` triple for range containers."""
-    blk_states, streams, n, block_len, cfg, coder_id = unpack_sharded(
-        container
-    )
+    container = np.asarray(container, dtype=np.uint32)
+    if len(container) >= 2 and int(container[1]) == 2:
+        (blk_states, streams, n_tot, block_len, cfg, k_tail, _tw,
+         _sp) = unpack_sharded_v2(container)
+        n = n_tot - k_tail  # seeks cover the region-A blocks (see build)
+        coder_id = CODER_RANS
+    else:
+        blk_states, streams, n, block_len, cfg, coder_id = unpack_sharded(
+            container
+        )
     if not 0 <= block < len(streams):
         raise ValueError(f"block {block} out of range")
     nb = min(block_len, max(n - block * block_len, 0))

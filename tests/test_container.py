@@ -403,3 +403,88 @@ def test_parallel_encode_infers_precision_from_cdf():
     blocks = parallel.encode(s, mdl.cdf, num_blocks=4)
     out = parallel.decode(blocks, mdl.cdf)
     np.testing.assert_array_equal(np.asarray(out), s)
+
+
+def test_sharded_compact_v2_roundtrip_and_rate():
+    """Sharded v2 (compact=True): variable-width block states + pooled-tail
+    seed recovery.  Host and device (interpret) bytes identical, round
+    trips on both, total size well under v1's raw state header."""
+    rng = np.random.RandomState(21)
+    probs = rng.dirichlet(np.full(60, 1.2))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 24
+    )
+    cdf = model.cdf
+    p = np.diff(cdf.astype(np.float64)) / (1 << 24)
+    n = 200_000
+    syms = rng.choice(60, size=n, p=p).astype(np.int64)
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64, precision=24)
+    c_h = parallel.encode(syms, cdf, cfg=cfg, num_blocks=4, device=False,
+                          compact=True)
+    c_d = parallel.encode(syms, cdf, cfg=cfg, num_blocks=4, device=True,
+                          compact=True)
+    np.testing.assert_array_equal(c_h, np.asarray(c_d))
+    for device in (False, True):
+        np.testing.assert_array_equal(
+            parallel.decode(c_h, cdf, device=device), syms
+        )
+    # the pooled-tail split engaged and the container beats v1
+    from constriction_tpu.parallel.container import unpack_sharded_v2
+
+    assert unpack_sharded_v2(np.asarray(c_h))[5] > 0
+    c1 = parallel.encode(syms, cdf, cfg=cfg, num_blocks=4, device=False)
+    assert len(c_h) < len(c1)
+    # range + compact is rejected explicitly
+    with pytest.raises(ValueError, match="compact"):
+        parallel.encode(syms, cdf, cfg=cfg, num_blocks=4, device=False,
+                        compact=True, coder="range")
+
+
+def test_sharded_compact_v2_small_message_no_tail():
+    """Short messages skip the pooled-tail split (k_tail == 0) and still
+    round trip through the variable-width packing."""
+    rng = np.random.RandomState(22)
+    probs = rng.dirichlet(np.full(30, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    syms = rng.choice(30, size=900, p=probs).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+    cont = parallel.encode(syms, model.cdf, cfg=cfg, num_blocks=2,
+                           device=False, compact=True)
+    from constriction_tpu.parallel.container import unpack_sharded_v2
+
+    assert unpack_sharded_v2(np.asarray(cont))[5] == 0
+    np.testing.assert_array_equal(
+        parallel.decode(cont, model.cdf, device=False), syms
+    )
+
+
+def test_sharded_compact_v2_checkpoints():
+    """Within-block checkpoint seeks work on v2 containers (region-A
+    scope; the pooled tail needs a full decode by construction)."""
+    rng = np.random.RandomState(23)
+    probs = rng.dirichlet(np.full(40, 1.0))
+    model = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+        probs, 12
+    )
+    p = np.diff(model.cdf.astype(np.float64)) / (1 << 12)
+    n = 60_000
+    syms = rng.choice(40, size=n, p=p).astype(np.int64)
+    cfg = LaneConfig(num_lanes=128, word_bits=16, state_bits=32, precision=12)
+    cont = parallel.encode(syms, model.cdf, cfg=cfg, num_blocks=2,
+                           device=False, compact=True)
+    from constriction_tpu.parallel.container import unpack_sharded_v2
+
+    _, _, n_tot, block_len, _, k_tail, _, _ = unpack_sharded_v2(
+        np.asarray(cont)
+    )
+    assert k_tail > 0
+    n_A = n_tot - k_tail
+    interval = 4
+    offs, sts = parallel.build_block_checkpoints(cont, model.cdf, interval)
+    start, suffix = parallel.decode_block_from_checkpoint(
+        cont, model.cdf, interval, 1, 0, offs, sts
+    )
+    end = min(2 * block_len, n_A)
+    np.testing.assert_array_equal(suffix, syms[start:end])
