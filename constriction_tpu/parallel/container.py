@@ -36,6 +36,15 @@ Container layout (u32 words):
                         high words
     [...]               per-block payloads, each u32-aligned
                         (W-bit words packed little-endian as in ILANS2)
+
+Version 2 (``encode(..., compact=True)``, rANS only) replaces the raw
+state section with per-block VARIABLE-WIDTH packed states and adds a
+POOLED-TAIL seed recovery: the last ``k_tail`` symbols are encoded first
+into a nested compact container (ops/framing.py) whose bits ride inside
+all blocks' seed states and are recovered from the blocks' final lane
+states at decode end -- the sharded analog of the single-container v2
+framing, cutting the state header from B*L*S raw bits to ~4 bits/lane
+net.  Layout documented at :func:`pack_sharded_v2`.
 """
 
 from __future__ import annotations

@@ -229,19 +229,23 @@ def _device_round_trip_once(seed: int) -> bool:
     out = tpu.decode_iid(container, cdf)
     np.testing.assert_array_equal(out, symbols, err_msg=f"facade seed={seed}")
 
-    # sharded container: device bytes == host bytes, and both decode
+    # sharded container: device bytes == host bytes, and both decode;
+    # compact v2 (pooled-tail seed recovery) alternates in for rANS
     B = int(rng.choice([1, 2, 3]))
     coder = ["rans", "range"][rng.randint(2)]
+    compact = coder == "rans" and bool(rng.randint(2))
     c_host = parallel.encode(symbols, cdf, cfg=cfg, num_blocks=B,
-                             device=False, coder=coder)
+                             device=False, coder=coder, compact=compact)
     c_dev = parallel.encode(symbols, cdf, cfg=cfg, num_blocks=B,
-                            device=True, coder=coder)
+                            device=True, coder=coder, compact=compact)
     np.testing.assert_array_equal(
-        c_host, c_dev, err_msg=f"container bytes ({coder}) seed={seed}"
+        c_host, c_dev,
+        err_msg=f"container bytes ({coder}, compact={compact}) seed={seed}",
     )
     out = parallel.decode(c_dev, cdf, device=bool(rng.randint(2)))
     np.testing.assert_array_equal(
-        out, symbols, err_msg=f"container ({coder}) seed={seed}"
+        out, symbols,
+        err_msg=f"container ({coder}, compact={compact}) seed={seed}",
     )
     return True
 
