@@ -362,11 +362,35 @@ def main() -> None:
     )
 
 
+def _is_infra_error(exc: BaseException) -> bool:
+    """Only INFRASTRUCTURE failures may fall back to stale numbers; a
+    correctness failure (round-trip mismatch, assertion) must stay rc=1 --
+    cached throughput for a broken build would be fabricated evidence."""
+    text = f"{type(exc).__name__}: {exc}"
+    needles = (
+        "UNAVAILABLE", "DEADLINE", "RESOURCE_EXHAUSTED", "INTERNAL",
+        "backend", "tunnel", "socket", "connect", "XlaRuntimeError",
+        "TPU", "plugin", "initialize",
+    )
+    return any(n.lower() in text.lower() for n in needles)
+
+
 if __name__ == "__main__":
     try:
         main()
-    except SystemExit:
+    except (SystemExit, KeyboardInterrupt):
         raise
-    except BaseException as exc:  # noqa: BLE001 -- evidence must survive
+    except Exception as exc:  # noqa: BLE001 -- evidence must survive
         print(f"# bench: run failed: {exc!r}", file=sys.stderr, flush=True)
-        _emit_stale_and_exit(f"{type(exc).__name__}: {exc}")
+        if _is_infra_error(exc):
+            _emit_stale_and_exit(f"{type(exc).__name__}: {exc}")
+        _emit(
+            {
+                "metric": "ILANS2 rANS decode GB/s/chip",
+                "value": 0.0,
+                "unit": "GB/s",
+                "vs_baseline": 0.0,
+                "error": f"{type(exc).__name__}: {exc}",
+            }
+        )
+        sys.exit(1)

@@ -66,7 +66,10 @@ def main() -> None:
         print("device builder unavailable (no native lib / canary failed)")
         return
 
-    # phase-instrumented rerun (mirrors packed_tables_on_device_batch)
+    # phase-instrumented rerun -- MIRRORS packed_tables_on_device_batch
+    # step by step; when that pipeline changes, update this block too or
+    # the breakdown measures the OLD pipeline (the numbers below are a
+    # diagnostic view, not the production path)
     CL = ef._EST_C["gaussian"][0]
     t_eval = t_count = t_idx = t_patch = t_derive = t_final = 0.0
     ph = []

@@ -587,6 +587,16 @@ def _packed_tables_on_device_impl(
     return None if res is None else res[0]
 
 
+def _host_segment_tables(p, family, min_sym, max_sym, precision, R):
+    """Per-segment host fallback for the batch builder: the fused C++
+    builder's planes, device_put so downstream kernel feeding is uniform."""
+    tabs4, cmax_r = packed_tables_device(
+        p["mean"], p["scale"], family, min_sym, max_sym, precision,
+        p["cmax"], p["nsteps"], R,
+    )
+    return jnp.asarray(tabs4), cmax_r
+
+
 def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
                                   precision, R, _canary=True):
     """Pipelined on-device table build for a LIST of segments.
@@ -655,10 +665,13 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
         ))
 
     # phase 2: count readback, bucketed index fetch, host glibc patches
+    # (a pathological segment degrades to the host builder ALONE -- the
+    # other segments keep their device pipeline)
     for p in ph:
         count = int(p["cnt"])
         if count > max(4096, (p["n"] * p["W"]) // 16):
-            return None  # pathological ambiguity level: host path
+            p["host"] = True
+            continue
         K2 = 1 << max(12, (max(count, 1) - 1).bit_length())
         idx, _ = etj.ambig_indices(p["ambig"], K=K2)
         idx_h = np.asarray(idx)
@@ -679,6 +692,8 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
 
     # phase 3: derive + pack, all segments, async
     for p in ph:
+        if p.get("host"):
+            continue
         tabs4, incon, overflow, ncore_max = etj.derive_pack(
             p["tv"], jnp.asarray(p["ws32"]), p["idx"],
             jnp.asarray(p["patch_vals"]),
@@ -692,6 +707,10 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
     # phase 4: host-fallback rows, slice-tighten, finalize
     results = []
     for p in ph:
+        if p.get("host"):
+            results.append(_host_segment_tables(p, family, min_sym,
+                                                max_sym, precision, R))
+            continue
         G = -(-p["cmax"] // 4)
         # Host-fallback rows for the (rare) inconclusive/overflowing
         # windows are built at the caller's cmax BEFORE tightening, so
@@ -710,7 +729,11 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
                     family, min_sym, max_sym, precision, p["cmax"],
                 )
             except ValueError:
-                return None  # a row overflows cmax: host path
+                # a row overflows cmax: this segment goes to the host
+                # builder; the rest of the batch stays on-device
+                results.append(_host_segment_tables(p, family, min_sym,
+                                                    max_sym, precision, R))
+                continue
             assert cmax_r == 4 * G
             aux_shift = 24 if int(precision) > 16 else 16
             rows_nc = int((rows[:, 0] >> np.uint32(aux_shift)).max())

@@ -236,47 +236,17 @@ def _pick_lb(L_A: int) -> int:
 
 
 def _pack_stream_words(stream: np.ndarray, W: int) -> np.ndarray:
-    """W-bit stream words -> u32 payload (v1 packing, interleaved2)."""
-    if W == 32:
-        return stream.astype(np.uint32)
-    if W == 16:
-        flat = stream
-        if len(flat) % 2:
-            flat = np.concatenate([flat, np.zeros(1, np.uint32)])
-        return (flat[0::2] | (flat[1::2] << 16)).astype(np.uint32)
-    if W == 8:
-        flat = stream
-        pad = (-len(flat)) % 4
-        if pad:
-            flat = np.concatenate([flat, np.zeros(pad, np.uint32)])
-        return (
-            flat[0::4] | (flat[1::4] << 8) | (flat[2::4] << 16)
-            | (flat[3::4] << 24)
-        ).astype(np.uint32)
-    raise ValueError(f"unsupported word size {W}")
+    """W-bit stream words -> u32 payload (shared impl, interleaved2)."""
+    return il2.pack_words(stream, W)
 
 
 def _unpack_stream_words(payload: np.ndarray, W: int, n: int) -> np.ndarray:
-    if W == 32:
-        return payload[:n]
-    if W == 16:
-        stream = np.empty(len(payload) * 2, dtype=np.uint32)
-        stream[0::2] = payload & 0xFFFF
-        stream[1::2] = payload >> 16
-        return stream[:n]
-    if W == 8:
-        stream = np.empty(len(payload) * 4, dtype=np.uint32)
-        stream[0::4] = payload & 0xFF
-        stream[1::4] = (payload >> 8) & 0xFF
-        stream[2::4] = (payload >> 16) & 0xFF
-        stream[3::4] = payload >> 24
-        return stream[:n]
-    raise ValueError(f"unsupported word size {W}")
+    return il2.unpack_words(payload, W, n)
 
 
 def encode_iid_v2(
     symbols: np.ndarray, cdf: np.ndarray, cfg: LaneConfig,
-    device: bool = False,
+    device: bool = False, sym_bits: np.ndarray | None = None,
 ) -> np.ndarray:
     """Encode i.i.d. categorical symbols into a compact v2 container.
 
@@ -285,6 +255,10 @@ def encode_iid_v2(
     :func:`interleaved2.encode_iid_categorical2`: region split, seeded
     region-A encode, variable-width state packing.  Decode with
     :func:`decode_iid_v2` (or the auto-dispatching facade).
+
+    ``sym_bits`` (optional, f64[n]) is each symbol's ideal code length in
+    bits; callers that already computed it (the facade's lane sizing)
+    pass it to skip a redundant O(n) log2 pass.
     """
     symbols = np.asarray(symbols, dtype=np.int64)
     n = len(symbols)
@@ -295,7 +269,10 @@ def encode_iid_v2(
     probs = cdf64[symbols + 1] - cums
 
     C_bits = L * (S - W)  # seed payload capacity
-    bits_per_sym = P - np.log2(probs.astype(np.float64))
+    if sym_bits is not None:
+        bits_per_sym = np.asarray(sym_bits, np.float64).reshape(-1)
+    else:
+        bits_per_sym = P - np.log2(probs.astype(np.float64))
     tail_cum = np.cumsum(bits_per_sym[::-1])
     L_B = _pick_lb(L)
     # B carries its own framing floor (L_B*(S-W+1) state bits it cannot
@@ -362,6 +339,19 @@ def encode_iid_v2(
     )
     psa_bits_arr, psa_bits = pack_states(states_A, cfg)
 
+    for fname, fval in (
+        ("stream_A length", len(stream_A)), ("k_B", k_B),
+        ("stream_B length", len(stream_B)), ("psa_bits", psa_bits),
+        ("psb_bits", len(psb_bits_arr)),
+    ):
+        if fval >> 32:
+            # num_symbols has a two-word field, but the section-length
+            # fields are single u32 words; split absurdly long messages
+            # into blocks (parallel.encode) instead of overflowing here
+            raise ValueError(
+                f"v2 container field {fname} = {fval} exceeds the u32 "
+                "header field; split the message (parallel.encode)"
+            )
     header = np.array(
         [
             MAGIC2, 2,

@@ -450,6 +450,35 @@ def encode_iid_categorical_range(symbols, cdf, cfg: LaneConfig, device: bool = F
 # ---------------------------------------------------------------------------
 
 
+def pack_words(stream: np.ndarray, word_bits: int) -> np.ndarray:
+    """Pack W-bit words (one per u32 element) into dense u32 payload
+    (little-endian within each u32) -- the one shared implementation for
+    every container format (single, sharded, framing v2)."""
+    if word_bits == 32:
+        return stream.astype(np.uint32)
+    per = 32 // word_bits
+    pad = (-len(stream)) % per
+    if pad:
+        stream = np.concatenate([stream, np.zeros(pad, np.uint32)])
+    out = stream[0::per].astype(np.uint32)
+    for k in range(1, per):
+        out = out | (stream[k::per].astype(np.uint32) << (word_bits * k))
+    return out
+
+
+def unpack_words(payload: np.ndarray, word_bits: int,
+                 count: int) -> np.ndarray:
+    """Inverse of :func:`pack_words` (``count`` = W-bit word count)."""
+    if word_bits == 32:
+        return payload[:count]
+    per = 32 // word_bits
+    mask = np.uint32((1 << word_bits) - 1)
+    out = np.empty(len(payload) * per, dtype=np.uint32)
+    for k in range(per):
+        out[k::per] = (payload >> np.uint32(word_bits * k)) & mask
+    return out[:count]
+
+
 def pack_container2(
     init_states: np.ndarray, stream: np.ndarray, num_symbols: int, cfg: LaneConfig
 ) -> np.ndarray:

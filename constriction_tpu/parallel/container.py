@@ -65,29 +65,9 @@ CODER_RANGE = 1
 _CODER_IDS = {"rans": CODER_RANS, "range": CODER_RANGE}
 
 
-def _pack_words(stream: np.ndarray, word_bits: int) -> np.ndarray:
-    """Pack W-bit words (one per u32 element) into dense u32 payload."""
-    if word_bits == 32:
-        return stream.astype(np.uint32)
-    per = 32 // word_bits
-    pad = (-len(stream)) % per
-    if pad:
-        stream = np.concatenate([stream, np.zeros(pad, np.uint32)])
-    out = stream[0::per].astype(np.uint32)
-    for k in range(1, per):
-        out = out | (stream[k::per].astype(np.uint32) << (word_bits * k))
-    return out
-
-
-def _unpack_words(payload: np.ndarray, word_bits: int, count: int) -> np.ndarray:
-    if word_bits == 32:
-        return payload[:count]
-    per = 32 // word_bits
-    mask = np.uint32((1 << word_bits) - 1)
-    out = np.empty(len(payload) * per, dtype=np.uint32)
-    for k in range(per):
-        out[k::per] = (payload >> np.uint32(word_bits * k)) & mask
-    return out[:count]
+# the one shared W-bit-word <-> u32 packing lives in ops/interleaved2
+_pack_words = il2.pack_words
+_unpack_words = il2.unpack_words
 
 
 def pack_sharded(
@@ -222,6 +202,16 @@ def pack_sharded_v2(states, streams, num_symbols, block_len, cfg,
 
     B = len(streams)
     S, W = cfg.state_bits, cfg.word_bits
+    for fname, fval in (
+        ("k_tail", k_tail), ("tail_words", len(tail_cont)),
+        ("block_len", block_len),
+        ("max stream length", max((len(s) for s in streams), default=0)),
+    ):
+        if int(fval) >> 32:
+            raise ValueError(
+                f"v2 sharded header field {fname} = {fval} exceeds its "
+                "u32 field; raise num_blocks to shorten the blocks"
+            )
     header = np.array(
         [
             MAGIC_S, 2,

@@ -145,14 +145,18 @@ def encode_iid(symbols, cdf, cfg: LaneConfig | None = None,
             f"[{int(symbols.min())}, {int(symbols.max())}]"
         )
     est_bits = None
+    sym_bits = None
     if cfg is None and len(symbols):
         cdf64 = np.asarray(cdf, dtype=np.float64)
         p = (cdf64[symbols + 1] - cdf64[symbols]) / cdf64[-1]
-        est_bits = float(-np.log2(p).sum())
+        sym_bits = -np.log2(p)
+        est_bits = float(sym_bits.sum())
     cfg = _pick_cfg(len(symbols), cfg, cdf, est_bits=est_bits)
     _check_cdf(cdf, cfg)
     if compact:
-        return _framing.encode_iid_v2(symbols, cdf, cfg, device=True)
+        return _framing.encode_iid_v2(
+            symbols, cdf, cfg, device=True, sym_bits=sym_bits
+        )
     return _il2.encode_iid_categorical2(symbols, cdf, cfg, device=True)
 
 
