@@ -400,14 +400,20 @@ class _ParsedV2:
 
 
 def parse_v2(data: np.ndarray) -> _ParsedV2:
-    """Parse a v2 container into its regions (no decoding)."""
+    """Parse a v2 container into its regions (no decoding); validates the
+    header's internal consistency so corrupt or truncated containers fail
+    here with a clear error instead of driving the decoder off a cliff."""
     data = np.asarray(data, dtype=np.uint32)
+    if len(data) < 12:
+        raise ValueError("truncated v2 ILANS2 container header")
     if int(data[0]) != MAGIC2 or int(data[1]) != 2:
         raise ValueError("not a v2 ILANS2 container")
     flags = int(data[2])
     W = flags & 0xFF
     P = (flags >> 8) & 0xFF
     S = (flags >> 16) & 0xFF
+    if W not in (8, 16, 32) or not 0 < P <= 24 or S not in (32, 64):
+        raise ValueError("invalid (W, P, S) in v2 container header")
     p = _ParsedV2()
     p.n = int(data[3]) | (int(data[4]) << 32)
     L = int(data[5])
@@ -417,8 +423,55 @@ def parse_v2(data: np.ndarray) -> _ParsedV2:
     p.slen_B = int(data[9])
     psa_bits = int(data[10])
     psb_bits = int(data[11])
+    if L <= 0 or (p.k_B and p.L_B <= 0):
+        raise ValueError("invalid lane counts in v2 container header")
+    # the packed-state section's bit length pins the lane count: every
+    # lane stores a width field plus (w-1) in [S-W, S-1] mantissa bits --
+    # without this, a scrambled L word passes the total-length check (v2
+    # has no L-sized raw section) and the unpacker allocates L-sized
+    # buffers for an absurd L
+    wb_chk = (W - 1).bit_length()
+    if not (L * (wb_chk + S - W) <= psa_bits <= L * (wb_chk + S - 1)):
+        raise ValueError(
+            "packed-state length inconsistent with the lane count "
+            "(corrupt v2 container header)"
+        )
+    if p.k_B and not (
+        p.L_B * (wb_chk + S - W) <= psb_bits <= p.L_B * (wb_chk + S - 1)
+    ):
+        raise ValueError(
+            "region-B packed-state length inconsistent with its lane "
+            "count (corrupt v2 container header)"
+        )
     p.cfg = LaneConfig(num_lanes=L, word_bits=W, state_bits=S, precision=P)
     p.n_A = p.n - p.k_B
+    if p.n_A < 0 or p.k_B < 0:
+        raise ValueError("inconsistent symbol counts in v2 header")
+    # total-length consistency (the v1 unpackers' `expected` check): every
+    # section length is implied by the header, so a corrupt length field
+    # or a truncation fails HERE
+    C_bits_chk = L * (S - W)
+    sb_bits_chk = p.slen_B * W
+    psb_in_seed_chk = (
+        min(psb_bits, max(C_bits_chk - sb_bits_chk, 0)) if p.k_B else 0
+    )
+    rem_bits_chk = psb_bits - psb_in_seed_chk
+    per = 32 // W
+    expected = (
+        12 + -(-psa_bits // 32) + -(-rem_bits_chk // 32)
+        + -(-slen_A // per)
+    )
+    if len(data) != expected:
+        raise ValueError(
+            f"truncated or oversized v2 container: {len(data)} u32 words, "
+            f"header describes {expected}"
+        )
+    # a consistent container cannot declare more symbols than its stream
+    # plus state content can possibly carry (leaky models cost >= 2^-P
+    # bits/symbol); rejects absurd counts from scrambled headers
+    cap_bits = (slen_A + p.slen_B) * W + L * S + p.L_B * S + psb_bits
+    if p.n > (cap_bits << P) + (1 << P):
+        raise ValueError("symbol count inconsistent with container size")
 
     off = 12
     psa_words = -(-psa_bits // 32)
@@ -426,6 +479,11 @@ def parse_v2(data: np.ndarray) -> _ParsedV2:
     off += psa_words
     C_bits = L * (S - W)
     sb_bits = p.slen_B * W
+    if p.k_B and sb_bits > C_bits:
+        raise ValueError(
+            "v2 container header: region-B stream exceeds the seed "
+            "capacity (corrupt header)"
+        )
     p.psb_in_seed = min(psb_bits, C_bits - sb_bits) if p.k_B else 0
     rem_bits = psb_bits - p.psb_in_seed
     rem_words = -(-rem_bits // 32)

@@ -250,18 +250,47 @@ def unpack_sharded_v2(data):
     from ..ops import framing as fr
 
     data = np.asarray(data, dtype=np.uint32)
+    if len(data) < _HDR2:
+        raise ValueError("truncated v2 sharded container header")
     if int(data[0]) != MAGIC_S or int(data[1]) != 2:
         raise ValueError("not a v2 sharded container")
     flags = int(data[2])
     W = flags & 0xFF
     P = (flags >> 8) & 0xFF
     S = (flags >> 16) & 0xFF
+    if W not in (16, 32) or not 0 < P <= 24 or S not in (32, 64):
+        raise ValueError("invalid (W, P, S) in v2 sharded header")
     num_symbols = int(data[3]) | (int(data[4]) << 32)
     L, B, block_len = int(data[5]), int(data[6]), int(data[7])
     k_tail, tail_words = int(data[8]), int(data[9])
+    if L <= 0 or B <= 0 or block_len <= 0 or len(data) < _HDR2 + 2 * B:
+        raise ValueError("invalid geometry in v2 sharded header")
     cfg = LaneConfig(L, W, S, P)
     lens = data[_HDR2: _HDR2 + B].astype(np.int64)
     psa_bits = data[_HDR2 + B: _HDR2 + 2 * B].astype(np.int64)
+    # the packed-state bit lengths pin L (see framing.parse_v2): without
+    # this a scrambled lane-count word drives L-sized allocations
+    wb_chk = (W - 1).bit_length()
+    if not np.all(
+        (psa_bits >= L * (wb_chk + S - W))
+        & (psa_bits <= L * (wb_chk + S - 1))
+    ):
+        raise ValueError(
+            "packed-state lengths inconsistent with the lane count "
+            "(corrupt v2 sharded header)"
+        )
+    cap_chk = B * L * (S - W)
+    expected = (
+        _HDR2 + 2 * B
+        + int(sum(-(-int(pb) // 32) for pb in psa_bits))
+        + -(-max(tail_words * 32 - cap_chk, 0) // 32)
+        + int(sum(-(-int(l) // (32 // W)) for l in lens))
+    )
+    if len(data) != expected:
+        raise ValueError(
+            f"truncated or oversized v2 sharded container: {len(data)} "
+            f"u32 words, header describes {expected}"
+        )
     off = _HDR2 + 2 * B
     from ..ops.interleaved import _state_dtype
 

@@ -181,3 +181,30 @@ def test_facade_v2_default_and_opt_out():
     cont1 = ctpu.encode_iid(syms, cdf, compact=False)
     assert framing.container_version(np.asarray(cont1)) == 1
     assert np.array_equal(ctpu.decode_iid(cont1, cdf), syms)
+
+
+def test_v2_adversarial_headers_fail_cleanly():
+    """Scrambled header fields, truncations, and random bodies must all
+    raise ValueError fast -- never hang or allocate absurd buffers (a
+    scrambled lane-count word once drove a multi-GB unpack allocation)."""
+    cdf, p, rng = _model(40, 1.0, 12, seed=5)
+    syms = rng.choice(40, size=30_000, p=p)
+    cfg = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=12)
+    cont = framing.encode_iid_v2(syms, cdf, cfg)
+    for trial in range(300):
+        c = cont.copy()
+        k = trial % 3
+        if k == 0:  # header scramble (symbol count excluded: a huge but
+            # consistent count is a legitimately long message)
+            w = int(rng.choice([2, 5, 6, 7, 8, 9, 10, 11]))
+            c[w] = rng.randint(0, 1 << 32, dtype=np.uint32)
+        elif k == 1:
+            c = c[: rng.randint(2, len(c))]
+        else:
+            c = np.concatenate([
+                cont[:2],
+                rng.randint(0, 1 << 32, size=rng.randint(3, 80),
+                            dtype=np.uint32).astype(np.uint32),
+            ])
+        with pytest.raises(ValueError):
+            framing.decode_iid_v2(c, cdf)
