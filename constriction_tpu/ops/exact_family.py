@@ -1349,18 +1349,34 @@ _EST_C = {
     "gaussian": (5.5, 8.6),
     "laplace": (16.8, 37.2),
     "cauchy": (np.inf, np.inf),
+    # binomial slots hold (a, b) of the half-width a*sd + b around the
+    # mean nt*p with sd = sqrt(nt*p*(1-p)); IEEE sqrt is correctly
+    # rounded, so the bound stays platform-deterministic.  Calibrated
+    # against exact_ncore over nt <= 255, p in [0.001, 0.999] at P in
+    # {16, 24} (worst observed half-width ratio ~9.0; pinned by
+    # tests/test_exact_family.py::test_binomial_ncore_estimate_upper_bound)
+    "binomial": (10.0, 6.0),
 }
 
 
 def _ncore_estimate(means, scales, family, min_sym, max_sym):
     """Deterministic per-symbol upper bound on the core size, computed with
-    IEEE +,-,*,ceil/floor/clip ONLY (every platform agrees bit-for-bit --
-    unlike libm calls, whose last-ulp differences could flip a sort key
-    and silently desynchronize encoder and decoder).  Overestimates by a
-    few entries; used for the grouping ORDER and for safe table widths
-    (an upper bound can only cost width, never correctness)."""
+    IEEE +,-,*,sqrt,ceil/floor/clip ONLY (every platform agrees
+    bit-for-bit -- unlike libm calls, whose last-ulp differences could
+    flip a sort key and silently desynchronize encoder and decoder).
+    Overestimates by a few entries; used for the grouping ORDER and for
+    safe table widths.  A rare underestimate cannot corrupt anything
+    either: derive overflow routes those rows to the host builder."""
     m = np.asarray(means, np.float64)
     s = np.asarray(scales, np.float64)
+    if family == "binomial":
+        a, b = _EST_C[family]
+        pp = np.clip(s, 0.0, 1.0)
+        mu = m * pp
+        half = a * np.sqrt(m * pp * (1.0 - pp)) + b
+        lo = np.clip(np.ceil(mu - half) - 1.0, min_sym + 1, max_sym)
+        hi = np.clip(np.floor(mu + half) + 1.0, lo, max_sym)
+        return (hi - lo).astype(np.int64) + 1
     CL, CR = _EST_C[family]
     lo = np.clip(np.ceil(m - CL * s) - 1.0, min_sym + 1, max_sym)
     hi = np.clip(np.floor(m + CR * s) + 1.0, lo, max_sym)
@@ -1399,8 +1415,15 @@ def group_plan(
     # whose core is NOT size 1 (a unit gaussian needs ~14 boundaries, a
     # unit laplace ~55): size the final segment for the pad model too, or
     # the decode-side table build overflows on short / low-core batches
-    pad_core = int(_ncore_estimate(
-        np.zeros(1), np.ones(1), family, min_sym, max_sym)[0])
+    if family == "binomial":
+        # the tail-lane pad model is (max_sym trials, p=1/2); see
+        # _pad_params (a (0, 1) slot pair would be degenerate)
+        pad_core = int(_ncore_estimate(
+            np.full(1, float(max_sym)), np.full(1, 0.5), family,
+            min_sym, max_sym)[0])
+    else:
+        pad_core = int(_ncore_estimate(
+            np.zeros(1), np.ones(1), family, min_sym, max_sym)[0])
     padded = np.full(T * L, pad_core, np.int64)
     padded[:n] = ncore[perm]
     stepmax = padded.reshape(T, L).max(axis=1)

@@ -822,3 +822,45 @@ def test_facade_grouped_default_cfg_round_trip():
     out = ctpu.decode_family_exact(
         st, w, means, scales, "gaussian", MIN, MAX, n, grouped=True)
     np.testing.assert_array_equal(np.asarray(out), syms)
+
+
+def test_binomial_ncore_estimate_upper_bound():
+    """The deterministic binomial core-size bound (a*sd + b half-width,
+    IEEE sqrt) covers the exact core over the calibration grid -- the
+    property that makes grouped binomial coding safe.  (Even a rare
+    underestimate could only cost speed: derive overflow routes those
+    rows to the host builder.)"""
+    rng = np.random.RandomState(4)
+    for Pp in (16, 24):
+        for NT in (8, 20, 60, 255):
+            ps = np.concatenate([
+                rng.uniform(0.001, 0.999, 800),
+                rng.uniform(0.001, 0.03, 200),
+                rng.uniform(0.97, 0.999, 200),
+            ])
+            ns = np.full(len(ps), float(NT))
+            nc = ef.exact_ncore(ns, ps, "binomial", 0, NT, Pp).astype(
+                np.int64
+            )
+            est = ef._ncore_estimate(ns, ps, "binomial", 0, NT)
+            assert np.all(nc <= est), (Pp, NT)
+
+
+def test_binomial_grouped_roundtrip():
+    """Grouped (core-size-sorted, tight-cmax segment) coding now covers
+    binomial: bit-exact round trip host + device-interpret."""
+    rng = np.random.RandomState(6)
+    NT = 60
+    cfg = LaneConfig(num_lanes=256, word_bits=32, state_bits=64,
+                     precision=24)
+    n = 30_000
+    ps = rng.uniform(0.02, 0.98, n)
+    ns = np.full(n, float(NT))
+    syms = np.clip(rng.binomial(NT, ps), 0, NT).astype(np.int64)
+    st, stream = ef.encode_family_exact_grouped(
+        syms, ns, ps, "binomial", 0, NT, cfg
+    )
+    out = ef.decode_family_exact_grouped(
+        st, stream, ns, ps, "binomial", 0, NT, cfg, n
+    )
+    np.testing.assert_array_equal(out, syms)
