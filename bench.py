@@ -136,8 +136,11 @@ def _backend_alive_probe(timeout_s: float) -> bool:
         return False
 
 
-def _wait_for_backend(attempts: int = 6, probe_timeout_s: float = 150.0,
-                      backoff_s: float = 60.0) -> bool:
+def _wait_for_backend(attempts: int = 4, probe_timeout_s: float = 120.0,
+                      backoff_s: float = 45.0) -> bool:
+    # worst case ~10 min (4 x 120s probes + 3 x 45s backoffs): long enough
+    # to ride out a slow healthy init or a brief transient, short enough
+    # that the driver's capture window still records the stale fallback
     for i in range(attempts):
         if _backend_alive_probe(probe_timeout_s):
             return True
@@ -190,10 +193,10 @@ def _chained_time(jitted_step, args, n_long, backend):
 
 def main() -> None:
     # Gate backend init behind a subprocess health probe with bounded
-    # backoff: 6 attempts x 60 s covers the transient tunnel outages that
-    # killed BENCH_r04 before any kernel ran.
+    # backoff, covering the transient tunnel outages that killed BENCH_r04
+    # before any kernel ran.
     if not _wait_for_backend():
-        _emit_stale_and_exit("backend init failed after 6 probe attempts")
+        _emit_stale_and_exit("backend init failed after 4 probe attempts")
 
     import jax
 
