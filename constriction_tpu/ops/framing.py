@@ -94,11 +94,28 @@ def _wbits(cfg: LaneConfig) -> int:
     return (cfg.word_bits - 1).bit_length()
 
 
+def _widths_cdf_from_probs(probs_q: np.ndarray) -> np.ndarray:
+    return np.concatenate([[0], np.cumsum(probs_q.astype(np.uint64))])
+
+
+_WP = 12  # fixed-point precision of the coded-widths model
+
+
 def pack_states(states: np.ndarray, cfg: LaneConfig) -> Tuple[np.ndarray, int]:
     """Variable-width packing of lane states into a bit array.
 
-    Layout: L width fields (wbits each, value = bit_length - (S-W+1)),
-    then the L value fields (bit_length - 1 bits each, leading 1 implicit).
+    Layout: a 1-bit mode flag, then either
+
+    - RAW (flag 0): L width fields (wbits each, value = bit_length -
+      (S-W+1)), then the L value fields (bit_length - 1 bits each,
+      leading 1 implicit); or
+    - CODED (flag 1): a 16-bit word count, W quantized 13-bit width
+      probabilities (the stored model -- both sides share it exactly),
+      the host-AnsCoder-compressed width symbols, then the value fields.
+      Chosen only when strictly smaller; wins big at LOW entropy, where
+      states hug the floor and the width distribution collapses (the
+      5-bit raw fields were most of the remaining framing cost there).
+
     Returns ``(bits uint8[nbits], nbits)``.
     """
     S, W = cfg.state_bits, cfg.word_bits
@@ -111,19 +128,66 @@ def pack_states(states: np.ndarray, cfg: LaneConfig) -> Tuple[np.ndarray, int]:
     w = _bit_length_u64(x)
     if np.any(w < wmin) or np.any(w > S):
         raise ValueError("state outside [2^(S-W), 2^S); corrupt coder state")
-    wf = (w - wmin).astype(np.uint64)
+    wf = (w - wmin).astype(np.int64)
     vlen = w - 1  # value field lengths
     vo = np.zeros(L, dtype=np.int64)
     np.cumsum(vlen[:-1], out=vo[1:])
-    total = L * wb + int(vo[-1] + vlen[-1]) if L else 0
+    vtotal = int(vo[-1] + vlen[-1]) if L else 0
+
+    # --- try the coded-widths mode ---
+    coded = None
+    if L >= 64:
+        from ..models.categorical import ContiguousCategoricalEntropyModel
+        from .ans import AnsCoderCore
+
+        hist = np.bincount(wf, minlength=W).astype(np.float64)
+        model = (
+            ContiguousCategoricalEntropyModel
+            .from_floating_point_probabilities_fast(
+                (hist + 1.0) / (L + W), _WP
+            )
+        )
+        cdfq = model.cdf.astype(np.uint64)
+        probs_q = (cdfq[1:] - cdfq[:-1]).astype(np.uint32)
+        enc = AnsCoderCore(word_bits=32, state_bits=64)
+        enc.encode_reverse_tables(
+            cdfq[wf].astype(np.uint32), probs_q[wf], _WP
+        )
+        words = np.asarray(enc.get_compressed(), np.uint32)
+        coded_bits = 16 + W * 13 + len(words) * 32
+        if coded_bits < L * wb and len(words) < (1 << 16):
+            coded = (words, probs_q, coded_bits)
+
+    if coded is not None:
+        words, probs_q, coded_bits = coded
+        head = np.zeros(1 + coded_bits, dtype=np.uint8)
+        head[0] = 1
+        pos = 1
+        for j in range(16):
+            head[pos + j] = (len(words) >> (15 - j)) & 1
+        pos += 16
+        pq = probs_q.astype(np.uint64)
+        for j in range(13):
+            head[pos + np.arange(W) * 13 + j] = (
+                (pq >> np.uint64(12 - j)) & np.uint64(1)
+            ).astype(np.uint8)
+        pos += W * 13
+        head[pos:] = _bits_from_u32(words)
+        width_block = head
+        base = len(width_block)
+    else:
+        width_block = np.zeros(1 + L * wb, dtype=np.uint8)
+        wfu = wf.astype(np.uint64)
+        for j in range(wb):
+            width_block[1 + np.arange(L) * wb + j] = (
+                (wfu >> np.uint64(wb - 1 - j)) & np.uint64(1)
+            ).astype(np.uint8)
+        base = 1 + L * wb
+
+    total = base + vtotal
     bits = np.zeros(total, dtype=np.uint8)
-    # width block (fixed stride)
-    for j in range(wb):
-        bits[np.arange(L) * wb + j] = (
-            (wf >> np.uint64(wb - 1 - j)) & np.uint64(1)
-        ).astype(np.uint8)
+    bits[:base] = width_block
     # value block (ragged; <= S-1 vectorized passes)
-    base = L * wb
     for j in range(int(vlen.max(initial=0))):
         m = vlen > j
         sh = (vlen[m] - 1 - j).astype(np.uint64)
@@ -140,16 +204,54 @@ def unpack_states(bits: np.ndarray, cfg: LaneConfig) -> np.ndarray:
     wmin = S - W + 1
     wb = _wbits(cfg)
     bits = np.asarray(bits, dtype=np.uint8)
-    wf = np.zeros(L, dtype=np.uint64)
-    for j in range(wb):
-        wf = (wf << np.uint64(1)) | bits[np.arange(L) * wb + j].astype(
-            np.uint64
+    if len(bits) < 1:
+        raise ValueError("empty packed-state section")
+    if bits[0]:
+        # coded widths
+        from ..models.categorical import ContiguousCategoricalEntropyModel
+        from .ans import AnsCoderCore
+
+        pos = 1
+        nwords = 0
+        for j in range(16):
+            nwords = (nwords << 1) | int(bits[pos + j])
+        pos += 16
+        pq = np.zeros(W, dtype=np.uint64)
+        for j in range(13):
+            pq = (pq << np.uint64(1)) | bits[
+                pos + np.arange(W) * 13 + j
+            ].astype(np.uint64)
+        pos += W * 13
+        if pq.sum() != (1 << _WP):
+            raise ValueError("corrupt coded-widths model")
+        words = _u32_from_bits(bits[pos: pos + nwords * 32])[:nwords]
+        pos += nwords * 32
+        model = ContiguousCategoricalEntropyModel(
+            _widths_cdf_from_probs(pq).astype(np.uint32), _WP
         )
-    w = wf.astype(np.int64) + wmin
+        dec = AnsCoderCore.from_compressed(
+            np.asarray(words, np.uint32), word_bits=32, state_bits=64
+        )
+        wf = np.asarray(
+            dec.decode_iid_symbols(L, model), np.int64
+        )
+        base = pos
+    else:
+        wfu = np.zeros(L, dtype=np.uint64)
+        for j in range(wb):
+            wfu = (wfu << np.uint64(1)) | bits[
+                1 + np.arange(L) * wb + j
+            ].astype(np.uint64)
+        wf = wfu.astype(np.int64)
+        base = 1 + L * wb
+    w = wf + wmin
+    if np.any(w < wmin) or np.any(w > S):
+        raise ValueError("corrupt width fields in packed-state section")
     vlen = w - 1
     vo = np.zeros(L, dtype=np.int64)
     np.cumsum(vlen[:-1], out=vo[1:])
-    base = L * wb
+    if base + (int(vo[-1] + vlen[-1]) if L else 0) > len(bits):
+        raise ValueError("packed-state section shorter than its widths")
     x = np.zeros(L, dtype=np.uint64)
     for j in range(int(vlen.max(initial=0))):
         m = vlen > j
@@ -431,13 +533,16 @@ def parse_v2(data: np.ndarray) -> _ParsedV2:
     # has no L-sized raw section) and the unpacker allocates L-sized
     # buffers for an absurd L
     wb_chk = (W - 1).bit_length()
-    if not (L * (wb_chk + S - W) <= psa_bits <= L * (wb_chk + S - 1)):
+    # lower bound: flag + mantissa floor (coded widths can be near-free);
+    # upper: flag + raw widths + max mantissas (coded is only chosen when
+    # strictly smaller than raw)
+    if not (1 + L * (S - W) <= psa_bits <= 1 + L * (wb_chk + S - 1)):
         raise ValueError(
             "packed-state length inconsistent with the lane count "
             "(corrupt v2 container header)"
         )
     if p.k_B and not (
-        p.L_B * (wb_chk + S - W) <= psb_bits <= p.L_B * (wb_chk + S - 1)
+        1 + p.L_B * (S - W) <= psb_bits <= 1 + p.L_B * (wb_chk + S - 1)
     ):
         raise ValueError(
             "region-B packed-state length inconsistent with its lane "

@@ -272,8 +272,8 @@ def unpack_sharded_v2(data):
     # this a scrambled lane-count word drives L-sized allocations
     wb_chk = (W - 1).bit_length()
     if not np.all(
-        (psa_bits >= L * (wb_chk + S - W))
-        & (psa_bits <= L * (wb_chk + S - 1))
+        (psa_bits >= 1 + L * (S - W))
+        & (psa_bits <= 1 + L * (wb_chk + S - 1))
     ):
         raise ValueError(
             "packed-state lengths inconsistent with the lane count "
