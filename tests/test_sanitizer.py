@@ -95,6 +95,17 @@ s = cc.decode(cat, 40)
 prefix, suffix = cc.get_remainders()
 cc2 = constriction.stream.chain.ChainCoder(suffix, is_remainders=True)
 cc2.encode_reverse(s, cat)
+
+# v2 framing: ctpu_ilans2_encode_seeded + the decoders' final-state
+# writebacks + the coded-widths AnsCoder pass, all through native
+from constriction_tpu.ops import framing as _fr
+_m12 = ContiguousCategoricalEntropyModel.from_floating_point_probabilities_fast(
+    rng.dirichlet(np.full(50, 1.0)), 12)
+_s12 = rng.choice(50, size=20000,
+                  p=np.diff(_m12.cdf.astype(np.float64)) / 4096).astype(np.int64)
+_cfgf = LaneConfig(num_lanes=256, word_bits=16, state_bits=32, precision=12)
+_c2 = _fr.encode_iid_v2(_s12, _m12.cdf, _cfgf)
+assert np.array_equal(_fr.decode_iid_v2(_c2, _m12.cdf), _s12)
 print("SANITIZED_RUN_OK")
 """
 
