@@ -513,6 +513,37 @@ def packed_tables_device(
 
 
 _DEVICE_BUILDER_OK: dict = {}
+_DF32_EVAL_OK: dict = {}
+
+
+def _df32_eval_enabled() -> bool:
+    """Whether the double-f32 Pallas window evaluator replaces the XLA-f64
+    one for gaussian segments on this backend.
+
+    Decided ONCE per backend: the df32 spot canary must pass on real
+    hardware (interpret mode is non-authoritative -- XLA-CPU folds the
+    compensated arithmetic, ops/df32_pallas.py docstring), and
+    CTPU_DF32_EVAL=0 force-disables.  The full table-builder canary then
+    validates the combined pipeline bit-for-bit (and downgrades to the
+    f64 evaluator if the combination fails)."""
+    import os
+
+    if os.environ.get("CTPU_DF32_EVAL", "1") == "0":
+        return False
+    backend = jax.default_backend()
+    ok = _DF32_EVAL_OK.get(backend)
+    if ok is None:
+        if backend != "tpu":
+            ok = False
+        else:
+            try:
+                from . import df32_pallas as dfp
+
+                ok = bool(dfp.df32_eval_canary())
+            except Exception:
+                ok = False
+        _DF32_EVAL_OK[backend] = ok
+    return ok
 
 
 def _device_builder_canary() -> bool:
@@ -531,18 +562,26 @@ def _device_builder_canary() -> bool:
     n = 4 * 128
     means = rng.randn(n) * 40.0
     scales = np.exp(rng.normal(0.3, 1.0, n))
-    ok = True
-    for fam in ("gaussian", "laplace", "cauchy"):
-        nc = exact_ncore(means, scales, fam, -100, 100, 24)
-        cmax = min(max(int(nc.max()), 1), 255)
-        host, ch = packed_tables_device(
-            means, scales, fam, -100, 100, 24, cmax, 2, 2)
-        dev = _packed_tables_on_device_impl(
-            means, scales, fam, -100, 100, 24, cmax, 2, 2)
-        if dev is None or ch != dev[1] or not np.array_equal(
-                host, np.asarray(dev[0])):
-            ok = False
-            break
+
+    def _check() -> bool:
+        for fam in ("gaussian", "laplace", "cauchy"):
+            nc = exact_ncore(means, scales, fam, -100, 100, 24)
+            cmax = min(max(int(nc.max()), 1), 255)
+            host, ch = packed_tables_device(
+                means, scales, fam, -100, 100, 24, cmax, 2, 2)
+            dev = _packed_tables_on_device_impl(
+                means, scales, fam, -100, 100, 24, cmax, 2, 2)
+            if dev is None or ch != dev[1] or not np.array_equal(
+                    host, np.asarray(dev[0])):
+                return False
+        return True
+
+    ok = _check()
+    if not ok and _df32_eval_enabled():
+        # the combination failed: downgrade to the f64 evaluator and give
+        # the device path one more chance before disabling it entirely
+        _DF32_EVAL_OK[backend] = False
+        ok = _check()
     _DEVICE_BUILDER_OK[backend] = ok
     return ok
 
@@ -654,10 +693,18 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
             ).astype(np.int64)
         W = min(cmax + 16, max_sym - min_sym + 1 + 16)
         ws32 = ws.astype(np.int32)
-        tv, ambig = etj.eval_window(
-            mean, scale, ws32, family=family, min_sym=int(min_sym),
-            max_sym=int(max_sym), precision=int(precision), W=int(W),
-        )
+        if family == "gaussian" and _df32_eval_enabled():
+            from . import df32_pallas as dfp
+
+            tv, ambig = dfp.eval_window_gaussian_pallas(
+                mean, scale, ws32, min_sym=int(min_sym),
+                max_sym=int(max_sym), precision=int(precision), W=int(W),
+            )
+        else:
+            tv, ambig = etj.eval_window(
+                mean, scale, ws32, family=family, min_sym=int(min_sym),
+                max_sym=int(max_sym), precision=int(precision), W=int(W),
+            )
         ph.append(dict(
             mean=mean, scale=scale, ws=ws, ws32=ws32, n=n, W=W,
             cmax=int(cmax), nsteps=int(nsteps), tv=tv, ambig=ambig,
