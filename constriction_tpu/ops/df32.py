@@ -195,12 +195,62 @@ def df_erf(xp, th, tl):
     return xp.where(neg, -eh, eh), xp.where(neg, -el, el)
 
 
-def eval_window_gaussian_df(xp, means, scales, ws, *, min_sym, max_sym,
-                            precision, W):
-    """df32 twin of etj._eval_window64 for the gaussian family: same
-    windows, same margin rules, same saturation threshold, different
-    arithmetic.  ``means``/``scales`` are f64 on the host; ``ws`` i32.
-    Returns ``(tv i32 [n, W], ambig bool [n, W])``.
+def df_atan(xp, th, tl):
+    """atan in df32 with the f64 evaluator's Chebyshev fit (etj._C_ATAN):
+    |t| <= 1 direct, else pi/2 - atan(1/t)."""
+    neg = th < 0
+    ah = xp.where(neg, -th, th)
+    al = xp.where(neg, -tl, tl)
+    big = ah > np.float32(1.0)
+    ih, il = df_recip(xp, xp.maximum(ah, np.float32(1.0)),
+                      xp.where(big, al, np.float32(0.0)))
+    vh = xp.where(big, ih, xp.minimum(ah, np.float32(1.0)))
+    vl = xp.where(big, il, al)
+    v2h, v2l = df_mul(xp, vh, vl, vh, vl)
+    ph, pl = df_poly(xp, etj._C_ATAN, v2h, v2l)
+    rh, rl = df_mul(xp, vh, vl, ph, pl)
+    hp = df_const(math.pi / 2.0)
+    bh, bl = df_add(xp, hp[0] + xp.zeros_like(rh), hp[1] + xp.zeros_like(rl),
+                    -rh, -rl)
+    oh = xp.where(big, bh, rh)
+    ol = xp.where(big, bl, rl)
+    return xp.where(neg, -oh, oh), xp.where(neg, -ol, ol)
+
+
+def df_cdf_from_arg(xp, family: str, th, tl):
+    """df32 CDF in the standardized argument (same formula shapes as
+    etj._cdf_from_arg); returns a df pair."""
+    half = np.float32(0.5)
+    if family == "gaussian":
+        eh, el = df_erf(xp, th, tl)
+        oh, ol = df_add(xp, np.float32(1.0) + xp.zeros_like(eh),
+                        xp.zeros_like(eh), eh, el)
+        return df_mul_f(xp, oh, ol, half)
+    if family == "laplace":
+        ah = xp.where(th < 0, -th, th)
+        al = xp.where(th < 0, -tl, tl)
+        ah = xp.minimum(ah, np.float32(45.0))
+        al = xp.where(ah < np.float32(45.0), al, np.float32(0.0))
+        exh, exl = df_exp_neg(xp, ah, al)
+        lo_h, lo_l = df_mul_f(xp, exh, exl, half)
+        hi_h, hi_l = df_add(xp, np.float32(1.0) + xp.zeros_like(lo_h),
+                            xp.zeros_like(lo_h), -lo_h, -lo_l)
+        neg = th < 0
+        return xp.where(neg, lo_h, hi_h), xp.where(neg, lo_l, hi_l)
+    # cauchy: 1/2 + atan(t)/pi
+    ah, al = df_atan(xp, th, tl)
+    ip = df_const(1.0 / math.pi)
+    mh, ml = df_mul(xp, ah, al, ip[0] + xp.zeros_like(ah),
+                    ip[1] + xp.zeros_like(al))
+    return df_add(xp, half + xp.zeros_like(mh), xp.zeros_like(mh), mh, ml)
+
+
+def eval_window_df(xp, family, means, scales, ws, *, min_sym, max_sym,
+                   precision, W):
+    """df32 twin of etj._eval_window64: same windows, same margin rules,
+    same saturation threshold, different arithmetic.  ``means``/``scales``
+    are f64 on the host; ``ws`` i32.  Returns
+    ``(tv i32 [n, W], ambig bool [n, W])``.
 
     Decision differences vs the f64 evaluator can only move entries
     between 'unambiguous' and 'patch' (both legal); accepted entries'
@@ -208,20 +258,18 @@ def eval_window_gaussian_df(xp, means, scales, ws, *, min_sym, max_sym,
     tests/test_df32.py against the exact oracle."""
     free = float((1 << precision) - 1 - (max_sym - min_sym))
     freei = np.int32(int(free))
-    n = len(means)
     j = np.arange(W, dtype=np.int64)
     s = np.asarray(ws, np.int64)[:, None] + j[None, :]
     # x = s - 0.5 - mean  (exact in f64 on host), then df split
     x64 = s.astype(np.float64) - 0.5 - np.asarray(means, np.float64)[:, None]
-    inv64 = 1.0 / (np.asarray(scales, np.float64) * math.sqrt(2.0))
+    sc = np.asarray(scales, np.float64)
+    inv64 = 1.0 / (sc * math.sqrt(2.0)) if family == "gaussian" else 1.0 / sc
     xh, xl = df_from_f64(x64)
     ivh, ivl = df_from_f64(np.broadcast_to(inv64[:, None], x64.shape))
     th, tl = df_mul(xp, xh, xl, ivh, ivl)
-    eh, el = df_erf(xp, th, tl)
-    # A = free * 0.5 * (1 + erf)
-    oh, ol = df_add(xp, np.float32(1.0), np.float32(0.0), eh, el)
-    fh, fl = df_const(free * 0.5)
-    Ah, Al = df_mul(xp, oh, ol, xp.full_like(oh, fh), xp.full_like(ol, fl))
+    Ch, Cl = df_cdf_from_arg(xp, family, th, tl)
+    fh, fl = df_const(free)
+    Ah, Al = df_mul(xp, Ch, Cl, xp.full_like(Ch, fh), xp.full_like(Cl, fl))
 
     # margin rules on A (f64 reconstruction of the df pair is exact)
     A = np.float64(Ah) + np.float64(Al)
@@ -234,13 +282,17 @@ def eval_window_gaussian_df(xp, means, scales, ws, *, min_sym, max_sym,
     m = etj.MARGIN
     unamb_frac = (fr > m) & (fr < 1.0 - m)
     unamb_zero = (u <= 0) & (A < 1.0 - m)
-    t_star = etj.sat_threshold("gaussian")
-    # band widened to this evaluator's argument error (~2^-44 relative
-    # on t, still dominated by the f64 path's 2^-30 allowance)
-    eps = abs(t_star) * 2.0 ** -30 + 2.0 ** -30
-    d = t64 - t_star
-    certain_sat = d > eps
-    band = np.abs(d) <= eps
+    t_star = etj.sat_threshold(family)
+    if math.isinf(t_star):
+        certain_sat = np.zeros(A.shape, bool)
+        band = np.zeros(A.shape, bool)
+    else:
+        # band widened to this evaluator's argument error (~2^-44
+        # relative on t, dominated by the f64 path's 2^-30 allowance)
+        eps = abs(t_star) * 2.0 ** -30 + 2.0 ** -30
+        d = t64 - t_star
+        certain_sat = d > eps
+        band = np.abs(d) <= eps
     unamb_top = (~certain_sat) & (~band) & (A > free - 1.0 + m)
     tv = np.maximum(u, 0)
     tv = np.where(unamb_zero, 0, tv)
@@ -252,3 +304,7 @@ def eval_window_gaussian_df(xp, means, scales, ws, *, min_sym, max_sym,
     tv = np.where(oos, freei, tv)
     ambig = np.where(oos, False, ambig)
     return tv.astype(np.int32), ambig
+
+
+def eval_window_gaussian_df(xp, means, scales, ws, **kw):
+    return eval_window_df(xp, "gaussian", means, scales, ws, **kw)

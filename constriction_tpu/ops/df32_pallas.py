@@ -41,12 +41,13 @@ _TS = 8  # sublane rows per symbol tile
 _LN = 128
 
 
-def _kernel_body(pl, *, min_sym: int, max_sym: int, precision: int, W: int):
+def _kernel_body(pl, *, family: str, min_sym: int, max_sym: int,
+                 precision: int, W: int):
     free = float((1 << precision) - 1 - (max_sym - min_sym))
     freei = np.int32(int(free))
-    fh, fl = df.df_const(free * 0.5)
-    t_star = etj.sat_threshold("gaussian")
-    tsh, tsl = df.df_const(float(t_star))
+    fh, fl = df.df_const(free)
+    t_star = etj.sat_threshold(family)
+    tsh, tsl = df.df_const(float(min(t_star, 1e30)))
     # band eps: the f64 path's allowance (2^-30 terms) plus this
     # evaluator's coarser argument error; widening only moves entries to
     # the patch oracle
@@ -65,12 +66,10 @@ def _kernel_body(pl, *, min_sym: int, max_sym: int, precision: int, W: int):
             sj = ws + np.float32(j - 0.5)
             xh, xl = df.df_add(jnp, sj, jnp.zeros_like(sj), -mh, -ml)
             th, tl = df.df_mul(jnp, xh, xl, ivh, ivl)
-            eh, el = df.df_erf(jnp, th, tl)
-            oh, ol = df.df_add(jnp, np.float32(1.0) + jnp.zeros_like(eh),
-                               jnp.zeros_like(eh), eh, el)
-            Ah, Al = df.df_mul(jnp, oh, ol,
-                               fh + jnp.zeros_like(oh),
-                               fl + jnp.zeros_like(ol))
+            Ch, Cl = df.df_cdf_from_arg(jnp, family, th, tl)
+            Ah, Al = df.df_mul(jnp, Ch, Cl,
+                               fh + jnp.zeros_like(Ch),
+                               fl + jnp.zeros_like(Cl))
             # frac/int decomposition without f64: r = (Ah - round(Ah)) + Al
             # is exact (Sterbenz) and small, so plain f32 finishes it
             # frac/int decomposition without f64: r = (Ah - round(Ah))
@@ -118,13 +117,14 @@ def _kernel_body(pl, *, min_sym: int, max_sym: int, precision: int, W: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _build_eval(min_sym: int, max_sym: int, precision: int, W: int,
-                n_tiles: int, interpret: bool):
+def _build_eval(family: str, min_sym: int, max_sym: int, precision: int,
+                W: int, n_tiles: int, interpret: bool):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     kernel = _kernel_body(
-        pl, min_sym=min_sym, max_sym=max_sym, precision=precision, W=W
+        pl, family=family, min_sym=min_sym, max_sym=max_sym,
+        precision=precision, W=W
     )
     tile = pl.BlockSpec((1, _TS, _LN), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -147,16 +147,17 @@ def _build_eval(min_sym: int, max_sym: int, precision: int, W: int,
     return jax.jit(fn)
 
 
-def eval_window_gaussian_pallas(means, scales, ws, *, min_sym, max_sym,
-                                precision, W, interpret=None):
-    """Drop-in twin of etj.eval_window (gaussian): returns device arrays
+def eval_window_family_pallas(family, means, scales, ws, *, min_sym,
+                              max_sym, precision, W, interpret=None):
+    """Drop-in twin of etj.eval_window: returns device arrays
     ``(tv i32 [n, W], ambig bool [n, W])``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     mean64 = np.asarray(means, np.float64).reshape(-1)
     n = len(mean64)
-    inv64 = 1.0 / (np.asarray(scales, np.float64).reshape(-1)
-                   * math.sqrt(2.0))
+    sc = np.asarray(scales, np.float64).reshape(-1)
+    inv64 = (1.0 / (sc * math.sqrt(2.0)) if family == "gaussian"
+             else 1.0 / sc)
     mh, ml = df.df_from_f64(mean64)
     ivh, ivl = df.df_from_f64(inv64)
     per = _TS * _LN
@@ -168,8 +169,8 @@ def eval_window_gaussian_pallas(means, scales, ws, *, min_sym, max_sym,
         return jnp.asarray(a.reshape(n_tiles, _TS, _LN))
 
     ws32 = np.asarray(ws, np.int32)
-    fn = _build_eval(int(min_sym), int(max_sym), int(precision), int(W),
-                     n_tiles, interpret)
+    fn = _build_eval(str(family), int(min_sym), int(max_sym),
+                     int(precision), int(W), n_tiles, interpret)
     tv4, amb4 = fn(
         _tile(ws32, np.int32(min_sym + 1)),
         _tile(mh, np.float32(0)), _tile(ml, np.float32(0)),
@@ -178,6 +179,10 @@ def eval_window_gaussian_pallas(means, scales, ws, *, min_sym, max_sym,
     tv = tv4.transpose(0, 2, 3, 1).reshape(n_tiles * per, W)[:n]
     amb = amb4.transpose(0, 2, 3, 1).reshape(n_tiles * per, W)[:n] != 0
     return tv, amb
+
+
+def eval_window_gaussian_pallas(means, scales, ws, **kw):
+    return eval_window_family_pallas("gaussian", means, scales, ws, **kw)
 
 
 def df32_eval_canary(backend: str | None = None) -> bool:
@@ -193,30 +198,39 @@ def df32_eval_canary(backend: str | None = None) -> bool:
     rng = np.random.RandomState(0xDF32)
     n, W = 1024, 40
     MIN, MAX, P = -100, 100, 24
-    means = rng.uniform(-110, 110, n)
-    scales = np.exp(rng.uniform(np.log(0.05), np.log(8.0), n))
-    CL = ef._EST_C["gaussian"][0]
-    ws = np.clip(np.ceil(means - CL * scales) - 3.0, MIN + 1, MAX
-                 ).astype(np.int64)
-    tv, amb = eval_window_gaussian_pallas(
-        means, scales, ws, min_sym=MIN, max_sym=MAX, precision=P, W=W
-    )
-    tv = np.asarray(tv).reshape(-1).astype(np.int64)
-    amb = np.asarray(amb).reshape(-1)
-    sym_i = np.repeat(np.arange(n), W)
-    svals = (ws[:, None] + np.arange(W)[None, :]).reshape(-1).astype(
-        np.int32
-    )
-    live = svals <= MAX
-    out = np.empty(int(live.sum()), np.uint32)
-    native.LIB.ctpu_exact_tv_at(
-        native.DIST_KIND["gaussian"], MIN, MAX, P,
-        np.ascontiguousarray(means), np.ascontiguousarray(scales),
-        np.ascontiguousarray(sym_i[live]),
-        np.ascontiguousarray(svals[live]), int(live.sum()), out,
-    )
-    exact = np.full(n * W, (1 << P) - 1 - (MAX - MIN), np.int64)
-    exact[live] = out.astype(np.int64)
-    ok = bool(np.all(amb | (tv == exact)))
-    # the path must also leave a workable patch volume
-    return ok and float(amb.mean()) < 0.2
+    for family in ("gaussian", "laplace", "cauchy"):
+        means = rng.uniform(-110, 110, n)
+        scales = np.exp(rng.uniform(np.log(0.05), np.log(8.0), n))
+        CL = ef._EST_C[family][0]
+        if np.isinf(CL):
+            ws = np.full(n, MIN + 1, np.int64)
+            Wf = MAX - MIN + 1 + 8
+        else:
+            ws = np.clip(np.ceil(means - CL * scales) - 3.0, MIN + 1, MAX
+                         ).astype(np.int64)
+            Wf = W
+        tv, amb = eval_window_family_pallas(
+            family, means, scales, ws, min_sym=MIN, max_sym=MAX,
+            precision=P, W=Wf
+        )
+        tv = np.asarray(tv).reshape(-1).astype(np.int64)
+        amb = np.asarray(amb).reshape(-1)
+        sym_i = np.repeat(np.arange(n), Wf)
+        svals = (ws[:, None] + np.arange(Wf)[None, :]).reshape(-1).astype(
+            np.int32
+        )
+        live = svals <= MAX
+        out = np.empty(int(live.sum()), np.uint32)
+        native.LIB.ctpu_exact_tv_at(
+            native.DIST_KIND[family], MIN, MAX, P,
+            np.ascontiguousarray(means), np.ascontiguousarray(scales),
+            np.ascontiguousarray(sym_i[live]),
+            np.ascontiguousarray(svals[live]), int(live.sum()), out,
+        )
+        exact = np.full(n * Wf, (1 << P) - 1 - (MAX - MIN), np.int64)
+        exact[live] = out.astype(np.int64)
+        if not bool(np.all(amb | (tv == exact))):
+            return False
+        if float(amb.mean()) >= 0.2:  # patch volume must stay workable
+            return False
+    return True

@@ -693,11 +693,11 @@ def packed_tables_on_device_batch(segs, family, min_sym, max_sym,
             ).astype(np.int64)
         W = min(cmax + 16, max_sym - min_sym + 1 + 16)
         ws32 = ws.astype(np.int32)
-        if family == "gaussian" and _df32_eval_enabled():
+        if _df32_eval_enabled():
             from . import df32_pallas as dfp
 
-            tv, ambig = dfp.eval_window_gaussian_pallas(
-                mean, scale, ws32, min_sym=int(min_sym),
+            tv, ambig = dfp.eval_window_family_pallas(
+                family, mean, scale, ws32, min_sym=int(min_sym),
                 max_sym=int(max_sym), precision=int(precision), W=int(W),
             )
         else:

@@ -58,6 +58,51 @@ def test_df_erf_absolute_error():
     assert np.abs(got - want).max() < 1e-11  # erfc-fit regime bound
 
 
+@pytest.mark.parametrize("family", ["gaussian", "laplace", "cauchy"])
+def test_df_window_accepted_entries_exact_families(family):
+    """All three families' twins: accepted entries exact vs the oracle."""
+    from constriction_tpu import native
+    from constriction_tpu.ops import exact_family as ef
+
+    if native.LIB is None:
+        pytest.skip("native oracle unavailable")
+    rng = np.random.RandomState(11)
+    P, MIN, MAX = 24, -100, 100
+    n = 2000
+    means = rng.uniform(-110, 110, n)
+    scales = np.exp(rng.uniform(np.log(0.05), np.log(8.0), n))
+    CL = ef._EST_C[family][0]
+    if np.isinf(CL):
+        ws = np.full(n, MIN + 1, np.int64)
+        W = MAX - MIN + 1 + 8
+    else:
+        ws = np.clip(np.ceil(means - CL * scales) - 3.0, MIN + 1, MAX
+                     ).astype(np.int64)
+        W = 48
+    tv, amb = df.eval_window_df(
+        np, family, means, scales, ws, min_sym=MIN, max_sym=MAX,
+        precision=P, W=W
+    )
+    tv = tv.reshape(-1).astype(np.int64)
+    amb = amb.reshape(-1)
+    sym_i = np.repeat(np.arange(n), W)
+    svals = (ws[:, None] + np.arange(W)[None, :]).reshape(-1).astype(
+        np.int32
+    )
+    live = svals <= MAX
+    out = np.empty(int(live.sum()), np.uint32)
+    native.LIB.ctpu_exact_tv_at(
+        native.DIST_KIND[family], MIN, MAX, P,
+        np.ascontiguousarray(means), np.ascontiguousarray(scales),
+        np.ascontiguousarray(sym_i[live]),
+        np.ascontiguousarray(svals[live]), int(live.sum()), out,
+    )
+    exact = np.full(n * W, (1 << P) - 1 - (MAX - MIN), np.int64)
+    exact[live] = out.astype(np.int64)
+    assert np.all(amb | (tv == exact)), family
+    assert amb.mean() < 0.06
+
+
 def test_df_window_accepted_entries_exact():
     """THE guarantee: every accepted (unambiguous) entry's trunc equals
     the host glibc oracle's, over a randomized (mean, scale) sweep."""
