@@ -363,18 +363,38 @@ def encode_iid_v2(
     pass it to skip a redundant O(n) log2 pass.
     """
     symbols = np.asarray(symbols, dtype=np.int64)
-    n = len(symbols)
-    L = cfg.num_lanes
-    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
     cdf64 = np.asarray(cdf, dtype=np.uint64)
     cums = cdf64[symbols]
     probs = cdf64[symbols + 1] - cums
+
+    def encode_a(n_A, seeds):
+        return _encode_region_a(
+            symbols[:n_A], cums[:n_A], probs[:n_A], cdf, cfg, seeds, device
+        )
+
+    return frame_planes_v2(cums, probs, cfg, sym_bits, encode_a)
+
+
+def frame_planes_v2(cums, probs, cfg: LaneConfig,
+                    sym_bits: np.ndarray | None,
+                    encode_a) -> np.ndarray:
+    """Model-agnostic v2 framing over per-symbol (cum, prob) planes.
+
+    Region split, region-B encode (host shared-stream coder on the
+    planes), seed-payload packing, and the header layout are identical
+    for every model family; the caller supplies ``encode_a(n_A, seeds)``
+    -> ``(states_A, stream_A)`` -- the seeded region-A encoder (which may
+    be a device kernel).  Used by :func:`encode_iid_v2` (categorical) and
+    ops/framing_family.py (reference-exact per-symbol families)."""
+    n = len(cums)
+    L = cfg.num_lanes
+    S, W, P = cfg.state_bits, cfg.word_bits, cfg.precision
 
     C_bits = L * (S - W)  # seed payload capacity
     if sym_bits is not None:
         bits_per_sym = np.asarray(sym_bits, np.float64).reshape(-1)
     else:
-        bits_per_sym = P - np.log2(probs.astype(np.float64))
+        bits_per_sym = P - np.log2(np.asarray(probs, np.float64))
     tail_cum = np.cumsum(bits_per_sym[::-1])
     L_B = _pick_lb(L)
     # B carries its own framing floor (L_B*(S-W+1) state bits it cannot
@@ -436,10 +456,9 @@ def encode_iid_v2(
         seeds = None
         psb_rem = np.zeros(0, np.uint8)
 
-    states_A, stream_A = _encode_region_a(
-        symbols[:n_A], cums[:n_A], probs[:n_A], cdf, cfg, seeds, device
-    )
-    psa_bits_arr, psa_bits = pack_states(states_A, cfg)
+    states_A, stream_A = encode_a(n_A, seeds)
+    stream_A = np.asarray(stream_A)
+    psa_bits_arr, psa_bits = pack_states(np.asarray(states_A), cfg)
 
     for fname, fval in (
         ("stream_A length", len(stream_A)), ("k_B", k_B),
