@@ -939,12 +939,31 @@ def main() -> None:
 
     states_ex, stream_ex = ef.encode_tables_pallas(cums_g, probs_g, cfg_ex)
     stream_ex = np.asarray(stream_ex)
-    overhead = (len(stream_ex) * 32 + L * 64) / info_bits - 1.0
     out = np.asarray(ef.decode_family_exact_grouped(
         states_ex, stream_ex, means_ex, scales_ex, "gaussian",
         min_se, max_se, cfg_ex, n_ex,
     ))
     assert np.array_equal(out, symbols_ex), "exact-family decode mismatch"
+
+    # whole-message rate: the compact v2 family container (variable-width
+    # packed states + recovered-seed tail, ops/framing_family.py) against
+    # the bit-exact reference twin on the same per-symbol tables -- the
+    # pre-round-5 raw (states, stream) framing measured 12.385% here
+    from constriction_tpu.ops import framing_family as ffam
+
+    cont_ex = ffam.encode_family_v2(
+        symbols_ex, means_ex, scales_ex, "gaussian", min_se, max_se, cfg_ex
+    )
+    out_v2 = ffam.decode_family_v2(
+        cont_ex, means_ex, scales_ex, "gaussian", min_se, max_se
+    )
+    assert np.array_equal(out_v2, symbols_ex), "family v2 decode mismatch"
+    overhead = (len(cont_ex) * 32) / info_bits - 1.0
+    ref_ex = AnsCoderCore(word_bits=32, state_bits=64)
+    ref_ex.encode_reverse_tables(
+        cums_ex.astype(np.uint32), probs_ex.astype(np.uint32), 24
+    )
+    vs_ref_ex = (len(cont_ex) * 32) / (len(ref_ex.get_compressed()) * 32)
 
     # chain-timed device decode: compose the segment kernels in one jit
     seg_fns, seg_tabs4 = [], []
@@ -1017,6 +1036,7 @@ def main() -> None:
         "entropy_bits": round(info_bits / n_ex, 3),
         "overhead_pct": round(overhead * 100, 3),
         "marginal_overhead_pct": None,
+        "vs_ref": round(vs_ref_ex, 5),
         "decode_GBps": round(n_ex / dt_xdec / 1e9, 2),
         "encode_GBps": round(n_ex / dt_xenc / 1e9, 2),
         "table_prep_Msyms": round(prep_msyms, 2),
@@ -1031,7 +1051,7 @@ def main() -> None:
     rows.append(row)
     print(
         f"| {name} | {row['entropy_bits']} | {row['overhead_pct']}% "
-        f"| — | — | {row['decode_GBps']} | {row['encode_GBps']} |"
+        f"| — | {row['vs_ref']}x | {row['decode_GBps']} | {row['encode_GBps']} |"
         f"  (host table prep {row['table_prep_Msyms']} Msym/s, "
         f"ecp {row['ecp_prep_Msyms']} Msym/s, device prep "
         f"{row['device_prep_Msyms']} Msym/s, fresh-model end-to-end "

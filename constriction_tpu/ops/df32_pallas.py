@@ -109,7 +109,11 @@ def _kernel_body(pl, *, family: str, min_sym: int, max_sym: int,
             ambig = (~unamb) | band
             oos = ws + np.float32(j) > np.float32(max_sym)
             tv = jnp.where(oos, freei, tv)
-            ambig = jnp.where(oos, False, ambig)
+            # logical-and, NOT a select: Mosaic lowers where(pred, False,
+            # bool) through an i8 select + i1 truncation it cannot compile
+            # ("Unsupported target bitwidth for truncation"); and_i1 is
+            # supported and equivalent
+            ambig = ambig & jnp.logical_not(oos)
             tv_ref[0, j] = tv
             amb_ref[0, j] = ambig.astype(jnp.int32)
 
